@@ -1,0 +1,58 @@
+"""Replay pipeline configuration.
+
+The analogue of the reference's YAML config + ApplyDefaults
+(/root/reference/config/config.go:16-45,82-114). Batching knobs map onto
+Ray Data's block/batch sizing instead of the producer micro-batcher
+(producerBatchSize=2000 / producerBatchBytes=1MiB / 10s ticker,
+config/config.go:91-101 — subsumed by the streaming executor, SURVEY §2 B1).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _env(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+@dataclass
+class ReplayConfig:
+    # merge-shuffle fan-out: number of hash buckets = output partitions.
+    # Sized so one bucket's post-combine rows fit comfortably in a worker
+    # heap; at 100 TB this is raised into the 10^4-10^5 range.
+    num_buckets: int = 64
+    # Arrow rows per map_batches call on stateless stages (None = whole block)
+    batch_size: int | None = 65536
+    # salted (hash of full (conv_id, turn_idx) key) vs conv_id-only bucketing;
+    # salted spreads hot conversations across buckets (north-rule skew rule)
+    salted: bool = True
+    # reject rows failing validation into <lake>/rejected/ instead of failing
+    # the run (DLQ semantics, rejection_log_sink_response_handler.go:13-80)
+    rejection_log: bool = True
+    rejection_include_value: bool = True  # config.go:42-45 rejectionLog.includeValue
+    # read-side file pruning using parquet footer stats vs the watermark
+    prune_files: bool = True
+    # actor-pool sizing for stateful merge appliers when used via map_batches
+    merge_concurrency: tuple[int, int] = (2, 8)
+    # collection → output table routing (reference collectionTopicMapping,
+    # connector.go:125-140); None → single transcripts table
+    collection_table_mapping: dict[str, str] | None = None
+    # retained for parity / documentation with the reference defaults
+    reference_defaults: dict = field(
+        default_factory=lambda: {
+            "producerBatchSize": 2000,
+            "producerBatchBytes": 1 << 20,
+            "producerBatchTickerDuration_s": 10,
+            "requiredAcks": 1,
+        }
+    )
+
+    @staticmethod
+    def from_env() -> "ReplayConfig":
+        """Env-var interpolation analogue (connector.go:241-249)."""
+        return ReplayConfig(
+            num_buckets=int(_env("DCPRAY_NUM_BUCKETS", "64")),
+            salted=_env("DCPRAY_SALTED", "1") == "1",
+        )

@@ -1,0 +1,232 @@
+"""The CDC replay pipeline: WAL → mapper → LWW merge → lake + manifest.
+
+One-line architecture (SURVEY §7): bounded replay of a vBucket-partitioned
+Parquet WAL through ``read_parquet → map_batches(validate/DLQ) →
+map_batches(mapper) → map_batches(precombine LWW + bucket) →
+groupby(bucket).map_groups(merge-apply, writes bucket files) →
+atomic manifest commit``.
+
+Delivery semantics (upgraded from the reference's at-least-once, SURVEY §3):
+
+- a run processes whole WAL files and commits a manifest only after every
+  bucket file is fully written (the analogue of dcpCheckpointCommit after
+  flush, producer_batch.go:143; manual checkpointing, connector.go:166);
+- a crash mid-run leaves the previous manifest current → the rerun
+  replays the same delta; LWW by seqno makes the replay idempotent, so
+  the observable result is exactly-once;
+- resume skips already-processed WAL files exactly (manifest tracks the
+  processed-file set; per-vb seqno watermarks are also maintained — with
+  seqno-contiguous log segments, as real DCP/binlog segments are, the
+  watermark alone suffices and the file set can be compacted away; the
+  synthetic fixture interleaves seqnos across files on purpose, so exact
+  file tracking is the correct general mechanism);
+- incremental runs rewrite only buckets touched by the delta
+  (copy-forward of untouched bucket files), so run cost scales with the
+  delta, not the table.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+from dcpray.config import ReplayConfig
+from dcpray.sources import wal as walmod
+from dcpray.stages.mapper import Mapper, apply_mapper
+from dcpray.stages.merge import (
+    BUCKET_COL,
+    make_bucket_merger,
+    make_precombine,
+    merge_schema_from,
+)
+from dcpray.stages.reject import make_reject_filter
+from dcpray.state.checkpoint import Lake, Manifest, new_run_id
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    committed: bool
+    manifest: Manifest | None
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def _probe_mapper_schema(mapper: Mapper | None, schema: pa.Schema) -> pa.Schema:
+    if mapper is None:
+        return schema
+    try:
+        return mapper(schema.empty_table()).schema
+    except Exception:
+        return schema
+
+
+def _affected_buckets(paths, num_buckets: int, salted: bool) -> set[int]:
+    """Column-pruned pre-pass: which merge buckets does the delta touch?
+    Reads only (conv_id, turn_idx) — cheap relative to payload — so an
+    incremental run can copy forward every untouched bucket file."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from dcpray.hashing import bucket_of, bucket_of_conv
+
+    ds = rd.read_parquet(paths, columns=["conv_id", "turn_idx"])
+
+    def _b(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        if salted:
+            b = bucket_of(t["conv_id"], t["turn_idx"], num_buckets)
+        else:
+            b = bucket_of_conv(t["conv_id"], num_buckets)
+        import numpy as np
+
+        return pa.table({"b": pa.array(np.unique(b), pa.int32())})
+
+    return set(ds.map_batches(_b, batch_format="pyarrow").unique("b"))
+
+
+def replay(
+    lake: Lake,
+    wal_dir: str,
+    *,
+    config: ReplayConfig | None = None,
+    mapper: Mapper | None = None,
+    base_snapshot_dir: str | None = None,
+    copy_forward: bool = True,
+    max_files: int | None = None,
+    strict_watermark_rows: bool = False,
+) -> RunResult:
+    """Replay (the unprocessed part of) a WAL into the lake. Returns after
+    the manifest commit; Ray must already be initialized by the caller.
+
+    ``max_files`` limits the run to the first N unprocessed files (used by
+    tests to simulate incremental arrival / a killed partial ingest).
+    ``strict_watermark_rows`` additionally row-filters seqno ≤ watermark —
+    only valid when WAL segments are seqno-contiguous per vb.
+    """
+    import ray.data as rd
+
+    cfg = config or ReplayConfig()
+    t0 = time.perf_counter()
+    prev = lake.store.load_current()
+    wm = dict(prev.watermarks) if prev else {}
+    processed: set[str] = set(prev.processed_wal) if prev else set()
+    num_buckets = prev.num_buckets if prev else cfg.num_buckets
+    salted = prev.salted if prev else cfg.salted
+
+    infos = [i for i in walmod.scan_wal(wal_dir) if i.path not in processed]
+    infos.sort(key=lambda i: i.path)
+    if max_files is not None:
+        infos = infos[:max_files]
+    if not infos:
+        return RunResult(run_id="", committed=False, manifest=prev,
+                         metrics={"events_in": 0, "note": "no new WAL files"})
+
+    delta_schema = walmod.unified_schema(infos)
+    paths = [i.path for i in infos]
+    run_id = new_run_id()
+
+    # ---- source + validation/DLQ ----
+    ds = rd.read_parquet(paths, schema=delta_schema)
+    wm_arr = walmod.watermark_array(wm if strict_watermark_rows else {},
+                                    num_vb_hint=max((i.vb for i in infos), default=0) + 1)
+    rejected_dir = lake.rejected_dir(run_id) if cfg.rejection_log else None
+    ds = ds.map_batches(
+        make_reject_filter(wm_arr, rejected_dir, cfg.rejection_include_value),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+    # ---- user mapper (flat-map / filter / project) ----
+    ds = apply_mapper(ds, mapper, cfg.batch_size)
+    mapped_schema = _probe_mapper_schema(mapper, delta_schema)
+
+    # ---- base side: committed lake (incremental) or bootstrap snapshot ----
+    base_ds = None
+    base_schema = None
+    affected: set[int] | None = None
+    carried: list[dict] = []
+    if prev and prev.files:
+        if copy_forward:
+            affected = _affected_buckets(paths, num_buckets, salted)
+            touched = [f for f in prev.files if f["bucket"] in affected]
+            carried = [f for f in prev.files if f["bucket"] not in affected]
+        else:
+            touched = list(prev.files)
+        if touched:
+            import pyarrow.parquet as pq
+
+            base_paths = [lake.abspath(f["path"]) for f in touched]
+            base_schema = pa.unify_schemas([pq.read_schema(p) for p in base_paths])
+            base_ds = rd.read_parquet(base_paths, schema=base_schema)
+    elif base_snapshot_dir:
+        import glob
+
+        snap = sorted(glob.glob(os.path.join(base_snapshot_dir, "*.parquet")))
+        if snap:
+            import pyarrow.parquet as pq
+
+            base_schema = pa.unify_schemas([pq.read_schema(p) for p in snap])
+            base_ds = rd.read_parquet(snap, schema=base_schema)
+
+            def _seed(t: pa.Table) -> pa.Table:
+                # initial snapshot = version 0 of every preloaded key
+                t = t.append_column("seqno", pa.nulls(t.num_rows, pa.uint64()).fill_null(0))
+                from dcpray.schema import OP_MUTATION
+
+                return t.append_column(
+                    "op", pa.nulls(t.num_rows, pa.string()).fill_null(OP_MUTATION)
+                )
+
+            base_ds = base_ds.map_batches(_seed, batch_format="pyarrow")
+            base_schema = base_schema.append(pa.field("seqno", pa.uint64())).append(
+                pa.field("op", pa.string())
+            )
+
+    # ---- the one shuffle: precombine → bucket → merge-apply (sink) ----
+    mschema = merge_schema_from(mapped_schema, base_schema)
+    pre = make_precombine(mschema, num_buckets, salted)
+    delta_p = ds.map_batches(pre, batch_format="pyarrow", batch_size=cfg.batch_size)
+    union = delta_p.union(base_ds.map_batches(pre, batch_format="pyarrow", batch_size=cfg.batch_size)) if base_ds is not None else delta_p
+    stats_ds = union.groupby(BUCKET_COL).map_groups(
+        make_bucket_merger(lake.lake_dir, run_id), batch_format="pyarrow"
+    )
+    stats = stats_ds.take_all()  # ≤ num_buckets tiny rows; merge runs here
+
+    # ---- checkpoint commit (only now does anything become visible) ----
+    new_wm = dict(wm)
+    for vb, s in walmod.file_watermarks(infos).items():
+        new_wm[vb] = max(new_wm.get(vb, 0), s)
+    files = [
+        {"path": s["path"], "bucket": int(s["bucket"]), "rows": int(s["rows_out"])}
+        for s in stats
+    ] + carried
+    rejected = lake.rejected_count(run_id) if cfg.rejection_log else 0
+    metrics = {
+        "events_in": int(sum(i.rows for i in infos)),
+        "wal_files": len(infos),
+        "rejected_rows": int(rejected),
+        "rows_out": int(sum(s["rows_out"] for s in stats)),
+        "rows_carried_forward": int(sum(f["rows"] for f in carried)),
+        "tombstoned_keys": int(sum(s["tombstoned_keys"] for s in stats)),
+        "buckets_written": len(stats),
+        "buckets_carried": len(carried),
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+    metrics["events_per_s"] = round(metrics["events_in"] / max(1e-9, metrics["wall_s"]), 1)
+    manifest = Manifest(
+        run_id=run_id,
+        seq=(prev.seq + 1) if prev else 1,
+        parent=prev.run_id if prev else None,
+        num_buckets=num_buckets,
+        salted=salted,
+        watermarks=new_wm,
+        files=files,
+        metrics=metrics,
+        processed_wal=sorted(processed | set(paths)),
+    )
+    lake.store.commit(manifest)
+    return RunResult(run_id=run_id, committed=True, manifest=manifest, metrics=metrics)

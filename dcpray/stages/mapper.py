@@ -1,0 +1,94 @@
+"""The user-extension Mapper stage and routing.
+
+Mirrors the reference's single user transform
+``type Mapper func(couchbase.Event) []message.KafkaMessage``
+(/root/reference/mapper.go:8): a flat-map that may return 0..N output
+rows per input row — returning an empty batch slice filters
+(connector.go:98-101 acks-and-skips), returning >1 row per input fans
+out (README.md:16), and rewriting columns projects.
+
+Here a Mapper is a vectorized function ``pa.Table -> pa.Table`` applied
+via ``map_batches(batch_format="pyarrow")`` — one call per Arrow batch,
+zero-copy from the object store, instead of one call per event. A CDC
+mapper must preserve the bookkeeping columns (vb, seqno, op, conv_id,
+turn_idx) for the downstream merge; payload columns are free to change.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dcpray.schema import OP_MUTATION
+
+Mapper = Callable[[pa.Table], pa.Table]
+
+#: columns a CDC mapper must keep for merge/checkpoint correctness
+REQUIRED_CDC_COLUMNS = ("vb", "seqno", "op", "conv_id", "turn_idx")
+
+
+def identity_mapper(batch: pa.Table) -> pa.Table:
+    """Default CDC mapper: pass everything through (tombstones included —
+    the merge stage needs them to delete keys)."""
+    return batch
+
+
+def default_kafka_mapper(batch: pa.Table) -> pa.Table:
+    """Parity with the reference's DefaultMapper
+    (/root/reference/mapper.go:10-20): drop deletions/expirations, project
+    key+value. Useful for export-style pipelines, NOT for lake upsert
+    (it drops the tombstones the merge needs)."""
+    return batch.filter(pc.equal(batch["op"], OP_MUTATION))
+
+
+def validate_mapper_output(batch: pa.Table) -> pa.Table:
+    missing = [c for c in REQUIRED_CDC_COLUMNS if c not in batch.schema.names]
+    if missing:
+        raise ValueError(
+            f"mapper output dropped required CDC columns {missing}; "
+            f"a CDC mapper must preserve {REQUIRED_CDC_COLUMNS}"
+        )
+    return batch
+
+
+def apply_mapper(ds, mapper: Mapper | None, batch_size: int | None = 65536):
+    """Attach the mapper stage to a Dataset (no-op for None/identity)."""
+    if mapper is None or mapper is identity_mapper:
+        return ds
+
+    def _run(batch: pa.Table) -> pa.Table:
+        return validate_mapper_output(mapper(batch))
+
+    return ds.map_batches(_run, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---- routing (reference topic router, connector.go:125-140) ----
+
+
+def route_column(batch: pa.Table, mapping: dict[str, str], default: str | None = None) -> pa.Table:
+    """Resolve each row's destination table from its collection — the
+    analogue of collectionTopicMapping; unknown collection raises unless a
+    default is given (the reference panics, connector.go:136-138)."""
+    coll = batch["collection"]
+    uniq = pc.unique(coll).to_pylist()
+    unknown = [c for c in uniq if c not in mapping]
+    if unknown and default is None:
+        raise KeyError(f"no table mapping for collections {unknown}")
+    lookup = {c: mapping.get(c, default) for c in uniq}
+    routes = pa.array([lookup[c] for c in coll.to_pylist()], type=pa.string()) \
+        if len(uniq) > 1 else pa.nulls(batch.num_rows, pa.string()).fill_null(lookup[uniq[0]]) \
+        if uniq else pa.nulls(0, pa.string())
+    return batch.append_column("route", routes)
+
+
+def split_by_route(ds, routes: list[str]):
+    """One lazy Dataset per destination table (filter pushdown per route)."""
+    out = {}
+    for r in routes:
+        out[r] = ds.map_batches(
+            lambda t, _r=r: t.filter(pc.equal(t["route"], _r)),
+            batch_format="pyarrow",
+        )
+    return out

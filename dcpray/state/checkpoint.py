@@ -1,0 +1,185 @@
+"""Checkpoint state: per-partition seqno watermarks + atomic manifest commits.
+
+The Ray-native analogue of the reference's checkpoint machinery:
+
+- the per-vBucket checkpoint documents saved to a log-compacted Kafka topic
+  (/root/reference/kafka/metadata/kafka_metadata.go:26-46 Save, :48-129 Load)
+  become a ``watermarks: {vb: committed_seqno}`` map inside a JSON manifest;
+- the "commit only after a successful flush" rule (checkpoint mode forced
+  to manual, connector.go:166; commit called at producer_batch.go:143)
+  becomes "the manifest (and thus the watermark + file list) is renamed
+  into place only after every output Parquet file of the run is fully
+  written" — a tmp-file + rename, atomic on POSIX;
+- uncommitted output files are invisible: readers and resume only ever
+  list files recorded in the CURRENT manifest, so a killed run leaves no
+  partially-visible state (the upgrade from the reference's at-least-once
+  to effective exactly-once, SURVEY §3).
+
+Layout::
+
+    <lake_dir>/
+      data/<run_id>/bucket-00042.parquet      # one file per touched bucket
+      rejected/<run_id>/part-*.parquet        # DLQ (H2)
+      manifests/manifest-000001-<run>.json
+      CURRENT                                  # name of the live manifest
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dcpray.schema import (
+    SEQNO_LAKE_COL,
+    TOOL_VERSION_COL,
+    TRANSCRIPT_COLUMNS,
+)
+
+
+@dataclass
+class Manifest:
+    run_id: str
+    seq: int  # monotonically increasing commit number
+    parent: str | None
+    num_buckets: int
+    salted: bool
+    watermarks: dict[int, int]  # vb -> highest committed seqno
+    files: list[dict[str, Any]]  # {path (lake-relative), bucket, rows}
+    metrics: dict[str, Any] = field(default_factory=dict)
+    # exact set of WAL files already applied (see replay.py docstring for
+    # why this, not the watermark alone, is the general resume mechanism)
+    processed_wal: list[str] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        d = dict(self.__dict__)
+        d["watermarks"] = {str(k): v for k, v in self.watermarks.items()}
+        return json.dumps(d, indent=1)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        d["watermarks"] = {int(k): v for k, v in d["watermarks"].items()}
+        return Manifest(**d)
+
+
+def new_run_id() -> str:
+    return "r-" + uuid.uuid4().hex[:12]
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class ManifestStore:
+    """Load/commit manifests under <lake_dir>/manifests with a CURRENT
+    pointer. ``Save``/``Load`` parity with metadata.Metadata
+    (kafka_metadata.go); ``Clear`` is dropping CURRENT."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.manifest_dir = os.path.join(lake_dir, "manifests")
+        self.current_path = os.path.join(lake_dir, "CURRENT")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def load_current(self) -> Manifest | None:
+        if not os.path.exists(self.current_path):
+            return None
+        with open(self.current_path) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return Manifest.from_json(f.read())
+
+    def commit(self, manifest: Manifest) -> str:
+        """Atomically publish: manifest file first, CURRENT pointer last."""
+        name = f"manifest-{manifest.seq:06d}-{manifest.run_id}.json"
+        _atomic_write(os.path.join(self.manifest_dir, name), manifest.to_json())
+        _atomic_write(self.current_path, name)
+        return name
+
+    def clear(self) -> None:
+        if os.path.exists(self.current_path):
+            os.remove(self.current_path)
+
+
+class Lake:
+    """A transcripts Parquet lake rooted at ``lake_dir``."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        os.makedirs(lake_dir, exist_ok=True)
+        self.store = ManifestStore(lake_dir)
+
+    # ---- paths ----
+    def data_dir(self, run_id: str) -> str:
+        d = os.path.join(self.lake_dir, "data", run_id)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def rejected_dir(self, run_id: str) -> str:
+        d = os.path.join(self.lake_dir, "rejected", run_id)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def abspath(self, rel: str) -> str:
+        return os.path.join(self.lake_dir, rel)
+
+    # ---- reads (manifest-scoped: uncommitted files are invisible) ----
+    def current_files(self) -> list[dict[str, Any]]:
+        m = self.store.load_current()
+        return m.files if m else []
+
+    def read_current(self, drop_internal: bool = True):
+        """Committed table as a ray.data.Dataset (lazy)."""
+        import ray.data as rd
+
+        files = [self.abspath(f["path"]) for f in self.current_files()]
+        if not files:
+            schema = pa.schema(
+                [*zip(TRANSCRIPT_COLUMNS, [pa.string(), pa.int32(), pa.string(), pa.string(), pa.string(), pa.timestamp("us")])]
+            )
+            return rd.from_arrow(schema.empty_table())
+        schema = pa.unify_schemas([pq.read_schema(f) for f in files])
+        ds = rd.read_parquet(files, schema=schema)
+        if drop_internal and SEQNO_LAKE_COL in schema.names:
+            keep = [c for c in schema.names if not c.startswith("_")]
+            ds = ds.select_columns(keep)
+        return ds
+
+    def to_pandas_sorted(self):
+        """Small-scale test helper: full committed state, stable order."""
+        files = [self.abspath(f["path"]) for f in self.current_files()]
+        if not files:
+            import pandas as pd
+
+            return pd.DataFrame(columns=TRANSCRIPT_COLUMNS + [TOOL_VERSION_COL])
+        schema = pa.unify_schemas([pq.read_schema(f) for f in files])
+        tabs = []
+        for f in files:
+            t = pq.read_table(f)
+            for name in schema.names:
+                if name not in t.schema.names:
+                    t = t.append_column(name, pa.nulls(t.num_rows, schema.field(name).type))
+            tabs.append(t.select(schema.names))
+        df = pa.concat_tables(tabs).to_pandas()
+        df = df[[c for c in df.columns if not c.startswith("_")]]
+        return df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+            drop=True
+        )
+
+    def rejected_count(self, run_id: str | None = None) -> int:
+        """Rows landed in the DLQ (footer metadata only)."""
+        import glob
+
+        pat = os.path.join(self.lake_dir, "rejected", run_id or "*", "*.parquet")
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(pat))
