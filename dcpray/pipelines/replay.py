@@ -169,22 +169,10 @@ def replay(
         if snap:
             import pyarrow.parquet as pq
 
+            # initial snapshot = version 0 of every preloaded key; the
+            # precombine stage fills the missing seqno/op as (0, mutation)
             base_schema = pa.unify_schemas([pq.read_schema(p) for p in snap])
             base_ds = rd.read_parquet(snap, schema=base_schema)
-
-            def _seed(t: pa.Table) -> pa.Table:
-                # initial snapshot = version 0 of every preloaded key
-                t = t.append_column("seqno", pa.nulls(t.num_rows, pa.uint64()).fill_null(0))
-                from dcpray.schema import OP_MUTATION
-
-                return t.append_column(
-                    "op", pa.nulls(t.num_rows, pa.string()).fill_null(OP_MUTATION)
-                )
-
-            base_ds = base_ds.map_batches(_seed, batch_format="pyarrow")
-            base_schema = base_schema.append(pa.field("seqno", pa.uint64())).append(
-                pa.field("op", pa.string())
-            )
 
     # ---- the one shuffle: precombine → bucket → merge-apply (sink) ----
     mschema = merge_schema_from(mapped_schema, base_schema)

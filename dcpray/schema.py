@@ -59,6 +59,7 @@ EVOLVED_WAL_SCHEMA = WAL_SCHEMA.append(pa.field(TOOL_VERSION_COL, pa.string()))
 # materialized transcripts table. ``_seqno`` is persisted in lake files so an
 # incremental merge is idempotent under arbitrary replay overlap.
 SEQNO_LAKE_COL = "_seqno"
+OP_LAKE_COL = "_op"
 BUCKET_COL = "_bucket"
 
 # payload columns that are null on tombstones

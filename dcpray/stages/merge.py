@@ -36,6 +36,7 @@ import pyarrow.parquet as pq
 from dcpray.hashing import bucket_of, bucket_of_conv
 from dcpray.schema import (
     BUCKET_COL,
+    OP_LAKE_COL,
     OP_MUTATION,
     SEQNO_LAKE_COL,
 )
@@ -86,14 +87,17 @@ def normalize_to(table: pa.Table, schema: pa.Schema) -> pa.Table:
 
 def merge_schema_from(delta_schema: pa.Schema, base_schema: pa.Schema | None) -> pa.Schema:
     """Canonical shuffle schema: unified payload + (seqno, op, _bucket)."""
+    lake_to_cdc = {SEQNO_LAKE_COL: "seqno", OP_LAKE_COL: "op"}
     fields: dict[str, pa.Field] = {}
     for sch in filter(None, [delta_schema, base_schema]):
         for f in sch:
             if f.name in DROP_BEFORE_SHUFFLE or f.name in (BUCKET_COL,):
                 continue
-            name = "seqno" if f.name == SEQNO_LAKE_COL else f.name
+            name = lake_to_cdc.get(f.name, f.name)
             if name == "seqno":
                 f = pa.field("seqno", pa.uint64())
+            elif name == "op":
+                f = pa.field("op", pa.string())
             fields.setdefault(name, f)
     fields.setdefault("seqno", pa.field("seqno", pa.uint64()))
     fields.setdefault("op", pa.field("op", pa.string()))
@@ -105,12 +109,20 @@ def make_precombine(schema: pa.Schema, num_buckets: int, salted: bool = True):
     """map_batches stage: normalize → assign bucket → local LWW reduce."""
     payload_schema = pa.schema([f for f in schema if f.name != BUCKET_COL])
 
+    lake_renames = {SEQNO_LAKE_COL: "seqno", OP_LAKE_COL: "op"}
+
     def _pre(batch: pa.Table) -> pa.Table:
-        if SEQNO_LAKE_COL in batch.schema.names:
+        if SEQNO_LAKE_COL in batch.schema.names or OP_LAKE_COL in batch.schema.names:
             batch = batch.rename_columns(
-                [("seqno" if c == SEQNO_LAKE_COL else c) for c in batch.schema.names]
+                [lake_renames.get(c, c) for c in batch.schema.names]
             )
         t = normalize_to(batch, payload_schema)
+        # committed lake files carry _seqno but no op: a materialized row
+        # is by construction a live mutation at its recorded seqno
+        i = t.schema.get_field_index("op")
+        t = t.set_column(i, "op", pc.fill_null(t["op"], OP_MUTATION))
+        i = t.schema.get_field_index("seqno")
+        t = t.set_column(i, "seqno", pc.fill_null(t["seqno"], 0))
         if salted:
             b = bucket_of(t["conv_id"], t["turn_idx"], num_buckets)
         else:
@@ -144,17 +156,25 @@ def make_bucket_merger(lake_dir: str, run_id: str):
     becomes visible only when the manifest commits (exactly-once)."""
     data_rel = os.path.join("data", run_id)
 
+    out_renames = {"seqno": SEQNO_LAKE_COL, "op": OP_LAKE_COL}
+
     def _merge(group: pa.Table) -> pa.Table:
         bucket = int(group[BUCKET_COL][0].as_py())
         rows_in = group.num_rows
         t = lww_filter(group)
-        live = pc.equal(t["op"], OP_MUTATION)
-        tombstoned = t.num_rows - pc.sum(live).as_py()
-        t = t.filter(live)
+        # winning tombstones are PERSISTED (as _op != mutation), not
+        # dropped: an older mutation may still arrive in a later run
+        # (WAL files interleave seqnos), and only the stored tombstone's
+        # higher seqno keeps it dead. Readers filter _op == mutation;
+        # a full compaction may GC tombstones once every older segment
+        # is known processed (same rule as Kafka compacted-topic
+        # tombstone retention).
+        n_live = pc.sum(pc.equal(t["op"], OP_MUTATION)).as_py() or 0
+        tombstoned = t.num_rows - n_live
         t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
         t = t.rename_columns(
-            [(SEQNO_LAKE_COL if c == "seqno" else c) for c in t.schema.names]
-        ).drop_columns(["op", BUCKET_COL])
+            [out_renames.get(c, c) for c in t.schema.names]
+        ).drop_columns([BUCKET_COL])
         rel = os.path.join(data_rel, f"bucket-{bucket:05d}.parquet")
         path = os.path.join(lake_dir, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -165,7 +185,7 @@ def make_bucket_merger(lake_dir: str, run_id: str):
             {
                 "bucket": pa.array([bucket], pa.int32()),
                 "rows_in": pa.array([rows_in], pa.int64()),
-                "rows_out": pa.array([t.num_rows], pa.int64()),
+                "rows_out": pa.array([int(n_live)], pa.int64()),
                 "tombstoned_keys": pa.array([int(tombstoned)], pa.int64()),
                 "path": pa.array([rel], pa.string()),
                 "bytes": pa.array([os.path.getsize(path)], pa.int64()),

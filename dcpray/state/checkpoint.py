@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from dcpray.schema import (
-    SEQNO_LAKE_COL,
+    OP_LAKE_COL,
     TOOL_VERSION_COL,
     TRANSCRIPT_COLUMNS,
 )
@@ -151,7 +151,16 @@ class Lake:
             return rd.from_arrow(schema.empty_table())
         schema = pa.unify_schemas([pq.read_schema(f) for f in files])
         ds = rd.read_parquet(files, schema=schema)
-        if drop_internal and SEQNO_LAKE_COL in schema.names:
+        if OP_LAKE_COL in schema.names:
+            import pyarrow.compute as pc
+
+            from dcpray.schema import OP_MUTATION
+
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.equal(t[OP_LAKE_COL], OP_MUTATION)),
+                batch_format="pyarrow",
+            )
+        if drop_internal:
             keep = [c for c in schema.names if not c.startswith("_")]
             ds = ds.select_columns(keep)
         return ds
@@ -171,7 +180,14 @@ class Lake:
                 if name not in t.schema.names:
                     t = t.append_column(name, pa.nulls(t.num_rows, schema.field(name).type))
             tabs.append(t.select(schema.names))
-        df = pa.concat_tables(tabs).to_pandas()
+        tab = pa.concat_tables(tabs)
+        if OP_LAKE_COL in tab.schema.names:
+            import pyarrow.compute as pc
+
+            from dcpray.schema import OP_MUTATION
+
+            tab = tab.filter(pc.equal(tab[OP_LAKE_COL], OP_MUTATION))
+        df = tab.to_pandas()
         df = df[[c for c in df.columns if not c.startswith("_")]]
         return df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
             drop=True

@@ -1,0 +1,166 @@
+"""Checkpoint / resume / incremental-merge semantics (SURVEY §3, §7 step 5)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dcpray import Lake, ReplayConfig, replay
+from dcpray.oracle import naive_final_state
+from tests.util import assert_final_state_equal
+
+
+def test_incremental_arrival_equals_full(tiny_fixture, tmp_path):
+    """Ingesting the WAL in three partial runs (arbitrary file subsets —
+    seqnos interleave across files!) converges to the uninterrupted
+    result."""
+    lake = Lake(str(tmp_path / "lake"))
+    wal = os.path.join(tiny_fixture, "wal")
+    base = os.path.join(tiny_fixture, "base")
+    cfg = ReplayConfig(num_buckets=16)
+    r1 = replay(lake, wal, base_snapshot_dir=base, config=cfg, max_files=3)
+    r2 = replay(lake, wal, base_snapshot_dir=base, config=cfg, max_files=7)
+    r3 = replay(lake, wal, base_snapshot_dir=base, config=cfg)
+    assert r1.committed and r2.committed and r3.committed
+    assert r3.manifest.seq == 3
+    oracle = naive_final_state(wal, base)
+    assert_final_state_equal(lake.to_pandas_sorted(), oracle)
+    # each file was processed exactly once
+    n_files = len(r3.manifest.processed_wal)
+    assert n_files == r1.metrics["wal_files"] + r2.metrics["wal_files"] + r3.metrics["wal_files"]
+
+
+def test_crash_before_commit_is_invisible_then_resumes(tiny_fixture, tmp_path, monkeypatch):
+    lake = Lake(str(tmp_path / "lake"))
+    wal = os.path.join(tiny_fixture, "wal")
+    base = os.path.join(tiny_fixture, "base")
+
+    from dcpray.state.checkpoint import ManifestStore
+
+    def boom(self, manifest):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(ManifestStore, "commit", boom)
+    with pytest.raises(RuntimeError):
+        replay(lake, wal, base_snapshot_dir=base, config=ReplayConfig(num_buckets=16))
+    monkeypatch.undo()
+    # nothing visible
+    assert lake.store.load_current() is None
+    assert lake.to_pandas_sorted().empty
+    # resume = full redo; idempotent by LWW
+    replay(lake, wal, base_snapshot_dir=base, config=ReplayConfig(num_buckets=16))
+    assert_final_state_equal(
+        lake.to_pandas_sorted(), naive_final_state(wal, base)
+    )
+
+
+def test_rereplay_is_noop(tiny_fixture, tmp_path):
+    lake = Lake(str(tmp_path / "lake"))
+    wal = os.path.join(tiny_fixture, "wal")
+    replay(lake, wal, config=ReplayConfig(num_buckets=16))
+    before = lake.store.load_current()
+    res = replay(lake, wal, config=ReplayConfig(num_buckets=16))
+    assert not res.committed
+    assert lake.store.load_current().run_id == before.run_id
+
+
+def test_copy_forward_incremental(tiny_fixture, tmp_path):
+    """A small delta touching one conversation rewrites only its buckets;
+    untouched bucket files are carried forward by reference."""
+    import json
+
+    lake = Lake(str(tmp_path / "lake"))
+    wal = os.path.join(tiny_fixture, "wal")
+    base = os.path.join(tiny_fixture, "base")
+    cfg = ReplayConfig(num_buckets=16)
+    replay(lake, wal, base_snapshot_dir=base, config=cfg)
+    state0 = lake.to_pandas_sorted()
+
+    with open(os.path.join(tiny_fixture, "meta.json")) as f:
+        meta = json.load(f)
+    # new event for a known key: overwrite conv 0 / turn 1
+    from dcpray.hashing import vb_of_conv_index
+
+    vb = int(vb_of_conv_index(np.array([0]), meta["spec"]["num_vbuckets"])[0])
+    new_seq = meta["watermarks"][str(vb)] + 1
+    delta_dir = tmp_path / "delta" / f"vb_{vb:04d}"
+    delta_dir.mkdir(parents=True)
+    row = pa.table(
+        {
+            "vb": pa.array([vb], pa.uint16()),
+            "seqno": pa.array([new_seq], pa.uint64()),
+            "cas": pa.array([1], pa.uint64()),
+            "rev_no": pa.array([99], pa.uint64()),
+            "op": pa.array(["mutation"]),
+            "collection": pa.array(["_default"]),
+            "event_time": pa.array([0], pa.timestamp("us")),
+            "conv_id": pa.array(["conv-00000000"]),
+            "turn_idx": pa.array([1], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["UPDATED by incremental delta"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([1], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(row, str(delta_dir / "part-000.parquet"))
+    res = replay(lake, str(tmp_path / "delta"), config=cfg)
+    assert res.committed
+    assert res.metrics["buckets_written"] == 1
+    assert res.metrics["buckets_carried"] == 15 or res.metrics["buckets_carried"] > 0
+    state1 = lake.to_pandas_sorted()
+    # exactly one row changed
+    expected = state0.copy()
+    m = (expected["conv_id"] == "conv-00000000") & (expected["turn_idx"] == 1)
+    assert m.sum() == 1
+    expected.loc[m, "text"] = "UPDATED by incremental delta"
+    expected.loc[m, "role"] = "user"
+    expected.loc[m, "tool"] = None
+    expected.loc[m, "ts"] = pa.scalar(1, pa.timestamp("us")).as_py()
+    expected.loc[m, "tool_version"] = None
+    assert_final_state_equal(state1, expected)
+
+
+def test_incremental_delete(tiny_fixture, tmp_path):
+    """A tombstone arriving in a later run removes a committed key."""
+    import json
+
+    lake = Lake(str(tmp_path / "lake"))
+    wal = os.path.join(tiny_fixture, "wal")
+    cfg = ReplayConfig(num_buckets=16)
+    replay(lake, wal, config=cfg)
+    state0 = lake.to_pandas_sorted()
+    victim = state0.iloc[0]
+    with open(os.path.join(tiny_fixture, "meta.json")) as f:
+        meta = json.load(f)
+    conv_ord = int(victim["conv_id"].split("-")[1])
+    from dcpray.hashing import vb_of_conv_index
+
+    vb = int(vb_of_conv_index(np.array([conv_ord]), meta["spec"]["num_vbuckets"])[0])
+    new_seq = meta["watermarks"][str(vb)] + 1
+    delta_dir = tmp_path / "delta2" / f"vb_{vb:04d}"
+    delta_dir.mkdir(parents=True)
+    row = pa.table(
+        {
+            "vb": pa.array([vb], pa.uint16()),
+            "seqno": pa.array([new_seq], pa.uint64()),
+            "cas": pa.array([1], pa.uint64()),
+            "rev_no": pa.array([100], pa.uint64()),
+            "op": pa.array(["deletion"]),
+            "collection": pa.array(["_default"]),
+            "event_time": pa.array([0], pa.timestamp("us")),
+            "conv_id": pa.array([victim["conv_id"]]),
+            "turn_idx": pa.array([int(victim["turn_idx"])], pa.int32()),
+            "role": pa.array([None], pa.string()),
+            "text": pa.array([None], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([None], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(row, str(delta_dir / "part-000.parquet"))
+    replay(lake, str(tmp_path / "delta2"), config=cfg)
+    state1 = lake.to_pandas_sorted()
+    assert len(state1) == len(state0) - 1
+    gone = (state1["conv_id"] == victim["conv_id"]) & (state1["turn_idx"] == victim["turn_idx"])
+    assert gone.sum() == 0
