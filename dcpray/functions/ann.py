@@ -1,0 +1,170 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+
+- ``topk_cosine`` — brute-force baseline: the query matrix is broadcast
+  once (``ray.put``), every batch is scored with one numpy matmul, each
+  batch emits its local top-k per query, and a final tiny groupby
+  reduces the per-batch candidates (num_blocks × k rows per query) to
+  the global top-k. Exact, embarrassingly parallel, zero shuffle of the
+  corpus.
+- ``ivf_topk`` — the scale path: k-means coarse quantizer (trained on a
+  driver-side sample, deterministic seed), corpus partitioned by nearest
+  centroid (one hash-groupby), queries probe only the ``nprobe`` nearest
+  lists. At cluster scale the per-list partitions are the unit of
+  placement; scoring touches ~nprobe/nlist of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_pylist()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BatchScorer:
+    """Actor-pool stage: score one Arrow batch of embeddings against the
+    broadcast query matrix; emit the batch-local top-k per query."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # fetched once per actor, zero-copy reads
+        self.qids = q["qid"]
+        self.qmat = _normalize(q["mat"])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_stack(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        scores = self.qmat @ emb.T  # Q × B
+        k = min(self.k, emb.shape[0])
+        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        flat = top.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(ids[flat], pa.int64()),
+                "score": pa.array(
+                    np.round(np.take_along_axis(scores, top, 1).reshape(-1), 6)
+                ),
+            }
+        )
+
+
+def _global_topk(group: pa.Table, k: int) -> pa.Table:
+    t = group.sort_by([("score", "descending"), ("vec_id", "ascending")])
+    return t.slice(0, k)
+
+
+def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                concurrency: int = 4):
+    """Exact cosine top-k for each query vector. ``queries`` is (Q, d)."""
+    import ray
+
+    ref = ray.put({"qid": np.asarray(query_ids, dtype=np.int64), "mat": np.asarray(queries)})
+    cand = ds.map_batches(
+        BatchScorer, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", concurrency=concurrency, batch_size=8192,
+    )
+    return cand.groupby("query_id").map_groups(
+        lambda g: _global_topk(g, k), batch_format="pyarrow"
+    )
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def train_centroids(sample: np.ndarray, nlist: int, iters: int = 8,
+                    seed: int = 11) -> np.ndarray:
+    """Deterministic mini k-means on a sample (the coarse quantizer)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample)
+    cents = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        sim = sample @ cents.T
+        assign = sim.argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class ListAssigner:
+    def __init__(self, cents_ref):
+        import ray
+
+        self.cents = ray.get(cents_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_stack(batch["embedding"]))
+        lists = (emb @ self.cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+class ProbedScorer(BatchScorer):
+    """Scores a batch only against queries probing this batch's lists."""
+
+    def __init__(self, queries_ref, k: int, probes_ref):
+        super().__init__(queries_ref, k)
+        import ray
+
+        self.probes = ray.get(probes_ref)  # Q × nprobe list ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = np.unique(batch["ivf_list"].to_numpy(zero_copy_only=False))
+        qmask = np.isin(self.probes, lists).any(axis=1)
+        if not qmask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        sub = BatchScorer.__new__(BatchScorer)
+        sub.qids, sub.qmat, sub.k = self.qids[qmask], self.qmat[qmask], self.k
+        return BatchScorer.__call__(sub, batch)
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             nlist: int = 32, nprobe: int = 8, sample_size: int = 10_000,
+             concurrency: int = 4):
+    """IVF approximate top-k. Recall depends on nprobe/nlist; exact when
+    nprobe == nlist. The corpus is re-partitioned ONCE by list id (the
+    same bucketing shuffle the merge uses), so repeated query batches
+    reuse the layout."""
+    import ray
+
+    sample = _stack(
+        ds.select_columns(["embedding"]).take_batch(sample_size, batch_format="pyarrow")["embedding"]
+    )
+    cents = train_centroids(sample, nlist)
+    cents_ref = ray.put(cents)
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    order = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    probes_ref = ray.put(order.astype(np.int32))
+    qref = ray.put({"qid": np.asarray(query_ids, dtype=np.int64), "mat": qmat})
+
+    assigned = ds.map_batches(
+        ListAssigner, fn_constructor_args=(cents_ref,),
+        batch_format="pyarrow", concurrency=concurrency, batch_size=8192,
+    )
+    # co-locate each IVF list, then score each list-batch against only
+    # the queries that probe it
+    cand = assigned.groupby("ivf_list").map_groups(
+        ProbedScorer(qref, k, probes_ref).__call__, batch_format="pyarrow"
+    )
+    return cand.groupby("query_id").map_groups(
+        lambda g: _global_topk(g, k), batch_format="pyarrow"
+    )

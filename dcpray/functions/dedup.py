@@ -1,0 +1,408 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shape (the part that must survive 100 TB):
+
+- signatures are computed per Arrow batch in vectorized numpy inside
+  ``map_batches`` (actor pools hold the seed/plane matrices);
+- candidate generation is a ``groupby`` on a SMALL key (band hash /
+  bit signature), never on raw text;
+- pair verification re-derives features for candidate pairs only;
+- clustering is min-label union-find over the (tiny) surviving pair
+  set on the driver — candidate pairs after banding are O(dups), not
+  O(n²); for adversarial corpora swap in iterative min-label
+  propagation (groupby rounds), noted below.
+
+The corpus-text lookup used by pair verification is BROADCAST via
+``ray.put`` (one copy in the object store, read per actor) — fine up to
+~10⁶ docs; beyond that verification becomes a hash-join of the pair
+list against the corpus on doc_id (same groupby machinery as the merge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dcpray.hashing import hash_strings, splitmix64
+
+# ---------------------------------------------------------------- exact
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    h = hash_strings(batch[text_col])
+    # store as int64 view (parquet/duckdb-friendly); collision probability
+    # over 64 bits is negligible at test scale, and survivors are decided
+    # by min(key) within a hash group so a collision only over-merges
+    return batch.append_column("_h", pa.array(h.view(np.int64)))
+
+
+def _keep_min_key(group: pa.Table, key_col: str) -> pa.Table:
+    i = pc.index(pc.equal(group[key_col], pc.min(group[key_col])), True).as_py()
+    return group.slice(i, 1)
+
+
+def exact_dedup(ds, key_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup: content-hash → per-batch combiner (keep min key per
+    hash locally) → one groupby over the pre-combined rows → keep the
+    min-key row per hash. Returns the surviving full rows."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        batch = add_content_hash(batch, text_col)
+        idx = pc.sort_indices(
+            batch, sort_keys=[("_h", "ascending"), (key_col, "ascending")]
+        )
+        t = batch.take(idx)
+        h = t["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.r_[True, h[1:] != h[:-1]]
+        return t.filter(pa.array(first))
+
+    pre = ds.map_batches(combine, batch_format="pyarrow")
+    return pre.groupby("_h").map_groups(
+        lambda g: _keep_min_key(g, key_col), batch_format="pyarrow"
+    ).drop_columns(["_h"])
+
+
+# ------------------------------------------------------------- shingles
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Vectorized rolling k-byte shingle hashes of one document."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)))
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return np.unique(splitmix64(win @ pows))
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Hashes of word n-grams (token-shingle alternative). Uses crc32,
+    NOT builtin hash() — the latter is per-process randomized and would
+    silently break cross-worker determinism."""
+    import zlib
+
+    words = text.split()
+    if len(words) < n:
+        words = words + [""] * (n - len(words))
+    h = np.array(
+        [
+            zlib.crc32(" ".join(words[i : i + n]).encode())
+            for i in range(len(words) - n + 1)
+        ],
+        dtype=np.uint64,
+    )
+    return np.unique(splitmix64(h))
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+# ---------------------------------------------------------- MinHash+LSH
+
+
+class MinHasher:
+    """Actor-pool stage: text → (band_id, band_hash, doc_id) rows.
+    128 permutations via seeded xor-mix, banded bands×rows_per_band."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 16, shingle_k: int = 5,
+                 text_col: str = "text", key_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        self.bands = bands
+        self.rpb = num_perm // bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.key_col = key_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = char_shingle_hashes(text or "", self.k)
+        with np.errstate(over="ignore"):
+            m = splitmix64(sh[:, None] ^ self.seeds[None, :])
+        return m.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        sigs = np.empty((n, len(self.seeds)), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t)
+        # fold each band's rows into one 64-bit band hash
+        bh = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rpb):
+                bh = splitmix64(bh ^ sigs[:, r :: self.rpb][:, : self.bands])
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.repeat(keys, self.bands)),
+            }
+        )
+
+
+def _bucket_pairs(group: pa.Table, max_bucket: int = 256) -> pa.Table:
+    """Candidate pairs within one LSH bucket (cap guards a degenerate
+    bucket from going quadratic; capped buckets are flagged)."""
+    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    capped = len(ids) > max_bucket
+    if capped:
+        ids = ids[:max_bucket]
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "capped": pa.array([], pa.bool_())})
+    iu = np.triu_indices(len(ids), k=1)
+    return pa.table(
+        {
+            "a": pa.array(ids[iu[0]]),
+            "b": pa.array(ids[iu[1]]),
+            "capped": pa.array(np.full(len(iu[0]), capped)),
+        }
+    )
+
+
+def minhash_candidate_pairs(ds, num_perm=128, bands=16, shingle_k=5,
+                            text_col="text", key_col="doc_id", concurrency=4):
+    sig = ds.map_batches(
+        MinHasher(num_perm, bands, shingle_k, text_col, key_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = sig.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs
+
+
+class PairVerifier:
+    """Actor-pool stage: exact n-gram Jaccard over candidate pairs.
+    The doc_id→text map is fetched from the object store once per actor."""
+
+    def __init__(self, corpus_ref, shingle_k: int = 5, threshold: float = 0.7):
+        import ray
+
+        self.texts = ray.get(corpus_ref)
+        self.k = shingle_k
+        self.threshold = threshold
+        self._cache: dict[int, np.ndarray] = {}
+
+    def _sh(self, i: int) -> np.ndarray:
+        s = self._cache.get(i)
+        if s is None:
+            s = char_shingle_hashes(self.texts.get(i, "") or "", self.k)
+            if len(self._cache) < 50_000:
+                self._cache[i] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        j = np.array([jaccard(self._sh(int(x)), self._sh(int(y))) for x, y in zip(a, b)])
+        keep = j >= self.threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "jaccard": pa.array(np.round(j[keep], 6)),
+            }
+        )
+
+
+def minhash_dup_pairs(ds, threshold=0.7, num_perm=128, bands=16, shingle_k=5,
+                      text_col="text", key_col="doc_id", concurrency=4):
+    """Verified near-duplicate pairs (a < b, jaccard ≥ threshold)."""
+    import ray
+
+    cand = minhash_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, key_col, concurrency)
+    # drop duplicate pairs produced by multiple agreeing bands
+    cand = cand.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    corpus = {}
+    for bt in ds.select_columns([key_col, text_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        corpus.update(zip(bt[key_col].to_pylist(), bt[text_col].to_pylist()))
+    ref = ray.put(corpus)
+    return cand.drop_columns(["capped"]).map_batches(
+        PairVerifier, fn_constructor_args=(ref, shingle_k, threshold),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+
+def cluster_pairs(pairs_df) -> dict[int, int]:
+    """Union-find over verified pairs → {doc_id: representative(min id)}.
+    Pair sets after banding+verify are O(#dups); for corpora where even
+    that is huge, replace with iterative min-label propagation rounds."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_dedup(ds, threshold=0.7, **kw):
+    """Full near-dup dedup: returns (labels_table, survivors_dataset).
+    labels: every doc in a dup cluster with its representative; a doc
+    survives iff it IS its cluster's representative (min doc_id)."""
+    pairs = minhash_dup_pairs(ds, threshold=threshold, **kw).to_pandas()
+    reps = cluster_pairs(pairs)
+    drop = {d for d, r in reps.items() if d != r}
+    labels = pa.table(
+        {
+            "doc_id": pa.array(sorted(reps), pa.int64()),
+            "rep_id": pa.array([reps[d] for d in sorted(reps)], pa.int64()),
+        }
+    )
+    key_col = kw.get("key_col", "doc_id")
+    survivors = ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t[key_col], value_set=pa.array(sorted(drop), pa.int64())))
+        )
+        if drop
+        else t,
+        batch_format="pyarrow",
+    )
+    return labels, survivors
+
+
+# -------------------------------------------------------------- SimHash
+
+
+class SimHasher:
+    """Actor-pool stage: 64-bit SimHash over token hashes →
+    (chunk_id, chunk_val, doc_id, simhash) rows for 4×16-bit banding."""
+
+    def __init__(self, text_col="text", key_col="doc_id"):
+        self.text_col = text_col
+        self.key_col = key_col
+        self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> np.uint64:
+        import zlib
+
+        toks = (text or "").lower().split()
+        if not toks:
+            return np.uint64(0)
+        # crc32, not builtin hash(): stable across worker processes
+        h = splitmix64(
+            np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+        )
+        bits = (h[:, None] & self.bits[None, :]) != 0
+        vote = bits.sum(axis=0) * 2 - len(toks)
+        return np.uint64(((vote > 0) * self.bits).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        sh = np.array([self.simhash(t) for t in batch[self.text_col].to_pylist()],
+                      dtype=np.uint64)
+        n = len(keys)
+        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
+        chunks = np.empty((n, 4), dtype=np.uint64)
+        for c in range(4):
+            chunks[:, c] = (sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk_id),
+                "chunk_val": pa.array(chunks.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.repeat(keys, 4)),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
+            }
+        )
+
+
+def simhash_dup_pairs(ds, max_hamming=3, text_col="text", key_col="doc_id",
+                      concurrency=4):
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Banding by
+    16-bit chunks guarantees recall for ≤3 differing bits (pigeonhole:
+    one of 4 chunks must match exactly)."""
+    sig = ds.map_batches(
+        SimHasher(text_col, key_col), batch_format="pyarrow", concurrency=concurrency
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        uniq = np.r_[True, ids[1:] != ids[:-1]]
+        ids, sh = ids[uniq], sh[uniq]
+        if len(ids) < 2 or len(ids) > 512:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        iu = np.triu_indices(len(ids), k=1)
+        x = sh[iu[0]] ^ sh[iu[1]]
+        ham = np.array([bin(v).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[iu[0]][keep]),
+                "b": pa.array(ids[iu[1]][keep]),
+                "hamming": pa.array(ham[keep].astype(np.int64)),
+            }
+        )
+
+    pairs = sig.groupby(["chunk_id", "chunk_val"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------- embedding-cosine near-dup
+
+
+class PlaneSigner:
+    """Actor-pool stage: random-hyperplane LSH signature of embeddings."""
+
+    def __init__(self, dim: int, bits: int = 16, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, bits)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        sig = ((emb @ self.planes) > 0) @ (1 << np.arange(self.planes.shape[1]))
+        return batch.append_column("sig", pa.array(sig.astype(np.int64)))
+
+
+def embedding_dup_pairs(ds, threshold=0.95, bits=16, dim=64, concurrency=4):
+    """Near-dup (cosine ≥ threshold) pairs via hyperplane-LSH bucketing +
+    within-bucket exact cosine. Single-probe: trades some recall for one
+    groupby; raise `bits` down / probe count up for higher recall."""
+    signed = ds.map_batches(
+        PlaneSigner, fn_constructor_args=(dim, bits), batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_cosine(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(group["embedding"].to_pylist()).astype(np.float64)
+        if len(ids) < 2 or len(ids) > 2048:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = norm @ norm.T
+        iu = np.triu_indices(len(ids), k=1)
+        c = cos[iu]
+        keep = c >= threshold
+        a, b = ids[iu[0]][keep], ids[iu[1]][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi),
+                         "cosine": pa.array(np.round(c[keep], 6))})
+
+    return signed.groupby("sig").map_groups(bucket_cosine, batch_format="pyarrow")

@@ -1,0 +1,266 @@
+"""Training-data operators: dedup, ANN, text stats, multimodal stubs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+# ------------------------------------------------------------ textstats
+
+
+def test_token_count_matches_duckdb(docs_ds):
+    import duckdb
+
+    from dcpray.functions.textstats import token_count
+
+    out = (
+        docs_ds.map_batches(token_count, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) n_tokens "
+        f"FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    assert out.equals(exp)
+
+
+def test_text_stats_matches_duckdb(docs_ds):
+    import duckdb
+
+    from dcpray.functions.textstats import text_stats
+
+    out = (
+        docs_ds.map_batches(text_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) n_chars,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) n_tokens,
+               round(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1), 6) punct_ratio,
+               round(length(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1), 6) upper_ratio
+        FROM '{SF}/documents.parquet' ORDER BY doc_id
+        """
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_langid_and_fingerprint_deterministic(docs_ds):
+    from dcpray.functions.textstats import LangId, fingerprint
+
+    p1 = docs_ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
+    p2 = docs_ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
+    p1, p2 = (x.sort_values("doc_id").reset_index(drop=True) for x in (p1, p2))
+    assert p1.equals(p2)
+    assert set(p1["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "und"}
+
+    f1 = docs_ds.map_batches(fingerprint, batch_format="pyarrow").to_pandas()
+    f2 = docs_ds.map_batches(fingerprint, batch_format="pyarrow").to_pandas()
+    f1, f2 = (x.sort_values("doc_id").reset_index(drop=True) for x in (f1, f2))
+    assert f1.equals(f2)
+    assert f1["fingerprint"].str.len().eq(16).all()
+    # distinct texts → distinct fingerprints at this scale
+    assert f1["fingerprint"].nunique() == len(f1)
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def _corpus_with_dups():
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and keeps running far away",
+        "data pipelines shuffle rows between workers while actors keep local state",
+        "completely unrelated sentence about cooking pasta with garlic and olive oil",
+        "streaming execution with backpressure keeps memory bounded during big scans",
+    ]
+    rows = []
+    doc_id = 0
+    for t in base:
+        rows.append({"doc_id": doc_id, "text": t}); doc_id += 1
+        rows.append({"doc_id": doc_id, "text": t}); doc_id += 1  # exact dup
+        rows.append({"doc_id": doc_id, "text": t.replace("the", "a") + " extra"}); doc_id += 1  # near dup
+    for i in range(20):  # distinct filler
+        rows.append({"doc_id": doc_id, "text": f"unique filler document number {i} with its own words {i*7}"})
+        doc_id += 1
+    return rd.from_pandas(__import__("pandas").DataFrame(rows)), base
+
+
+def test_exact_dedup():
+    from dcpray.functions.dedup import exact_dedup
+
+    ds, base = _corpus_with_dups()
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    # exact dups (ids 1, 4, 7, 10) removed, everything else kept
+    removed = set(range(1, 12, 3))
+    assert set(out["doc_id"]) == set(range(ds.count())) - removed
+    assert out["text"].is_unique
+
+
+def test_minhash_near_dedup():
+    from dcpray.functions.dedup import minhash_dedup
+
+    ds, base = _corpus_with_dups()
+    labels, survivors = minhash_dedup(ds, threshold=0.5, concurrency=2)
+    lab = labels.to_pandas()
+    # each base text's trio {orig, exact-dup, near-dup} clusters to the orig
+    for trio_start in range(0, 12, 3):
+        grp = lab[lab["doc_id"].isin([trio_start, trio_start + 1, trio_start + 2])]
+        assert len(grp) == 3
+        assert (grp["rep_id"] == trio_start).all()
+    surv = survivors.to_pandas()
+    assert set(surv["doc_id"]) == set(range(ds.count())) - {
+        d for d in lab["doc_id"] if d not in set(lab["rep_id"])
+    }
+
+
+def test_simhash_pairs():
+    from dcpray.functions.dedup import simhash_dup_pairs
+
+    ds, _ = _corpus_with_dups()
+    pairs = simhash_dup_pairs(ds, max_hamming=3, concurrency=2).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    for trio_start in range(0, 12, 3):
+        assert (trio_start, trio_start + 1) in got  # identical text → hamming 0
+
+
+def test_ngram_jaccard_consistency():
+    from dcpray.functions.dedup import char_shingle_hashes, jaccard, word_ngram_hashes
+
+    a = char_shingle_hashes("hello world this is a test", 5)
+    b = char_shingle_hashes("hello world this is a test", 5)
+    assert jaccard(a, b) == 1.0
+    c = char_shingle_hashes("totally different content here", 5)
+    assert jaccard(a, c) < 0.1
+    w = word_ngram_hashes("one two three four five", 3)
+    assert len(w) == 3
+
+
+def test_embedding_neardup():
+    import ray.data as rd
+
+    from dcpray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(40, 64)
+    vecs[1] = vecs[0] + 0.01 * rng.randn(64)  # near-dup of 0
+    vecs[5] = vecs[4]  # exact dup of 4
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_dup_pairs(rd.from_arrow(tab), threshold=0.95, dim=64).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (0, 1) in got and (4, 5) in got
+
+
+# ------------------------------------------------------------------ ANN
+
+
+def test_topk_cosine_exact():
+    import ray.data as rd
+
+    from dcpray.functions.ann import topk_cosine
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.stack(full["embedding"].to_pylist()).astype(np.float64)
+    ids = full["vec_id"].to_numpy()
+    q = mat[:5]
+    out = topk_cosine(ds, q, ids[:5], k=10, concurrency=2).to_pandas()
+
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = qn @ normed.T
+    for qi in range(5):
+        exp = set(ids[np.argsort(-scores[qi])[:10]])
+        got = set(out[out["query_id"] == ids[qi]]["vec_id"])
+        assert got == exp, f"query {qi}: {got ^ exp}"
+
+
+def test_ivf_topk_recall():
+    import ray.data as rd
+
+    from dcpray.functions.ann import ivf_topk, topk_cosine
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.stack(full["embedding"].to_pylist()).astype(np.float64)
+    ids = full["vec_id"].to_numpy()
+    q = mat[:5]
+    exact = topk_cosine(ds, q, ids[:5], k=10, concurrency=2).to_pandas()
+    approx = ivf_topk(ds, q, ids[:5], k=10, nlist=16, nprobe=8, concurrency=2).to_pandas()
+    recalls = []
+    for qid in ids[:5]:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=8/16 on 500 vecs
+    # full probe = exact
+    exact2 = ivf_topk(ds, q, ids[:5], k=10, nlist=8, nprobe=8, concurrency=2).to_pandas()
+    for qid in ids[:5]:
+        assert set(exact2[exact2["query_id"] == qid]["vec_id"]) == set(
+            exact[exact["query_id"] == qid]["vec_id"]
+        )
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def test_multimodal_pipeline(docs_ds):
+    from dcpray.functions.multimodal import (
+        FrameSampler,
+        ImageFeatureExtractor,
+        ImageResizer,
+        synthesize_media,
+    )
+
+    media = docs_ds.map_batches(synthesize_media, batch_format="pyarrow")
+    feats = media.map_batches(
+        ImageFeatureExtractor, batch_format="pyarrow", concurrency=2, batch_size=128
+    ).to_pandas()
+    assert len(feats) == docs_ds.count()
+    assert all(len(f) == 16 for f in feats["features"])
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in feats["features"] if sum(f) > 0)
+
+    resized = media.map_batches(
+        ImageResizer, fn_constructor_args=(32, 32), batch_format="pyarrow", concurrency=2
+    ).take_batch(5, batch_format="pyarrow")
+    assert set(resized["width"].to_pylist()) == {32}
+
+    frames = media.map_batches(
+        FrameSampler, fn_constructor_args=(4,), batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    n_videos = media.map_batches(
+        lambda t: t.filter(__import__("pyarrow.compute", fromlist=["equal"]).equal(t["kind"], "video")),
+        batch_format="pyarrow",
+    ).count()
+    assert len(frames) == 4 * n_videos  # flat-map 1→N
+
+    with pytest.raises(NotImplementedError):
+        ImageFeatureExtractor(fake=False)
