@@ -1,44 +1,443 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The CDC queries run over a deterministic synthetic change-event WAL of
+multi-turn transcripts (the input shape pinned by BASELINE.json) that is
+materialised idempotently under /tmp/dcpray_fixtures/<sf>/ — both the
+Ray pipeline and the DuckDB oracle read the same files. Training-data
+queries run over the driver's own parquet tables (documents, embeddings,
+events).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+FIXTURE_SFS = ("sf0.001", "sf0.01", "sf0.1")
+LAKE_ROOT = "/tmp/dcpray_lakes"
+
+
+def _fx(sf_dir: str) -> str:
+    from dcpray.sources.genwal import ensure_fixture
+
+    return ensure_fixture(sf_dir)
+
+
+def _fresh_lake(sf_dir: str, name: str):
+    from dcpray.state.checkpoint import Lake
+
+    d = os.path.join(LAKE_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
+    shutil.rmtree(d, ignore_errors=True)
+    return Lake(d)
+
+
+def _replay_final(sf_dir: str, name: str, **kw):
+    from dcpray import ReplayConfig, replay
+
+    fx = _fx(sf_dir)
+    lake = _fresh_lake(sf_dir, name)
+    cfg = kw.pop("config", None) or ReplayConfig(num_buckets=32)
+    replay(lake, os.path.join(fx, "wal"),
+           base_snapshot_dir=os.path.join(fx, "base"), config=cfg, **kw)
+    return lake
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_cdc_replay_full(sf_dir: str):
+    return _replay_final(sf_dir, "full").to_pandas_sorted()
+
+
+def _q_cdc_resume(sf_dir: str):
+    """Kill/resume equivalence: ingest in two committed phases; final
+    state must equal the uninterrupted replay (same oracle)."""
+    from dcpray import ReplayConfig, replay
+
+    fx = _fx(sf_dir)
+    lake = _fresh_lake(sf_dir, "resume")
+    cfg = ReplayConfig(num_buckets=32)
+    replay(lake, os.path.join(fx, "wal"), base_snapshot_dir=os.path.join(fx, "base"),
+           config=cfg, max_files=50)
+    replay(lake, os.path.join(fx, "wal"), base_snapshot_dir=os.path.join(fx, "base"),
+           config=cfg)
+    return lake.to_pandas_sorted()
+
+
+def _q_cdc_skew_unsalted(sf_dir: str):
+    """Salted/unsalted equivalence: conv-only bucketing (hot keys land in
+    one bucket) must produce the identical table."""
+    from dcpray import ReplayConfig
+
+    return _replay_final(
+        sf_dir, "unsalted", config=__import__("dcpray").ReplayConfig(num_buckets=32, salted=False)
+    ).to_pandas_sorted()
+
+
+def _q_cdc_schema_evolution(sf_dir: str):
+    df = _replay_final(sf_dir, "evo").to_pandas_sorted()
+    out = df[df["tool_version"].notna()][["conv_id", "turn_idx", "tool_version"]]
+    return out.reset_index(drop=True)
+
+
+def _q_cdc_mutations_stream(sf_dir: str):
+    """DefaultMapper parity (reference mapper.go:10-20): the delivered
+    mutation stream — validated events, tombstones dropped, key+payload
+    projection."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.sources import wal as walmod
+    from dcpray.stages.mapper import default_kafka_mapper
+    from dcpray.stages.reject import make_reject_filter
+
+    fx = _fx(sf_dir)
+    ds, infos = walmod.read_wal(os.path.join(fx, "wal"))
+    ds = ds.map_batches(
+        make_reject_filter(walmod.watermark_array({}, 1), None), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(default_kafka_mapper, batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "seqno": pc.cast(t["seqno"], pa.int64()),
+                "role": t["role"],
+                "text": t["text"],
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def _q_cdc_op_counts(sf_dir: str):
+    """Event-normalizer parity: per-op event counts over valid events."""
+    from dcpray.sources import wal as walmod
+    from dcpray.stages.reject import make_reject_filter
+
+    fx = _fx(sf_dir)
+    ds, _ = walmod.read_wal(os.path.join(fx, "wal"))
+    ds = ds.map_batches(
+        make_reject_filter(walmod.watermark_array({}, 1), None), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    out = ds.groupby("op").aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _q_cdc_rejected_rows(sf_dir: str):
+    import pandas as pd
+
+    from dcpray import ReplayConfig, replay
+
+    fx = _fx(sf_dir)
+    lake = _fresh_lake(sf_dir, "dlq")
+    res = replay(lake, os.path.join(fx, "wal"), config=ReplayConfig(num_buckets=32))
+    return pd.DataFrame({"n_rejected": [int(res.metrics["rejected_rows"])]})
+
+
+def _q_cdc_watermarks(sf_dir: str):
+    """Committed per-vBucket watermark after full replay."""
+    import pandas as pd
+
+    lake = _replay_final(sf_dir, "wm")
+    wm = lake.store.load_current().watermarks
+    return pd.DataFrame(
+        {"vb": sorted(wm), "watermark": [int(wm[v]) for v in sorted(wm)]}
+    ).astype("int64")
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.dedup import exact_dedup
+
+    return exact_dedup(rd.read_parquet(os.path.join(sf_dir, "documents.parquet")))
+
+
+def _q_text_token_count(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.textstats import token_count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(token_count, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def _q_text_stats(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.textstats import text_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(text_stats, batch_format="pyarrow")
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dcpray.functions.ann import topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).slice(0, 5)
+    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    qids = head["vec_id"].to_numpy()
+    out = topk_cosine(rd.read_parquet(path), q, qids, k=10, concurrency=4)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = (
+        ds.map_batches(hour, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+# ---- non-SQL-expressible ops (driver records rows-only checks) ----
+
+
+def _q_dedup_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.dedup import minhash_dup_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_dup_pairs(docs, threshold=0.6, concurrency=4).to_pandas().sort_values(
+        ["a", "b"]
+    ).reset_index(drop=True)
+
+
+def _q_dedup_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.dedup import simhash_dup_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_dup_pairs(docs, max_hamming=6, concurrency=4).to_pandas().sort_values(
+        ["a", "b"]
+    ).reset_index(drop=True)
+
+
+def _q_embedding_neardup_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.dedup import embedding_dup_pairs
+
+    import pandas as pd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = embedding_dup_pairs(ds, threshold=0.9, dim=64).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.textstats import LangId
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=4)
+
+
+def _q_text_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.textstats import fingerprint
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _q_quality_score(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.textstats import QualityScorer
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=4)
+
+
+def _q_ann_ivf_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dcpray.functions.ann import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).slice(0, 5)
+    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    qids = head["vec_id"].to_numpy()
+    return ivf_topk(rd.read_parquet(path), q, qids, k=10, nlist=16, nprobe=8,
+                    concurrency=4).select_columns(["query_id", "vec_id"])
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.multimodal import ImageFeatureExtractor, synthesize_media
+
+    import pyarrow as pa
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    media = ds.map_batches(synthesize_media, batch_format="pyarrow")
+    feats = media.map_batches(ImageFeatureExtractor, batch_format="pyarrow",
+                              concurrency=4, batch_size=256)
+
+    def fold(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = np.stack(t["features"].to_pylist())
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "feat_dim": pa.array([f.shape[1]] * len(f), pa.int64()),
+                "feat_sum": pa.array(np.round(f.sum(axis=1), 6)),
+                "feat_argmax": pa.array(f.argmax(axis=1).astype("int64")),
+            }
+        )
+
+    return feats.map_batches(fold, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC replay of the sf0.001 transcript WAL
+    into a fresh lake; returns the final transcripts table."""
+    return _q_cdc_replay_full("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    for sf in FIXTURE_SFS[:2]:  # pre-materialize so oracle SQL can run first
+        try:
+            _fx(sf)
+        except Exception:
+            pass
+    return {
+        "cdc_replay_full": _q_cdc_replay_full,
+        "cdc_resume_equivalence": _q_cdc_resume,
+        "cdc_skew_unsalted": _q_cdc_skew_unsalted,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_mutations_stream": _q_cdc_mutations_stream,
+        "cdc_op_counts": _q_cdc_op_counts,
+        "cdc_rejected_rows": _q_cdc_rejected_rows,
+        "cdc_watermarks": _q_cdc_watermarks,
+        "dedup_exact": _q_dedup_exact,
+        "text_token_count": _q_text_token_count,
+        "text_stats": _q_text_stats,
+        "ann_topk": _q_ann_topk,
+        "events_hourly": _q_events_hourly,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "lang_id": _q_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "quality_score": _q_quality_score,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    for sf in FIXTURE_SFS[:2]:
+        try:
+            _fx(sf)
+        except Exception:
+            pass
+    fx = "/tmp/dcpray_fixtures/sf0.01"
+    wal_valid = f"""
+  SELECT conv_id, turn_idx, role, text, tool, ts, tool_version, seqno, op
+  FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true)
+  WHERE conv_id IS NOT NULL AND turn_idx >= 0
+    AND op IN ('mutation','deletion','expiration')"""
+    lww_final = f"""
+WITH wal AS ({wal_valid}
+), base AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         CAST(NULL AS VARCHAR) tool_version, CAST(0 AS UBIGINT) seqno, 'mutation' op
+  FROM read_parquet('{fx}/base/*.parquet')
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seqno DESC) rn
+  FROM (SELECT * FROM wal UNION ALL BY NAME SELECT * FROM base)
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, tool_version
+FROM ranked WHERE rn = 1 AND op = 'mutation'"""
+    return {
+        "cdc_replay_full": lww_final,
+        "cdc_resume_equivalence": lww_final,
+        "cdc_skew_unsalted": lww_final,
+        "cdc_schema_evolution": f"""
+SELECT conv_id, turn_idx, tool_version FROM ({lww_final})
+WHERE tool_version IS NOT NULL""",
+        "cdc_mutations_stream": f"""
+SELECT conv_id, turn_idx, CAST(seqno AS BIGINT) seqno, role, text
+FROM ({wal_valid.strip()}) WHERE op = 'mutation'""",
+        "cdc_op_counts": f"""
+SELECT op, CAST(count(*) AS BIGINT) n FROM ({wal_valid.strip()}) GROUP BY op""",
+        "cdc_rejected_rows": f"""
+SELECT CAST(count(*) AS BIGINT) n_rejected
+FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true)
+WHERE conv_id IS NULL OR turn_idx < 0 OR op NOT IN ('mutation','deletion','expiration')""",
+        "cdc_watermarks": f"""
+SELECT CAST(vb AS BIGINT) vb, CAST(max(seqno) AS BIGINT) watermark
+FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true) GROUP BY vb""",
+        "dedup_exact": """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+        "text_token_count": r"""
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens
+FROM documents""",
+        "text_stats": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) n_chars,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens,
+       round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / greatest(length(text), 1), 6) punct_ratio,
+       round(length(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1), 6) upper_ratio
+FROM documents""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
+SELECT query_id, vec_id FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                     e.vec_id) rn
+  FROM q CROSS JOIN embeddings e
+) WHERE rn <= 10""",
+        "events_hourly": """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) n_events, round(sum(value), 4) sum_value
+FROM events GROUP BY 1, 2""",
+    }
