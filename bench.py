@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Benchmark harness for the dcpray CDC engine.
+
+Headline metric (BASELINE.json): change-events/sec for a full end-to-end
+CDC replay — WAL read → validate/DLQ → mapper → precombine LWW →
+hash-bucket shuffle → merge-apply → Parquet lake + manifest commit — of
+the deterministic synthetic transcript WAL at the scale matching
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → the sf0.1 fixture,
+~3.3M change events). Secondary timings cover the training-data
+operators over the driver's parquet tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline replay sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "events": E, "events_per_s": ...}
+
+``--scaling`` runs the headline replay twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency = (thr_32/thr_8)/(32/8) — the
+sandbox evidence for the north rule's N→4N cluster criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# secondary operator timings (subset of __ray_entry__.queries() that is
+# representative and fast enough to run per-round at sf0.1)
+SECONDARY = [
+    "cdc_mutations_stream",
+    "cdc_op_counts",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_stats",
+    "quality_score",
+    "ann_topk",
+    "events_hourly",
+]
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+
+
+def _consume(res) -> int:
+    """Force execution; return row count."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return len(res)
+
+
+def _replay_events(sf_dir: str) -> tuple[int, float]:
+    """One fresh full replay; returns (events_in, pipeline wall_s).
+
+    Uses the engine's own metrics (events_in counts every WAL row fed
+    through validation+mapper+merge, the delivered-stream analogue of
+    integration_test.go:107's totalEvent count)."""
+    import shutil
+
+    from dcpray import ReplayConfig, replay
+    from dcpray.sources.genwal import ensure_fixture
+    from dcpray.state.checkpoint import Lake
+
+    fx = ensure_fixture(sf_dir)
+    lake_dir = os.path.join("/tmp/dcpray_bench", os.path.basename(fx), "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    res = replay(
+        Lake(lake_dir),
+        os.path.join(fx, "wal"),
+        base_snapshot_dir=os.path.join(fx, "base"),
+        config=ReplayConfig.for_scale(os.path.basename(fx)),
+    )
+    return int(res.metrics["events_in"]), float(res.metrics["wall_s"])
+
+
+def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dict:
+    from dcpray.sources.genwal import ensure_fixture
+
+    ensure_fixture(sf_dir)  # generation cost excluded from timings
+    _init_ray(num_cpus)
+
+    events, replay_s = _replay_events(sf_dir)
+    queries: dict[str, float] = {"cdc_replay_full": round(replay_s, 3)}
+
+    if include_secondary:
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in SECONDARY:
+            t0 = time.perf_counter()
+            _consume(qs[name](sf_dir))
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "cdc_replay_wall_s",
+        "value": round(replay_s, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "events": events,
+        "events_per_s": round(events / max(replay_s, 1e-9), 1),
+    }
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Same replay at two parallelism levels in fresh processes."""
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--replay-only",
+             "--num-cpus", str(n), "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    thr_lo = results[cpus_lo]["events_per_s"]
+    thr_hi = results[cpus_hi]["events_per_s"]
+    eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "cpus": [cpus_lo, cpus_hi],
+        "events": results[cpus_hi]["events"],
+        "throughput_events_per_s": {str(n): results[n]["events_per_s"] for n in results},
+        "wall_s": {str(n): results[n]["value"] for n in results},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true",
+                    help="run headline replay at 8 and 32 CPUs in fresh processes")
+    ap.add_argument("--replay-only", action="store_true",
+                    help="headline replay only (used by --scaling subprocesses)")
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+        return
+
+    out = run_bench(args.sf_dir, args.num_cpus,
+                    include_secondary=not args.replay_only)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,20 @@ class ReplayConfig:
     )
 
     @staticmethod
+    def for_scale(scale_name: str) -> "ReplayConfig":
+        """Bucket fan-out sized to the fixture scale: enough buckets to
+        keep every core busy through the merge stage (≥4× typical core
+        count at the bigger scales) while one bucket's rows stay small."""
+        buckets = {
+            "tiny": 16,
+            "sf0.001": 16,
+            "sf0.01": 64,
+            "sf0.1": 128,
+            "bench10m": 256,
+        }.get(scale_name, 64)
+        return ReplayConfig(num_buckets=buckets)
+
+    @staticmethod
     def from_env() -> "ReplayConfig":
         """Env-var interpolation analogue (connector.go:241-249)."""
         return ReplayConfig(

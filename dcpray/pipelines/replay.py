@@ -73,7 +73,9 @@ def _affected_buckets(paths, num_buckets: int, salted: bool) -> set[int]:
 
     from dcpray.hashing import bucket_of, bucket_of_conv
 
-    ds = rd.read_parquet(paths, columns=["conv_id", "turn_idx"])
+    from dcpray.sources.io import read_parquet_fast
+
+    ds = read_parquet_fast(paths, columns=["conv_id", "turn_idx"])
 
     def _b(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["conv_id"]))
@@ -130,7 +132,9 @@ def replay(
     run_id = new_run_id()
 
     # ---- source + validation/DLQ ----
-    ds = rd.read_parquet(paths, schema=delta_schema)
+    from dcpray.sources.io import read_parquet_fast
+
+    ds = read_parquet_fast(paths, schema=delta_schema)
     wm_arr = walmod.watermark_array(wm if strict_watermark_rows else {},
                                     num_vb_hint=max((i.vb for i in infos), default=0) + 1)
     rejected_dir = lake.rejected_dir(run_id) if cfg.rejection_log else None
@@ -161,7 +165,7 @@ def replay(
 
             base_paths = [lake.abspath(f["path"]) for f in touched]
             base_schema = pa.unify_schemas([pq.read_schema(p) for p in base_paths])
-            base_ds = rd.read_parquet(base_paths, schema=base_schema)
+            base_ds = read_parquet_fast(base_paths, schema=base_schema)
     elif base_snapshot_dir:
         import glob
 
@@ -172,7 +176,7 @@ def replay(
             # initial snapshot = version 0 of every preloaded key; the
             # precombine stage fills the missing seqno/op as (0, mutation)
             base_schema = pa.unify_schemas([pq.read_schema(p) for p in snap])
-            base_ds = rd.read_parquet(snap, schema=base_schema)
+            base_ds = read_parquet_fast(snap, schema=base_schema)
 
     # ---- the one shuffle: precombine → bucket → merge-apply (sink) ----
     mschema = merge_schema_from(mapped_schema, base_schema)

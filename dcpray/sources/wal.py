@@ -114,5 +114,7 @@ def read_wal(wal_dir: str, watermarks: dict[int, int] | None = None):
     if not infos:
         return None, []
     schema = unified_schema(infos)
-    ds = rd.read_parquet([i.path for i in infos], schema=schema)
+    from dcpray.sources.io import read_parquet_fast
+
+    ds = read_parquet_fast([i.path for i in infos], schema=schema)
     return ds, infos

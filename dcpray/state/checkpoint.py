@@ -150,7 +150,9 @@ class Lake:
             )
             return rd.from_arrow(schema.empty_table())
         schema = pa.unify_schemas([pq.read_schema(f) for f in files])
-        ds = rd.read_parquet(files, schema=schema)
+        from dcpray.sources.io import read_parquet_fast
+
+        ds = read_parquet_fast(files, schema=schema)
         if OP_LAKE_COL in schema.names:
             import pyarrow.compute as pc
 
