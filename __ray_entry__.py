@@ -75,7 +75,19 @@ def _q_cdc_skew_unsalted(sf_dir: str):
     from dcpray import ReplayConfig
 
     return _replay_final(
-        sf_dir, "unsalted", config=__import__("dcpray").ReplayConfig(num_buckets=32, salted=False)
+        sf_dir, "unsalted",
+        config=ReplayConfig(num_buckets=32, salted=False, strategy="shuffle"),
+    ).to_pandas_sorted()
+
+
+def _q_cdc_replay_shuffle(sf_dir: str):
+    """The generic salted-groupby strategy must produce the identical
+    table as the aligned (shuffle-free) default."""
+    from dcpray import ReplayConfig
+
+    return _replay_final(
+        sf_dir, "shuffle",
+        config=ReplayConfig(num_buckets=32, strategy="shuffle"),
     ).to_pandas_sorted()
 
 
@@ -350,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
         "cdc_skew_unsalted": _q_cdc_skew_unsalted,
+        "cdc_replay_shuffle": _q_cdc_replay_shuffle,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_mutations_stream": _q_cdc_mutations_stream,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -399,6 +412,7 @@ FROM ranked WHERE rn = 1 AND op = 'mutation'"""
         "cdc_replay_full": lww_final,
         "cdc_resume_equivalence": lww_final,
         "cdc_skew_unsalted": lww_final,
+        "cdc_replay_shuffle": lww_final,
         "cdc_schema_evolution": f"""
 SELECT conv_id, turn_idx, tool_version FROM ({lww_final})
 WHERE tool_version IS NOT NULL""",

@@ -25,6 +25,13 @@ class ReplayConfig:
     num_buckets: int = 64
     # Arrow rows per map_batches call on stateless stages (None = whole block)
     batch_size: int | None = 65536
+    # physical merge strategy: "aligned" (shuffle-free; lake buckets =
+    # vb % num_buckets, valid whenever WAL files are single-vb) or
+    # "shuffle" (salted-key groupby; any layout). See pipelines/replay.py.
+    strategy: str = "aligned"
+    # the stream's vBucket modulus (aligned only; None → inferred as
+    # max observed vb + 1 — exact when every vbucket has traffic)
+    num_vbuckets: int | None = None
     # salted (hash of full (conv_id, turn_idx) key) vs conv_id-only bucketing;
     # salted spreads hot conversations across buckets (north-rule skew rule)
     salted: bool = True

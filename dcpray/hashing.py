@@ -73,3 +73,15 @@ def vb_of_conv_index(conv_index: np.ndarray, num_vbuckets: int) -> np.ndarray:
     return (splitmix64(conv_index.astype(np.uint64)) % np.uint64(num_vbuckets)).astype(
         np.uint16
     )
+
+
+def vb_of_conv(conv_id, num_vbuckets: int) -> np.ndarray:
+    """Key → vBucket as a pure function of the key string, mirroring
+    Couchbase's vb = crc32(key) % 1024 (the property the reference's
+    stream partitioning relies on; couchbase/event.go:16). Because vb is
+    derivable from conv_id alone, a vb-partitioned WAL is ALREADY
+    hash-partitioned by conversation — the aligned replay strategy
+    exploits this to merge without any shuffle."""
+    return (splitmix64(hash_strings(conv_id)) % np.uint64(num_vbuckets)).astype(
+        np.uint16
+    )

@@ -1,10 +1,20 @@
 """The CDC replay pipeline: WAL → mapper → LWW merge → lake + manifest.
 
-One-line architecture (SURVEY §7): bounded replay of a vBucket-partitioned
-Parquet WAL through ``read_parquet → map_batches(validate/DLQ) →
-map_batches(mapper) → map_batches(precombine LWW + bucket) →
-groupby(bucket).map_groups(merge-apply, writes bucket files) →
-atomic manifest commit``.
+Two physical strategies for the same logical job (SURVEY §7):
+
+- ``aligned`` (default) — shuffle-free. The WAL is vBucket-partitioned
+  and vb is a pure function of the key (Couchbase vb = crc32(key)%1024;
+  reference couchbase/event.go:16), so lake buckets defined as
+  ``vb % num_buckets`` inherit the stream's hash partitioning: one Ray
+  task per bucket reads its own vb-group's files, LWW-reduces locally,
+  merges against its committed bucket file, writes. No groupby, no sort,
+  no all-to-all — the table analogue of the reference's per-vBucket
+  independent listener chains (connector.go:70-123). See stages/aligned.py.
+- ``shuffle`` — general. ``read_parquet → map_batches(validate/DLQ) →
+  map_batches(mapper) → map_batches(precombine LWW + salted bucket) →
+  groupby(bucket).map_groups(merge-apply) `` for WALs that are NOT
+  key-partitioned (multi-vb files) and as the salted-key skew fallback
+  (a hot conversation's turns spread over buckets).
 
 Delivery semantics (upgraded from the reference's at-least-once, SURVEY §3):
 
@@ -28,6 +38,7 @@ Delivery semantics (upgraded from the reference's at-least-once, SURVEY §3):
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -65,14 +76,13 @@ def _probe_mapper_schema(mapper: Mapper | None, schema: pa.Schema) -> pa.Schema:
 
 
 def _affected_buckets(paths, num_buckets: int, salted: bool) -> set[int]:
-    """Column-pruned pre-pass: which merge buckets does the delta touch?
-    Reads only (conv_id, turn_idx) — cheap relative to payload — so an
-    incremental run can copy forward every untouched bucket file."""
-    import ray.data as rd
+    """Shuffle strategy only — column-pruned pre-pass: which merge buckets
+    does the delta touch? Reads only (conv_id, turn_idx) so an incremental
+    run can copy forward every untouched bucket file. (The aligned
+    strategy knows this from footers alone.)"""
     import pyarrow.compute as pc
 
     from dcpray.hashing import bucket_of, bucket_of_conv
-
     from dcpray.sources.io import read_parquet_fast
 
     ds = read_parquet_fast(paths, columns=["conv_id", "turn_idx"])
@@ -88,6 +98,29 @@ def _affected_buckets(paths, num_buckets: int, salted: bool) -> set[int]:
         return pa.table({"b": pa.array(np.unique(b), pa.int32())})
 
     return set(ds.map_batches(_b, batch_format="pyarrow").unique("b"))
+
+
+def _snapshot_paths(base_snapshot_dir: str | None) -> list[str]:
+    if not base_snapshot_dir:
+        return []
+    import glob
+
+    return sorted(glob.glob(os.path.join(base_snapshot_dir, "*.parquet")))
+
+
+def _num_vb_from_layout(wal_dir: str) -> int:
+    """vb modulus from the WAL's directory names alone (wal/vb_NNNN/...),
+    without reading any footer — lets the bootstrap snapshot staging start
+    concurrently with the footer scan. 0 when the layout isn't vb-named."""
+    import glob
+    import re
+
+    vbs = [
+        int(m.group(1))
+        for d in glob.glob(os.path.join(wal_dir, "*"))
+        if (m := re.fullmatch(r"vb[_=](\d+)", os.path.basename(d)))
+    ]
+    return max(vbs) + 1 if vbs else 0
 
 
 def replay(
@@ -109,17 +142,38 @@ def replay(
     ``strict_watermark_rows`` additionally row-filters seqno ≤ watermark —
     only valid when WAL segments are seqno-contiguous per vb.
     """
-    import ray.data as rd
-
     cfg = config or ReplayConfig()
     t0 = time.perf_counter()
+    phase_t: dict[str, float] = {}
     prev = lake.store.load_current()
     wm = dict(prev.watermarks) if prev else {}
     processed: set[str] = set(prev.processed_wal) if prev else set()
     num_buckets = prev.num_buckets if prev else cfg.num_buckets
     salted = prev.salted if prev else cfg.salted
+    strategy = prev.strategy if prev else cfg.strategy
 
-    infos = [i for i in walmod.scan_wal(wal_dir) if i.path not in processed]
+    # bootstrap overlap: when a fresh aligned lake will need the base
+    # snapshot staged, submit the split tasks BEFORE the footer scan so
+    # both run on the cluster concurrently (the vb modulus comes from the
+    # config or the directory layout — footers not needed for it)
+    early_splits = None
+    early_num_vb = 0
+    if strategy == "aligned" and not (prev and prev.files):
+        snap = _snapshot_paths(base_snapshot_dir)
+        early_num_vb = cfg.num_vbuckets or _num_vb_from_layout(wal_dir)
+        if snap and early_num_vb:
+            from dcpray.stages.aligned import submit_snapshot_splits
+
+            early_splits = submit_snapshot_splits(snap, early_num_vb, num_buckets)
+
+    all_infos = walmod.scan_wal(wal_dir)
+    phase_t["scan_s"] = round(time.perf_counter() - t0, 3)
+    # the stream's vb modulus: every vbucket of a real stream appears in
+    # the log layout even before this run's delta (Couchbase fixes 1024);
+    # inferred from the FULL scan — never from a truncated delta — or
+    # pinned explicitly via cfg.num_vbuckets
+    observed_num_vb = max([i.vb for i in all_infos] + [vb for vb in wm] + [-1]) + 1
+    infos = [i for i in all_infos if i.path not in processed]
     infos.sort(key=lambda i: i.path)
     if max_files is not None:
         infos = infos[:max_files]
@@ -127,16 +181,179 @@ def replay(
         return RunResult(run_id="", committed=False, manifest=prev,
                          metrics={"events_in": 0, "note": "no new WAL files"})
 
-    delta_schema = walmod.unified_schema(infos)
-    paths = [i.path for i in infos]
-    run_id = new_run_id()
+    if strategy == "aligned" and any(i.vb < 0 for i in infos):
+        # multi-vb files break the partition-alignment invariant
+        strategy = "shuffle"
 
-    # ---- source + validation/DLQ ----
+    delta_schema = walmod.unified_schema(infos)
+    run_id = new_run_id()
+    wm_arr = walmod.watermark_array(
+        wm if strict_watermark_rows else {},
+        num_vb_hint=max((i.vb for i in infos), default=0) + 1,
+    )
+
+    ctx = dict(
+        lake=lake, cfg=cfg, mapper=mapper, infos=infos, wm=wm, wm_arr=wm_arr,
+        prev=prev, run_id=run_id, num_buckets=num_buckets, salted=salted,
+        strategy=strategy, delta_schema=delta_schema, copy_forward=copy_forward,
+        base_snapshot_dir=base_snapshot_dir, observed_num_vb=observed_num_vb,
+    )
+    if strategy == "aligned":
+        ctx["early_splits"] = (early_num_vb, early_splits) if early_splits else None
+    t1 = time.perf_counter()
+    if strategy == "aligned":
+        stats, carried, num_vbuckets = _run_aligned(**ctx, phase_t=phase_t)
+    else:
+        stats, carried = _run_shuffle(**ctx)
+        num_vbuckets = prev.num_vbuckets if prev else 0
+    phase_t["merge_s"] = round(time.perf_counter() - t1, 3)
+
+    # ---- checkpoint commit (only now does anything become visible) ----
+    new_wm = dict(wm)
+    for vb, s in walmod.file_watermarks(infos).items():
+        new_wm[vb] = max(new_wm.get(vb, 0), s)
+    files = [
+        {"path": s["path"], "bucket": int(s["bucket"]), "rows": int(s["rows_out"])}
+        for s in stats
+    ] + carried
+    rejected = lake.rejected_count(run_id) if cfg.rejection_log else 0
+    metrics = {
+        "strategy": strategy,
+        "events_in": int(sum(i.rows for i in infos)),
+        "wal_files": len(infos),
+        "rejected_rows": int(rejected),
+        "rows_out": int(sum(s["rows_out"] for s in stats)),
+        "rows_carried_forward": int(sum(f["rows"] for f in carried)),
+        "tombstoned_keys": int(sum(s["tombstoned_keys"] for s in stats)),
+        "buckets_written": len(stats),
+        "buckets_carried": len(carried),
+        "wall_s": round(time.perf_counter() - t0, 3),
+        **phase_t,
+    }
+    metrics["events_per_s"] = round(metrics["events_in"] / max(1e-9, metrics["wall_s"]), 1)
+    for k in ("t_wal_s", "t_base_s", "t_merge_s"):
+        if stats and k in stats[0]:
+            metrics[f"{k}_sum"] = round(sum(s[k] for s in stats), 2)
+    manifest = Manifest(
+        run_id=run_id,
+        seq=(prev.seq + 1) if prev else 1,
+        parent=prev.run_id if prev else None,
+        num_buckets=num_buckets,
+        salted=salted,
+        watermarks=new_wm,
+        files=files,
+        metrics=metrics,
+        processed_wal=sorted(processed | {i.path for i in infos}),
+        strategy=strategy,
+        num_vbuckets=num_vbuckets,
+    )
+    lake.store.commit(manifest)
+    shutil.rmtree(os.path.join(lake.lake_dir, "tmp", run_id), ignore_errors=True)
+    return RunResult(run_id=run_id, committed=True, manifest=manifest, metrics=metrics)
+
+
+# --------------------------------------------------------------- aligned
+
+
+def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
+                 num_buckets, salted, strategy, delta_schema, copy_forward,
+                 base_snapshot_dir, observed_num_vb, phase_t=None,
+                 early_splits=None):
+    """Shuffle-free per-bucket merge (stages/aligned.py). Returns
+    (stats_rows, carried_files, num_vbuckets)."""
+    phase_t = phase_t if phase_t is not None else {}
+    from dcpray.stages.aligned import (
+        collect_snapshot_splits,
+        make_aligned_merger,
+        stage_base_snapshot,
+    )
+
+    # the vb modulus of the stream: fixed at lake creation, else pinned by
+    # config, else the full-scan observation
+    num_vbuckets = (prev.num_vbuckets if prev and prev.num_vbuckets else 0) or \
+        cfg.num_vbuckets or observed_num_vb
+
+    by_bucket: dict[int, list[str]] = {}
+    for i in infos:
+        by_bucket.setdefault(i.vb % num_buckets, []).append(i.path)
+
+    carried: list[dict] = []
+    base_of: dict[int, list[str]] = {}
+    if prev and prev.files:
+        for f in prev.files:
+            b = f["bucket"]
+            if b in by_bucket:
+                base_of.setdefault(b, []).append(lake.abspath(f["path"]))
+            elif copy_forward:
+                carried.append(f)
+            else:
+                by_bucket.setdefault(b, [])
+                base_of.setdefault(b, []).append(lake.abspath(f["path"]))
+        import pyarrow.parquet as pq
+
+        base_schema = pa.unify_schemas(
+            [pq.read_schema(lake.abspath(f["path"])) for f in prev.files]
+        ) if prev.files else None
+    base_refs = None
+    if not (prev and prev.files):
+        snap = _snapshot_paths(base_snapshot_dir)
+        base_schema = None
+        if snap:
+            import pyarrow.parquet as pq
+
+            base_schema = pa.unify_schemas([pq.read_schema(p) for p in snap])
+            tb = time.perf_counter()
+            if early_splits and early_splits[0] == num_vbuckets:
+                base_refs = collect_snapshot_splits(early_splits[1])
+            else:
+                base_refs = stage_base_snapshot(snap, num_vbuckets, num_buckets)
+            phase_t["bootstrap_s"] = round(time.perf_counter() - tb, 3)
+            for b in base_refs:
+                by_bucket.setdefault(b, [])  # base-only buckets still materialize
+
+    mapped_schema = _probe_mapper_schema(mapper, delta_schema)
+    mschema = merge_schema_from(mapped_schema, base_schema)
+    mschema = pa.schema([f for f in mschema if f.name != BUCKET_COL])
+
+    merger = make_aligned_merger(
+        lake.lake_dir, run_id, mschema, wm_arr,
+        mapper=mapper,
+        rejection_log=cfg.rejection_log,
+        rejection_include_value=cfg.rejection_include_value,
+    )
+    # raw-task fan-out (see make_aligned_merger docstring for why not a
+    # Dataset stage); largest buckets first for better core packing
+    import ray
+
+    rows_of = {b: sum(i.rows for i in infos if i.vb % num_buckets == b)
+               for b in by_bucket}
+    order = sorted(by_bucket, key=lambda b: -rows_of[b])
+    merge_task = ray.remote(num_cpus=1, max_retries=3)(merger)
+    stats = ray.get([
+        merge_task.remote(
+            b, by_bucket[b], base_of.get(b, []),
+            *((base_refs or {}).get(b, ())),
+        )
+        for b in order
+    ])
+    return stats, carried, num_vbuckets
+
+
+# --------------------------------------------------------------- shuffle
+
+
+def _run_shuffle(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
+                 num_buckets, salted, strategy, delta_schema, copy_forward,
+                 base_snapshot_dir, observed_num_vb=0):
+    """Generic salted-bucket groupby merge. Returns (stats_rows, carried)."""
+    import ray.data as rd
+
     from dcpray.sources.io import read_parquet_fast
 
+    paths = [i.path for i in infos]
+
+    # ---- source + validation/DLQ ----
     ds = read_parquet_fast(paths, schema=delta_schema)
-    wm_arr = walmod.watermark_array(wm if strict_watermark_rows else {},
-                                    num_vb_hint=max((i.vb for i in infos), default=0) + 1)
     rejected_dir = lake.rejected_dir(run_id) if cfg.rejection_log else None
     ds = ds.map_batches(
         make_reject_filter(wm_arr, rejected_dir, cfg.rejection_include_value),
@@ -151,7 +368,6 @@ def replay(
     # ---- base side: committed lake (incremental) or bootstrap snapshot ----
     base_ds = None
     base_schema = None
-    affected: set[int] | None = None
     carried: list[dict] = []
     if prev and prev.files:
         if copy_forward:
@@ -166,10 +382,8 @@ def replay(
             base_paths = [lake.abspath(f["path"]) for f in touched]
             base_schema = pa.unify_schemas([pq.read_schema(p) for p in base_paths])
             base_ds = read_parquet_fast(base_paths, schema=base_schema)
-    elif base_snapshot_dir:
-        import glob
-
-        snap = sorted(glob.glob(os.path.join(base_snapshot_dir, "*.parquet")))
+    else:
+        snap = _snapshot_paths(base_snapshot_dir)
         if snap:
             import pyarrow.parquet as pq
 
@@ -187,38 +401,4 @@ def replay(
         make_bucket_merger(lake.lake_dir, run_id), batch_format="pyarrow"
     )
     stats = stats_ds.take_all()  # ≤ num_buckets tiny rows; merge runs here
-
-    # ---- checkpoint commit (only now does anything become visible) ----
-    new_wm = dict(wm)
-    for vb, s in walmod.file_watermarks(infos).items():
-        new_wm[vb] = max(new_wm.get(vb, 0), s)
-    files = [
-        {"path": s["path"], "bucket": int(s["bucket"]), "rows": int(s["rows_out"])}
-        for s in stats
-    ] + carried
-    rejected = lake.rejected_count(run_id) if cfg.rejection_log else 0
-    metrics = {
-        "events_in": int(sum(i.rows for i in infos)),
-        "wal_files": len(infos),
-        "rejected_rows": int(rejected),
-        "rows_out": int(sum(s["rows_out"] for s in stats)),
-        "rows_carried_forward": int(sum(f["rows"] for f in carried)),
-        "tombstoned_keys": int(sum(s["tombstoned_keys"] for s in stats)),
-        "buckets_written": len(stats),
-        "buckets_carried": len(carried),
-        "wall_s": round(time.perf_counter() - t0, 3),
-    }
-    metrics["events_per_s"] = round(metrics["events_in"] / max(1e-9, metrics["wall_s"]), 1)
-    manifest = Manifest(
-        run_id=run_id,
-        seq=(prev.seq + 1) if prev else 1,
-        parent=prev.run_id if prev else None,
-        num_buckets=num_buckets,
-        salted=salted,
-        watermarks=new_wm,
-        files=files,
-        metrics=metrics,
-        processed_wal=sorted(processed | set(paths)),
-    )
-    lake.store.commit(manifest)
-    return RunResult(run_id=run_id, committed=True, manifest=manifest, metrics=metrics)
+    return stats, carried

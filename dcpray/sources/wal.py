@@ -58,12 +58,101 @@ def _scan_footer(path: str) -> WalFileInfo:
     return WalFileInfo(path, int(vb_lo), int(sq_lo), int(sq_hi), md.num_rows, f.schema_arrow)
 
 
+def _scan_chunk(paths: list[str]) -> list[WalFileInfo]:
+    return [_scan_footer(p) for p in paths]
+
+
+CACHE_ROOT = os.environ.get("DCPRAY_WALCACHE_DIR", "/tmp/dcpray_walcache")
+
+
+def _cache_path(wal_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.sha1(os.path.abspath(wal_dir).encode()).hexdigest()[:16]
+    return os.path.join(CACHE_ROOT, f"{key}.json")
+
+
+def _load_cache(wal_dir: str) -> dict:
+    try:
+        with open(_cache_path(wal_dir)) as f:
+            import json
+
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_cache(wal_dir: str, cache: dict) -> None:
+    import json
+    import uuid
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    p = _cache_path(wal_dir)
+    tmp = f"{p}.tmp-{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        json.dump(cache, f)
+    os.rename(tmp, p)
+
+
+def _info_to_entry(i: WalFileInfo, st) -> dict:
+    import base64
+
+    return {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "vb": i.vb,
+        "min_seqno": i.min_seqno,
+        "max_seqno": i.max_seqno,
+        "rows": i.rows,
+        "schema": base64.b64encode(i.schema.serialize().to_pybytes()).decode(),
+    }
+
+
+def _entry_to_info(path: str, e: dict) -> WalFileInfo:
+    import base64
+
+    schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(e["schema"])))
+    return WalFileInfo(path, e["vb"], e["min_seqno"], e["max_seqno"], e["rows"], schema)
+
+
 def scan_wal(wal_dir: str) -> list[WalFileInfo]:
-    """Footer-only scan of every WAL file (threaded; at cluster scale this
-    would fan out as Ray tasks, but footers are ~KB so threads suffice)."""
+    """Footer-only scan of every WAL file, with a persistent metadata
+    cache (the analogue of a table format's manifest / a broker's segment
+    index): WAL segments are immutable, so a footer need only ever be
+    parsed once — entries are validated by (size, mtime) and stale ones
+    rescanned. Cold scans of large listings fan out as Ray tasks (footer
+    parsing is pure-Python and GIL-bound — threads don't help)."""
     paths = sorted(glob.glob(os.path.join(wal_dir, "**", "*.parquet"), recursive=True))
-    with ThreadPoolExecutor(max_workers=16) as ex:
-        return list(ex.map(_scan_footer, paths))
+    cache = _load_cache(wal_dir)
+    infos: dict[str, WalFileInfo] = {}
+    todo: list[str] = []
+    stats = {}
+    for p in paths:
+        st = os.stat(p)
+        stats[p] = st
+        e = cache.get(p)
+        if e and e["size"] == st.st_size and e["mtime_ns"] == st.st_mtime_ns:
+            infos[p] = _entry_to_info(p, e)
+        else:
+            todo.append(p)
+
+    if todo:
+        import ray
+
+        if len(todo) >= 1024 and ray.is_initialized():
+            scan = ray.remote(num_cpus=0.5)(_scan_chunk)
+            chunk = 256
+            refs = [scan.remote(todo[i:i + chunk]) for i in range(0, len(todo), chunk)]
+            fresh = [info for part in ray.get(refs) for info in part]
+        else:
+            with ThreadPoolExecutor(max_workers=32) as ex:
+                fresh = list(ex.map(_scan_footer, todo))
+        for i in fresh:
+            infos[i.path] = i
+            cache[i.path] = _info_to_entry(i, stats[i.path])
+        cache = {p: e for p, e in cache.items() if p in infos or os.path.exists(p)}
+        _save_cache(wal_dir, cache)
+    return [infos[p] for p in paths]
 
 
 def prune_files(

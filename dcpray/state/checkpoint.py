@@ -55,6 +55,12 @@ class Manifest:
     # exact set of WAL files already applied (see replay.py docstring for
     # why this, not the watermark alone, is the general resume mechanism)
     processed_wal: list[str] = field(default_factory=list)
+    # physical merge strategy the lake was built with ("aligned" buckets
+    # are vb % num_buckets; "shuffle" buckets are salted key hashes) —
+    # pinned at creation so incremental runs keep the same partitioning
+    strategy: str = "shuffle"
+    # the stream's vb modulus (aligned strategy only; 0 = unknown)
+    num_vbuckets: int = 0
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -199,5 +205,8 @@ class Lake:
         """Rows landed in the DLQ (footer metadata only)."""
         import glob
 
-        pat = os.path.join(self.lake_dir, "rejected", run_id or "*", "*.parquet")
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(pat))
+        pat = os.path.join(self.lake_dir, "rejected", run_id or "*", "**", "*.parquet")
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(pat, recursive=True)
+        )

@@ -81,9 +81,10 @@ def test_copy_forward_incremental(tiny_fixture, tmp_path):
     with open(os.path.join(tiny_fixture, "meta.json")) as f:
         meta = json.load(f)
     # new event for a known key: overwrite conv 0 / turn 1
-    from dcpray.hashing import vb_of_conv_index
+    from dcpray.hashing import vb_of_conv
 
-    vb = int(vb_of_conv_index(np.array([0]), meta["spec"]["num_vbuckets"])[0])
+    vb = int(vb_of_conv(np.array(["conv-00000000"], dtype=object),
+                        meta["spec"]["num_vbuckets"])[0])
     new_seq = meta["watermarks"][str(vb)] + 1
     delta_dir = tmp_path / "delta" / f"vb_{vb:04d}"
     delta_dir.mkdir(parents=True)
@@ -135,9 +136,10 @@ def test_incremental_delete(tiny_fixture, tmp_path):
     with open(os.path.join(tiny_fixture, "meta.json")) as f:
         meta = json.load(f)
     conv_ord = int(victim["conv_id"].split("-")[1])
-    from dcpray.hashing import vb_of_conv_index
+    from dcpray.hashing import vb_of_conv
 
-    vb = int(vb_of_conv_index(np.array([conv_ord]), meta["spec"]["num_vbuckets"])[0])
+    vb = int(vb_of_conv(np.array([f"conv-{conv_ord:08d}"], dtype=object),
+                        meta["spec"]["num_vbuckets"])[0])
     new_seq = meta["watermarks"][str(vb)] + 1
     delta_dir = tmp_path / "delta2" / f"vb_{vb:04d}"
     delta_dir.mkdir(parents=True)

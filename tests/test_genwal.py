@@ -82,7 +82,12 @@ def test_invariants(tiny_fixture):
 
 
 def test_base_snapshot(tiny_fixture):
-    base = pq.read_table(os.path.join(tiny_fixture, "base", "part-000.parquet"))
+    import pyarrow as pa
+
+    base = pa.concat_tables(
+        pq.read_table(p)
+        for p in sorted(glob.glob(os.path.join(tiny_fixture, "base", "*.parquet")))
+    )
     assert base.num_rows > 0
     assert base.schema.names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     # base-only conversations exist (never touched by the WAL)
