@@ -276,6 +276,18 @@ def _q_embedding_neardup_pairs(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_embedding_neardup_exact(sf_dir: str):
+    """Exact all-pairs cosine near-dup (the SQL-verifiable baseline the
+    LSH variant approximates)."""
+    import ray.data as rd
+
+    from dcpray.functions.dedup import embedding_exact_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_exact_pairs(ds, threshold=0.4, concurrency=4).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_lang_id(sf_dir: str):
     import ray.data as rd
 
@@ -376,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         "lang_id": _q_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "quality_score": _q_quality_score,
@@ -450,6 +463,11 @@ SELECT query_id, vec_id FROM (
                                      e.vec_id) rn
   FROM q CROSS JOIN embeddings e
 ) WHERE rn <= 10""",
+        "embedding_neardup_exact": """
+SELECT x.vec_id a, y.vec_id b,
+       round(list_cosine_similarity(x.embedding, y.embedding), 4) cosine
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4""",
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) n_events, round(sum(value), 4) sum_value

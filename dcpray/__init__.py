@@ -17,15 +17,24 @@ transcripts keyed by (conv_id, turn_idx), with
   kafka/rejection_log_sink_response_handler.go),
 - per-run metrics (reference metric/collector.go).
 
-Everything is expressed Ray-Data-first: ``ray.data.read_parquet`` →
-``map_batches`` over zero-copy Arrow batches → ``groupby(bucket).map_groups``
-for the single all-to-all exchange → partitioned Parquet + manifest.
-Nothing in this package calls ``ray.init`` — the caller owns the session.
+Two physical strategies (pipelines/replay.py): the default ``aligned``
+path exploits that vb is a pure function of the key, merging each
+``vb % num_buckets`` partition independently with NO shuffle at all (the
+table analogue of the reference's per-vBucket listener chains); the
+generic ``shuffle`` path — ``map_batches`` precombine →
+``groupby(bucket).map_groups`` — covers non-key-partitioned WALs and
+salted-key skew. Nothing in this package calls ``ray.init`` — the caller
+owns the session.
 """
 
 from dcpray.config import ReplayConfig
+from dcpray.pipelines.builder import Pipeline, PipelineBuilder, SinkResponseHandler
+from dcpray.pipelines.compact import compact, gc
 from dcpray.pipelines.replay import replay
 from dcpray.state.checkpoint import Lake, ManifestStore
 
-__all__ = ["ReplayConfig", "replay", "Lake", "ManifestStore"]
+__all__ = [
+    "ReplayConfig", "replay", "Lake", "ManifestStore",
+    "PipelineBuilder", "Pipeline", "SinkResponseHandler", "compact", "gc",
+]
 __version__ = "0.1.0"

@@ -406,3 +406,57 @@ def embedding_dup_pairs(ds, threshold=0.95, bits=16, dim=64, concurrency=4):
                          "cosine": pa.array(np.round(c[keep], 6))})
 
     return signed.groupby("sig").map_groups(bucket_cosine, batch_format="pyarrow")
+
+
+class ExactCosinePairs:
+    """Actor-pool stage for EXACT all-pairs cosine near-dup: the
+    normalized corpus matrix is broadcast once via ``ray.put`` (one copy
+    in the object store, mapped read-only into each actor); every batch
+    is one ``batch × corpus`` matmul. O(n·N) total compute, distributed
+    per batch — the exact baseline the LSH path approximates, and the
+    variant a SQL oracle can verify value-for-value."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        import ray
+
+        ids, xn = ray.get(corpus_ref)
+        self.ids = ids
+        self.xn = xn
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = emb @ self.xn.T
+        # keep each unordered pair once: a < b
+        keep = (cos >= self.threshold) & (ids[:, None] < self.ids[None, :])
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "a": pa.array(ids[r].astype(np.int64)),
+                "b": pa.array(self.ids[c].astype(np.int64)),
+                "cosine": pa.array(np.round(cos[r, c], 4)),
+            }
+        )
+
+
+def embedding_exact_pairs(ds, threshold=0.4, id_col="vec_id",
+                          emb_col="embedding", concurrency=4):
+    """All (a < b) pairs with exact cosine ≥ threshold."""
+    import ray
+
+    ids_parts, emb_parts = [], []
+    for bt in ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        ids_parts.append(bt[id_col].to_numpy(zero_copy_only=False))
+        emb_parts.append(np.stack(bt[emb_col].to_pylist()).astype(np.float64))
+    ids = np.concatenate(ids_parts)
+    xn = np.concatenate(emb_parts)
+    xn /= np.linalg.norm(xn, axis=1, keepdims=True)
+    ref = ray.put((ids, xn))
+    return ds.map_batches(
+        ExactCosinePairs, fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow", concurrency=concurrency,
+    )

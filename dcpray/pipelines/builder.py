@@ -1,0 +1,121 @@
+"""Builder-pattern pipeline API — parity with the reference's connector
+builder surface (/root/reference/connector.go:259-312:
+``NewConnectorBuilder(cfg).SetMapper(m).SetSinkResponseHandler(h)
+.SetCompletionHandler(f).SetLogger(l).Build()``).
+
+The user-extension points map 1:1:
+
+| reference                        | dcpray                               |
+|----------------------------------|--------------------------------------|
+| Mapper (mapper.go:8)             | set_mapper(fn: pa.Table -> pa.Table) |
+| SinkResponseHandler              | set_sink_response_handler(h)         |
+|   (kafka/sink_response_handler.go:20-24: OnInit/OnSuccess/OnError)     |
+| completion handler               | set_completion_handler(fn)           |
+|   (connector.go:309-312)         |   called once per committed run      |
+| logger (connector.go:289-294)    | set_logger(logging.Logger)           |
+| metadata store (connector.go:226-229) | the lake's ManifestStore        |
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable
+
+from dcpray.config import ReplayConfig
+from dcpray.pipelines.replay import RunResult, replay
+from dcpray.state.checkpoint import Lake
+
+
+class SinkResponseHandler:
+    """Per-bucket sink fan-out, the table analogue of the per-message
+    success/error fan-out (producer_batch.go:125-137). ``on_success``
+    receives each committed bucket's stats row; ``on_error`` the
+    exception of a failed run (after Ray's task retries are exhausted —
+    the reference's panic-and-replay, producer_batch.go:117-121,
+    becomes raise-after-handler)."""
+
+    def on_init(self, lake: Lake) -> None:  # pragma: no cover - hook
+        pass
+
+    def on_success(self, bucket_stats: dict[str, Any]) -> None:
+        pass
+
+    def on_error(self, error: BaseException) -> None:
+        pass
+
+
+class Pipeline:
+    """A configured CDC replay pipeline bound to one lake."""
+
+    def __init__(self, lake: Lake, config: ReplayConfig, mapper, handler,
+                 completion, logger):
+        self.lake = lake
+        self.config = config
+        self.mapper = mapper
+        self.handler = handler
+        self.completion = completion
+        self.log = logger
+
+    def run(self, wal_dir: str, *, base_snapshot_dir: str | None = None,
+            **kwargs) -> RunResult:
+        """One bounded replay of the WAL's unprocessed tail (the
+        bounded-stream analogue of connector.Start/WaitUntilReady,
+        connector.go:50-56). Idempotent: rerun after success is a no-op."""
+        if self.handler:
+            self.handler.on_init(self.lake)
+        try:
+            res = replay(
+                self.lake, wal_dir,
+                config=self.config,
+                mapper=self.mapper,
+                base_snapshot_dir=base_snapshot_dir,
+                **kwargs,
+            )
+        except BaseException as e:
+            if self.handler:
+                self.handler.on_error(e)
+            raise
+        if res.committed:
+            self.log.info(
+                "run %s committed: %s events in, %s rows out, %s rejected",
+                res.run_id, res.metrics.get("events_in"),
+                res.metrics.get("rows_out"), res.metrics.get("rejected_rows"),
+            )
+            if self.handler:
+                for f in res.manifest.files:
+                    self.handler.on_success(f)
+        if self.completion:
+            self.completion(res)
+        return res
+
+
+class PipelineBuilder:
+    def __init__(self, lake_dir: str, config: ReplayConfig | None = None):
+        self._lake_dir = lake_dir
+        self._config = config or ReplayConfig()
+        self._mapper = None
+        self._handler: SinkResponseHandler | None = None
+        self._completion: Callable[[RunResult], None] | None = None
+        self._logger = logging.getLogger("dcpray")
+
+    def set_mapper(self, mapper) -> "PipelineBuilder":
+        self._mapper = mapper
+        return self
+
+    def set_sink_response_handler(self, h: SinkResponseHandler) -> "PipelineBuilder":
+        self._handler = h
+        return self
+
+    def set_completion_handler(self, fn: Callable[[RunResult], None]) -> "PipelineBuilder":
+        self._completion = fn
+        return self
+
+    def set_logger(self, logger: logging.Logger) -> "PipelineBuilder":
+        self._logger = logger
+        return self
+
+    def build(self) -> Pipeline:
+        return Pipeline(
+            Lake(self._lake_dir), self._config, self._mapper,
+            self._handler, self._completion, self._logger,
+        )

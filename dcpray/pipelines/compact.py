@@ -1,0 +1,138 @@
+"""Lake maintenance: tombstone compaction + garbage collection.
+
+Compaction is the table analogue of Kafka's compacted-topic cleanup
+(delete.retention.ms): a winning tombstone is PERSISTED by the merge (so
+later-arriving older mutations stay dead — see stages/merge.py), and may
+only be physically dropped once no unprocessed WAL segment can still
+deliver an older version of that key. For a bounded replay that is
+simply "every known WAL file is processed"; compact() enforces it
+against the manifest unless ``force=True``.
+
+GC removes data directories of runs that never committed (a killed run's
+orphaned bucket files are invisible — readers only ever see the CURRENT
+manifest's file list — but they hold disk until collected).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Any
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from dcpray.schema import OP_LAKE_COL, OP_MUTATION
+from dcpray.state.checkpoint import Lake, Manifest, new_run_id
+
+
+def _compact_one(lake_dir: str, run_id: str, rel_path: str, bucket: int) -> dict:
+    """Rewrite one bucket file without tombstone rows. Returns the new
+    file entry + counts. Skips (returns the old entry) when clean."""
+    from dcpray.stages.aligned import _cap_arrow_threads
+
+    _cap_arrow_threads()
+    src = os.path.join(lake_dir, rel_path)
+    t = pq.read_table(src)
+    if OP_LAKE_COL not in t.schema.names:
+        return {"path": rel_path, "bucket": bucket, "rows": t.num_rows, "dropped": 0}
+    live = pc.equal(t[OP_LAKE_COL], OP_MUTATION)
+    n_live = pc.sum(live).as_py() or 0
+    dropped = t.num_rows - n_live
+    if dropped == 0:
+        return {"path": rel_path, "bucket": bucket, "rows": t.num_rows, "dropped": 0}
+    t = t.filter(live)
+    rel = os.path.join("data", run_id, f"bucket-{bucket:05d}.parquet")
+    dst = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = dst + f".tmp-{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.rename(tmp, dst)
+    return {"path": rel, "bucket": bucket, "rows": t.num_rows, "dropped": int(dropped)}
+
+
+def compact(lake: Lake, wal_dir: str | None = None, *, force: bool = False) -> dict[str, Any]:
+    """Drop persisted tombstones from every bucket file and commit a new
+    manifest. Safe only once the WAL is fully processed (checked against
+    ``wal_dir`` unless ``force``); Ray must be initialized."""
+    import ray
+
+    t0 = time.perf_counter()
+    prev = lake.store.load_current()
+    if prev is None:
+        raise ValueError("nothing to compact: lake has no committed manifest")
+    if not force:
+        if wal_dir is None:
+            raise ValueError("pass wal_dir for the safety check, or force=True")
+        from dcpray.sources import wal as walmod
+
+        unprocessed = [
+            i.path for i in walmod.scan_wal(wal_dir)
+            if i.path not in set(prev.processed_wal)
+        ]
+        if unprocessed:
+            raise ValueError(
+                f"{len(unprocessed)} WAL files not yet processed — a dropped "
+                "tombstone could resurrect an older mutation; replay first "
+                f"(e.g. {unprocessed[0]})"
+            )
+
+    run_id = new_run_id()
+    task = ray.remote(num_cpus=1, max_retries=3)(_compact_one)
+    out = ray.get([
+        task.remote(lake.lake_dir, run_id, f["path"], f["bucket"])
+        for f in prev.files
+    ])
+    files = [{"path": o["path"], "bucket": o["bucket"], "rows": o["rows"]} for o in out]
+    metrics = {
+        "op": "compact",
+        "dropped_tombstones": int(sum(o["dropped"] for o in out)),
+        "buckets_rewritten": sum(1 for o in out if o["dropped"]),
+        "buckets_clean": sum(1 for o in out if not o["dropped"]),
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+    manifest = Manifest(
+        run_id=run_id,
+        seq=prev.seq + 1,
+        parent=prev.run_id,
+        num_buckets=prev.num_buckets,
+        salted=prev.salted,
+        watermarks=prev.watermarks,
+        files=files,
+        metrics=metrics,
+        processed_wal=prev.processed_wal,
+        strategy=prev.strategy,
+        num_vbuckets=prev.num_vbuckets,
+    )
+    lake.store.commit(manifest)
+    return metrics
+
+
+def gc(lake: Lake, keep_manifests: int = 5) -> dict[str, Any]:
+    """Delete uncommitted data (run dirs with no file in the CURRENT
+    manifest), stale tmp dirs, and all but the newest ``keep_manifests``
+    manifest files. The DLQ (rejected/) is an audit log — never GC'd."""
+    cur = lake.store.load_current()
+    live_runs = {os.path.basename(os.path.dirname(f["path"])) for f in (cur.files if cur else [])}
+    removed_dirs = 0
+    data_root = os.path.join(lake.lake_dir, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            if d not in live_runs:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed_dirs += 1
+    shutil.rmtree(os.path.join(lake.lake_dir, "tmp"), ignore_errors=True)
+    removed_manifests = 0
+    mdir = lake.store.manifest_dir
+    manifests = sorted(os.listdir(mdir))
+    current_name = None
+    if os.path.exists(lake.store.current_path):
+        with open(lake.store.current_path) as f:
+            current_name = f.read().strip()
+    for name in manifests[:-keep_manifests] if keep_manifests else manifests:
+        if name != current_name:
+            os.remove(os.path.join(mdir, name))
+            removed_manifests += 1
+    return {"op": "gc", "removed_run_dirs": removed_dirs,
+            "removed_manifests": removed_manifests}
