@@ -91,6 +91,30 @@ def _replay_events(sf_dir: str) -> tuple[int, float]:
     return int(res.metrics["events_in"]), float(res.metrics["wall_s"])
 
 
+def _incremental_delta(sf_dir: str) -> tuple[int, float]:
+    """Incremental-run cost: ingest all but the last file per vbucket,
+    commit, then time replaying just that tail (copy-forward path).
+    Returns (delta_events, delta wall_s)."""
+    import shutil
+
+    from dcpray import ReplayConfig, replay
+    from dcpray.sources import wal as walmod
+    from dcpray.sources.genwal import ensure_fixture
+    from dcpray.state.checkpoint import Lake
+
+    fx = ensure_fixture(sf_dir)
+    lake_dir = os.path.join("/tmp/dcpray_bench", os.path.basename(fx), "lake_incr")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = Lake(lake_dir)
+    cfg = ReplayConfig.for_scale(os.path.basename(fx))
+    n_files = len(walmod.scan_wal(os.path.join(fx, "wal")))
+    replay(lake, os.path.join(fx, "wal"),
+           base_snapshot_dir=os.path.join(fx, "base"), config=cfg,
+           max_files=n_files - n_files // 8)
+    res = replay(lake, os.path.join(fx, "wal"), config=cfg)
+    return int(res.metrics["events_in"]), float(res.metrics["wall_s"])
+
+
 def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dict:
     from dcpray.sources.genwal import ensure_fixture
 
@@ -99,6 +123,9 @@ def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dic
 
     events, replay_s = _replay_events(sf_dir)
     queries: dict[str, float] = {"cdc_replay_full": round(replay_s, 3)}
+    if include_secondary:
+        delta_events, delta_s = _incremental_delta(sf_dir)
+        queries["cdc_incremental_delta"] = round(delta_s, 3)
 
     if include_secondary:
         import __ray_entry__ as entrymod

@@ -234,6 +234,13 @@ def replay(
     for k in ("t_wal_s", "t_base_s", "t_merge_s"):
         if stats and k in stats[0]:
             metrics[f"{k}_sum"] = round(sum(s[k] for s in stats), 2)
+    if stats:
+        # skew observability: a hot conversation shows up as one bucket's
+        # rows_in far above the mean (north-rule skew handling is the
+        # salted shuffle strategy; this is how you notice you need it)
+        rins = sorted((int(s["rows_in"]) for s in stats), reverse=True)
+        metrics["bucket_rows_in_max"] = rins[0]
+        metrics["bucket_rows_in_mean"] = int(sum(rins) / len(rins))
     manifest = Manifest(
         run_id=run_id,
         seq=(prev.seq + 1) if prev else 1,
@@ -397,8 +404,21 @@ def _run_shuffle(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     pre = make_precombine(mschema, num_buckets, salted)
     delta_p = ds.map_batches(pre, batch_format="pyarrow", batch_size=cfg.batch_size)
     union = delta_p.union(base_ds.map_batches(pre, batch_format="pyarrow", batch_size=cfg.batch_size)) if base_ds is not None else delta_p
-    stats_ds = union.groupby(BUCKET_COL).map_groups(
-        make_bucket_merger(lake.lake_dir, run_id), batch_format="pyarrow"
-    )
-    stats = stats_ds.take_all()  # ≤ num_buckets tiny rows; merge runs here
+    # push-based sort shuffle pipelines map-side sorting with the reduce
+    # (measured 3.1s vs 5.4s pull-based on the sf0.1 merge); scoped around
+    # plan construction AND execution so the caller's DataContext is
+    # untouched afterwards
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    saved = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        stats_ds = union.groupby(BUCKET_COL).map_groups(
+            make_bucket_merger(lake.lake_dir, run_id), batch_format="pyarrow"
+        )
+        stats = stats_ds.take_all()  # ≤ num_buckets tiny rows; merge runs here
+    finally:
+        ctx.shuffle_strategy = saved
     return stats, carried
