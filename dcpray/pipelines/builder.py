@@ -56,6 +56,36 @@ class Pipeline:
         self.completion = completion
         self.log = logger
 
+    def tail(self, wal_dir: str, *, base_snapshot_dir: str | None = None,
+             poll_interval_s: float = 2.0, max_polls: int | None = None,
+             idle_polls_to_stop: int | None = None, **kwargs) -> list[RunResult]:
+        """Continuous mode — the analogue of the reference's blocking
+        ``connector.Start()`` stream (connector.go:50-56): poll the WAL
+        directory and incrementally replay whatever new segments landed,
+        committing a manifest per batch of arrivals. Stops after
+        ``max_polls`` polls or ``idle_polls_to_stop`` consecutive empty
+        polls (both None = run forever); each committed run is
+        checkpointed, so a killed tail resumes exactly."""
+        import time as _time
+
+        results: list[RunResult] = []
+        idle = 0
+        polls = 0
+        while True:
+            res = self.run(wal_dir, base_snapshot_dir=base_snapshot_dir, **kwargs)
+            if res.committed:
+                results.append(res)
+                idle = 0
+            else:
+                idle += 1
+                if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+                    break
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                break
+            _time.sleep(poll_interval_s)
+        return results
+
     def run(self, wal_dir: str, *, base_snapshot_dir: str | None = None,
             **kwargs) -> RunResult:
         """One bounded replay of the WAL's unprocessed tail (the

@@ -279,6 +279,18 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     # config, else the full-scan observation
     num_vbuckets = (prev.num_vbuckets if prev and prev.num_vbuckets else 0) or \
         cfg.num_vbuckets or observed_num_vb
+    if observed_num_vb > num_vbuckets:
+        # a vb beyond the pinned modulus means the base snapshot was
+        # bucketed with the WRONG conv→vb mapping at bootstrap — silent
+        # continuation would duplicate keys across buckets. The modulus is
+        # a stream constant (Couchbase: 1024); pin it via
+        # ReplayConfig(num_vbuckets=...) when the first delta may not yet
+        # cover every vbucket.
+        raise ValueError(
+            f"WAL contains vb up to {observed_num_vb - 1} but this lake was "
+            f"bootstrapped with num_vbuckets={num_vbuckets}; recreate the "
+            "lake with ReplayConfig(num_vbuckets=<stream constant>)"
+        )
 
     by_bucket: dict[int, list[str]] = {}
     for i in infos:

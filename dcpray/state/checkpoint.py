@@ -117,6 +117,19 @@ class ManifestStore:
         if os.path.exists(self.current_path):
             os.remove(self.current_path)
 
+    def history(self) -> list[Manifest]:
+        """Commit lineage, oldest → newest (still-retained manifests; gc
+        prunes old ones). Each manifest records its parent run_id, the
+        per-partition watermarks, the exact processed-WAL set and the
+        run's metrics — the per-partition lineage the north rule asks
+        resumability to carry."""
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("manifest-"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(Manifest.from_json(f.read()))
+        return out
+
 
 class Lake:
     """A transcripts Parquet lake rooted at ``lake_dir``."""

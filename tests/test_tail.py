@@ -1,0 +1,76 @@
+"""Continuous tail mode + manifest lineage."""
+
+import glob
+import os
+import shutil
+
+from dcpray import Lake, PipelineBuilder, ReplayConfig
+from tests.util import assert_final_state_equal
+
+
+def test_tail_picks_up_arrivals(tiny_fixture, tmp_path):
+    """Segments arriving between polls are ingested incrementally; the
+    final state equals a one-shot replay of everything."""
+    wal_src = os.path.join(tiny_fixture, "wal")
+    files = sorted(glob.glob(os.path.join(wal_src, "**", "*.parquet"), recursive=True))
+    live_wal = tmp_path / "wal_live"
+
+    half = len(files) // 2
+
+    def land(paths):
+        for p in paths:
+            rel = os.path.relpath(p, wal_src)
+            dst = live_wal / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy(p, dst)
+
+    land(files[:half])
+    # early arrivals cover only some vbuckets: the stream's vb modulus is
+    # a known constant and must be pinned for the base bootstrap (the
+    # engine refuses to continue if a later vb contradicts it)
+    cfg = ReplayConfig(num_buckets=16, num_vbuckets=8)
+    pipe = PipelineBuilder(str(tmp_path / "lake"), cfg).build()
+    r1 = pipe.tail(str(live_wal), base_snapshot_dir=os.path.join(tiny_fixture, "base"),
+                   poll_interval_s=0.01, max_polls=1)
+    assert len(r1) == 1 and r1[0].committed
+
+    land(files[half:])
+    r2 = pipe.tail(str(live_wal), poll_interval_s=0.01, idle_polls_to_stop=2)
+    assert len(r2) == 1 and r2[0].committed
+    assert r2[0].manifest.parent == r1[0].run_id
+
+    ref = PipelineBuilder(str(tmp_path / "ref"), ReplayConfig(num_buckets=16)).build()
+    ref.run(wal_src, base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    assert_final_state_equal(
+        Lake(str(tmp_path / "lake")).to_pandas_sorted(),
+        Lake(str(tmp_path / "ref")).to_pandas_sorted(),
+    )
+
+    # lineage: manifests chain oldest -> newest through parent run_ids
+    hist = Lake(str(tmp_path / "lake")).store.history()
+    assert [m.seq for m in hist] == [1, 2]
+    assert hist[1].parent == hist[0].run_id
+    assert set(hist[0].processed_wal) < set(hist[1].processed_wal)
+
+
+def test_wrong_vb_modulus_detected(tiny_fixture, tmp_path):
+    """Bootstrapping off a partial-vb delta without pinning the modulus
+    must fail loudly once a later vb contradicts the inferred value
+    (silent continuation would duplicate keys across buckets)."""
+    import pytest
+
+    wal_src = os.path.join(tiny_fixture, "wal")
+    files = sorted(glob.glob(os.path.join(wal_src, "**", "*.parquet"), recursive=True))
+    live_wal = tmp_path / "wal_live"
+    for p in files[: len(files) // 2]:
+        dst = live_wal / os.path.relpath(p, wal_src)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(p, dst)
+    pipe = PipelineBuilder(str(tmp_path / "lake"), ReplayConfig(num_buckets=16)).build()
+    pipe.run(str(live_wal), base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    for p in files[len(files) // 2:]:
+        dst = live_wal / os.path.relpath(p, wal_src)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(p, dst)
+    with pytest.raises(ValueError, match="num_vbuckets"):
+        pipe.run(str(live_wal))
