@@ -320,7 +320,7 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
         if snap:
             import pyarrow.parquet as pq
 
-            base_schema = pa.unify_schemas([pq.read_schema(p) for p in snap])
+            base_schema = pa.unify_schemas([pq.read_schema(p) for p in snap], promote_options="permissive")
             tb = time.perf_counter()
             if early_splits and early_splits[0] == num_vbuckets:
                 base_refs = collect_snapshot_splits(early_splits[1])
@@ -399,7 +399,7 @@ def _run_shuffle(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
             import pyarrow.parquet as pq
 
             base_paths = [lake.abspath(f["path"]) for f in touched]
-            base_schema = pa.unify_schemas([pq.read_schema(p) for p in base_paths])
+            base_schema = pa.unify_schemas([pq.read_schema(p) for p in base_paths], promote_options="permissive")
             base_ds = read_parquet_fast(base_paths, schema=base_schema)
     else:
         snap = _snapshot_paths(base_snapshot_dir)
@@ -408,7 +408,7 @@ def _run_shuffle(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
 
             # initial snapshot = version 0 of every preloaded key; the
             # precombine stage fills the missing seqno/op as (0, mutation)
-            base_schema = pa.unify_schemas([pq.read_schema(p) for p in snap])
+            base_schema = pa.unify_schemas([pq.read_schema(p) for p in snap], promote_options="permissive")
             base_ds = read_parquet_fast(snap, schema=base_schema)
 
     # ---- the one shuffle: precombine → bucket → merge-apply (sink) ----

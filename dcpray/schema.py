@@ -74,5 +74,6 @@ def wal_read_schema(with_evolution: bool = True) -> pa.Schema:
 
 def unify_wal_schemas(schemas: list[pa.Schema]) -> pa.Schema:
     """Arrow schema unification at the source/sink (north-rule schema
-    evolution): added columns appear, missing ones read as null."""
-    return pa.unify_schemas(schemas)
+    evolution): added columns appear, missing ones read as null, and
+    compatible types widen (permissive promotion, e.g. int32 → int64)."""
+    return pa.unify_schemas(schemas, promote_options="permissive")

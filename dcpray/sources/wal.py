@@ -171,7 +171,7 @@ def prune_files(
 
 
 def unified_schema(infos: list[WalFileInfo]) -> pa.Schema:
-    return pa.unify_schemas([i.schema for i in infos])
+    return pa.unify_schemas([i.schema for i in infos], promote_options="permissive")
 
 
 def file_watermarks(infos: list[WalFileInfo]) -> dict[int, int]:

@@ -168,7 +168,7 @@ class Lake:
                 [*zip(TRANSCRIPT_COLUMNS, [pa.string(), pa.int32(), pa.string(), pa.string(), pa.string(), pa.timestamp("us")])]
             )
             return rd.from_arrow(schema.empty_table())
-        schema = pa.unify_schemas([pq.read_schema(f) for f in files])
+        schema = pa.unify_schemas([pq.read_schema(f) for f in files], promote_options="permissive")
         from dcpray.sources.io import read_parquet_fast
 
         ds = read_parquet_fast(files, schema=schema)
@@ -193,7 +193,7 @@ class Lake:
             import pandas as pd
 
             return pd.DataFrame(columns=TRANSCRIPT_COLUMNS + [TOOL_VERSION_COL])
-        schema = pa.unify_schemas([pq.read_schema(f) for f in files])
+        schema = pa.unify_schemas([pq.read_schema(f) for f in files], promote_options="permissive")
         tabs = []
         for f in files:
             t = pq.read_table(f)
