@@ -463,6 +463,27 @@ SELECT query_id, vec_id FROM (
                                      e.vec_id) rn
   FROM q CROSS JOIN embeddings e
 ) WHERE rn <= 10""",
+        "quality_score": """
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+') words,
+         length(regexp_extract_all(text, '[A-Za-z]')) n_alpha,
+         length(text) n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, len(words) n,
+         len(list_filter(words, w -> w IN ('the','and','of','a','to','in','is',
+             'it','for','on','with','as','was','at','by','an','be','this','that'))) n_stop,
+         len(list_distinct(words)) n_uniq, n_alpha, n_chars
+  FROM w
+)
+SELECT doc_id,
+  round(CASE WHEN n > 0 THEN n_stop / CAST(n AS DOUBLE) ELSE 0 END, 6) stopword_ratio,
+  round(0.3 * (CASE WHEN n_chars BETWEEN 50 AND 4000 THEN 1.0 ELSE 0.3 END)
+      + 0.2 * least((CASE WHEN n > 0 THEN n_stop / CAST(n AS DOUBLE) ELSE 0 END) * 4, 1.0)
+      + 0.25 * (n_alpha / CAST(greatest(1, n_chars) AS DOUBLE))
+      + 0.25 * (CASE WHEN n > 0 THEN n_uniq / CAST(n AS DOUBLE) ELSE 0 END), 6) quality_score
+FROM s""",
         "embedding_neardup_exact": """
 SELECT x.vec_id a, y.vec_id b,
        round(list_cosine_similarity(x.embedding, y.embedding), 4) cosine

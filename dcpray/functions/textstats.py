@@ -22,6 +22,13 @@ from dcpray.hashing import splitmix64
 #   n_chars   = length(text)
 #   punct_ratio = count([^A-Za-z0-9\s]) / max(n_chars, 1), rounded 6dp
 #   upper_ratio = count([A-Z]) / max(n_chars, 1), rounded 6dp
+# rounding is HALF-UP (duckdb round()); numpy/arrow default to half-even,
+# which flips exact .5e-6 ties and hash-mismatches the oracle
+
+
+def _round6(x):
+    """Half-up 6dp round matching DuckDB's round() on non-negatives."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
 
 def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -37,8 +44,8 @@ def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     denom = pc.max_element_wise(n_chars, 1)
     punct = pc.count_substring_regex(text, r"[^A-Za-z0-9\s]")
     upper = pc.count_substring_regex(text, r"[A-Z]")
-    punct_ratio = pc.round(pc.divide(pc.cast(punct, pa.float64()), pc.cast(denom, pa.float64())), ndigits=6)
-    upper_ratio = pc.round(pc.divide(pc.cast(upper, pa.float64()), pc.cast(denom, pa.float64())), ndigits=6)
+    punct_ratio = pa.array(_round6(pc.divide(pc.cast(punct, pa.float64()), pc.cast(denom, pa.float64())).to_numpy(zero_copy_only=False)))
+    upper_ratio = pa.array(_round6(pc.divide(pc.cast(upper, pa.float64()), pc.cast(denom, pa.float64())).to_numpy(zero_copy_only=False)))
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -76,8 +83,10 @@ class QualityScorer:
             alpha = len(self.alpha_re.findall(t)) / max(1, len(t))
             uniq = len(set(words)) / n if n else 0.0
             length_band = 1.0 if 50 <= len(t) <= 4000 else 0.3
-            scores[i] = round(0.3 * length_band + 0.2 * min(stop * 4, 1.0) + 0.25 * alpha + 0.25 * uniq, 6)
-            stop_ratios[i] = round(stop, 6)
+            scores[i] = 0.3 * length_band + 0.2 * min(stop * 4, 1.0) + 0.25 * alpha + 0.25 * uniq
+            stop_ratios[i] = stop
+        scores = _round6(scores)
+        stop_ratios = _round6(stop_ratios)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
