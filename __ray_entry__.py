@@ -297,6 +297,15 @@ def _q_lang_id(sf_dir: str):
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=4)
 
 
+def _q_text_fingerprint_md5(sf_dir: str):
+    import ray.data as rd
+
+    from dcpray.functions.textstats import fingerprint_md5
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_md5, batch_format="pyarrow")
+
+
 def _q_text_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -391,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "lang_id": _q_lang_id,
         "text_fingerprint": _q_text_fingerprint,
+        "text_fingerprint_md5": _q_text_fingerprint_md5,
         "quality_score": _q_quality_score,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
@@ -463,6 +473,33 @@ SELECT query_id, vec_id FROM (
                                      e.vec_id) rn
   FROM q CROSS JOIN embeddings e
 ) WHERE rn <= 10""",
+        "text_fingerprint_md5": r"""
+SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) fingerprint_md5
+FROM documents""",
+        "lang_id": r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_distinct(regexp_extract_all(lower(text), '[a-zäöüßéèêàçñ]+')) words
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+    len(list_filter(words, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) s_en,
+    len(list_filter(words, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','von','zu')))
+      + 2 * CAST(regexp_matches(text, '[äöüß]') AS INT) s_de,
+    len(list_filter(words, x -> x IN ('le','la','les','et','des','est','pour','que','une','dans')))
+      + 2 * CAST(regexp_matches(text, '[éèêàçœ]') AS INT) s_fr,
+    len(list_filter(words, x -> x IN ('el','la','los','las','es','por','que','una','con','para')))
+      + 2 * CAST(regexp_matches(text, '[ñáíóú¿¡]') AS INT) s_es
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN 'und'
+       WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+       WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+       WHEN s_de > s_en THEN 'de'
+       ELSE 'en' END lang_pred
+FROM s""",
         "quality_score": """
 WITH w AS (
   SELECT doc_id,

@@ -152,3 +152,23 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fingerprint": pa.array([format(x, "016x") for x in fp], pa.string()),
         }
     )
+
+
+def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint as md5 of the whitespace-normalized text — the
+    SQL-verifiable sibling of ``fingerprint`` (DuckDB: md5(trim(
+    regexp_replace(text, '\\s+', ' ', 'g')))). Same normalization."""
+    import hashlib
+
+    norm = pc.replace_substring_regex(batch[text_col], r"\s+", " ")
+    norm = pc.utf8_trim_whitespace(norm)
+    digests = [
+        hashlib.md5((s or "").encode("utf-8")).hexdigest()
+        for s in norm.to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint_md5": pa.array(digests, pa.string()),
+        }
+    )
