@@ -84,6 +84,58 @@ def test_compact_refuses_with_unprocessed_wal(tiny_fixture, tmp_path):
     compact(lake, wal, force=True)  # explicit override allowed
 
 
+def test_incremental_replay_after_compact(tiny_fixture, tmp_path):
+    """Compaction must not break subsequent incremental ingestion: a
+    delta replayed onto a compacted lake merges against the rewritten
+    bucket files and converges to the same state as the uncompacted
+    path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dcpray.hashing import vb_of_conv
+
+    wal = os.path.join(tiny_fixture, "wal")
+    base = os.path.join(tiny_fixture, "base")
+    cfg = ReplayConfig(num_buckets=16)
+
+    lakes = {}
+    for name, do_compact in (("plain", False), ("compacted", True)):
+        lake = Lake(str(tmp_path / name))
+        pipe = PipelineBuilder(str(tmp_path / name), cfg).build()
+        pipe.run(wal, base_snapshot_dir=base)
+        if do_compact:
+            compact(lake, wal)
+        # delta: overwrite one known key past the committed watermark
+        conv = "conv-00000001"
+        vb = int(vb_of_conv(__import__("numpy").array([conv], dtype=object),
+                            lake.store.load_current().num_vbuckets)[0])
+        wm = lake.store.load_current().watermarks
+        delta_dir = tmp_path / f"delta_{name}" / f"vb_{vb:04d}"
+        delta_dir.mkdir(parents=True)
+        row = pa.table({
+            "vb": pa.array([vb], pa.uint16()),
+            "seqno": pa.array([wm.get(vb, 0) + 1], pa.uint64()),
+            "cas": pa.array([1], pa.uint64()),
+            "rev_no": pa.array([9], pa.uint64()),
+            "op": pa.array(["mutation"]),
+            "collection": pa.array(["_default"]),
+            "event_time": pa.array([0], pa.timestamp("us")),
+            "conv_id": pa.array([conv]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["system"]),
+            "text": pa.array(["post-compact delta"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([5], pa.timestamp("us")),
+        })
+        pq.write_table(row, str(delta_dir / "part-000.parquet"))
+        pipe.run(str(tmp_path / f"delta_{name}"))
+        lakes[name] = lake.to_pandas_sorted()
+
+    assert_final_state_equal(lakes["plain"], lakes["compacted"])
+    hit = lakes["compacted"].query("conv_id == 'conv-00000001' and turn_idx == 0")
+    assert list(hit["text"]) == ["post-compact delta"]
+
+
 def test_gc_removes_uncommitted_runs(tiny_fixture, tmp_path):
     lake = Lake(str(tmp_path / "lake"))
     wal = os.path.join(tiny_fixture, "wal")
