@@ -130,18 +130,41 @@ def _q_cdc_mutations_stream(sf_dir: str):
 
 
 def _q_cdc_op_counts(sf_dir: str):
-    """Event-normalizer parity: per-op event counts over valid events."""
+    """Event-normalizer parity: per-op event counts over valid events.
+    Column-pruned read + per-batch partial counts before the (tiny)
+    groupby — the pre-aggregation rule for wide reductions."""
+    import pyarrow as pa
+
     from dcpray.sources import wal as walmod
+    from dcpray.sources.io import read_parquet_fast
     from dcpray.stages.reject import make_reject_filter
 
     fx = _fx(sf_dir)
-    ds, _ = walmod.read_wal(os.path.join(fx, "wal"))
-    ds = ds.map_batches(
-        make_reject_filter(walmod.watermark_array({}, 1), None), batch_format="pyarrow"
+    infos = walmod.scan_wal(os.path.join(fx, "wal"))
+    ds = read_parquet_fast(
+        [i.path for i in infos],
+        columns=["vb", "seqno", "conv_id", "turn_idx", "op"],
     )
-    from ray.data.aggregate import Count
+    validate = make_reject_filter(walmod.watermark_array({}, 1), None)
 
-    out = ds.groupby("op").aggregate(Count(alias_name="n")).to_pandas()
+    def partial(t: pa.Table) -> pa.Table:
+        t = validate(t)
+        vc = t["op"].value_counts()
+        return pa.table(
+            {
+                "op": vc.field("values"),
+                "n_part": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("op")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
     out["n"] = out["n"].astype("int64")
     return out
 
