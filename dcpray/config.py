@@ -44,7 +44,10 @@ class ReplayConfig:
     # actor-pool sizing for stateful merge appliers when used via map_batches
     merge_concurrency: tuple[int, int] = (2, 8)
     # collection → output table routing (reference collectionTopicMapping,
-    # connector.go:125-140); None → single transcripts table
+    # connector.go:125-140); None → single transcripts table. Multi-table
+    # routing is performed by pipelines/route.py:replay_routed, which takes
+    # collection → Lake directly; this field documents the mapping for
+    # config-file-driven deployments.
     collection_table_mapping: dict[str, str] | None = None
     # retained for parity / documentation with the reference defaults
     reference_defaults: dict = field(
