@@ -41,8 +41,16 @@ class ReplayConfig:
     rejection_include_value: bool = True  # config.go:42-45 rejectionLog.includeValue
     # read-side file pruning using parquet footer stats vs the watermark
     prune_files: bool = True
-    # actor-pool sizing for stateful merge appliers when used via map_batches
+    # stateful merge-applier actor pool (aligned strategy): keeps each
+    # bucket's committed table cached in its pinned actor across runs, so
+    # a continuous tail merges deltas against memory instead of re-reading
+    # lake files (stages/aligned.py MergeApplier). False → stateless tasks.
+    merge_actor_pool: bool = False
+    # pool sizing: (min unused, max = pool size); also the legacy
+    # actor-concurrency knob for map_batches-based stages
     merge_concurrency: tuple[int, int] = (2, 8)
+    # per-actor cache bound (total cached rows across its buckets)
+    merge_cache_rows: int = 2_000_000
     # collection → output table routing (reference collectionTopicMapping,
     # connector.go:125-140); None → single transcripts table. Multi-table
     # routing is performed by pipelines/route.py:replay_routed, which takes

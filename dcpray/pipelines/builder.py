@@ -55,6 +55,31 @@ class Pipeline:
         self.handler = handler
         self.completion = completion
         self.log = logger
+        self._pool = None
+
+    def _merge_pool(self):
+        """Lazily create (and keep, across run/tail calls) the stateful
+        merge-applier actor pool when configured."""
+        if not self.config.merge_actor_pool:
+            return None
+        if self._pool is None:
+            from dcpray.stages.aligned import make_merge_pool
+
+            self._pool = make_merge_pool(
+                max(self.config.merge_concurrency),
+                self.config.merge_cache_rows,
+            )
+        return self._pool
+
+    def close(self) -> None:
+        """Release the actor pool (the analogue of connector.Close,
+        connector.go:58-64). Safe to call multiple times."""
+        if self._pool is not None:
+            import ray
+
+            for a in self._pool:
+                ray.kill(a)
+            self._pool = None
 
     def tail(self, wal_dir: str, *, base_snapshot_dir: str | None = None,
              poll_interval_s: float = 2.0, max_polls: int | None = None,
@@ -99,6 +124,7 @@ class Pipeline:
                 config=self.config,
                 mapper=self.mapper,
                 base_snapshot_dir=base_snapshot_dir,
+                merge_pool=self._merge_pool(),
                 **kwargs,
             )
         except BaseException as e:

@@ -133,6 +133,7 @@ def replay(
     copy_forward: bool = True,
     max_files: int | None = None,
     strict_watermark_rows: bool = False,
+    merge_pool: list | None = None,
 ) -> RunResult:
     """Replay (the unprocessed part of) a WAL into the lake. Returns after
     the manifest commit; Ray must already be initialized by the caller.
@@ -200,6 +201,7 @@ def replay(
     )
     if strategy == "aligned":
         ctx["early_splits"] = (early_num_vb, early_splits) if early_splits else None
+        ctx["merge_pool"] = merge_pool
     t1 = time.perf_counter()
     if strategy == "aligned":
         stats, carried, num_vbuckets = _run_aligned(**ctx, phase_t=phase_t)
@@ -234,6 +236,8 @@ def replay(
     for k in ("t_wal_s", "t_base_s", "t_merge_s"):
         if stats and k in stats[0]:
             metrics[f"{k}_sum"] = round(sum(s[k] for s in stats), 2)
+    if stats and "base_cache_hit" in stats[0]:
+        metrics["base_cache_hits"] = sum(1 for s in stats if s["base_cache_hit"])
     if stats:
         # skew observability: a hot conversation shows up as one bucket's
         # rows_in far above the mean (north-rule skew handling is the
@@ -265,7 +269,7 @@ def replay(
 def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
                  num_buckets, salted, strategy, delta_schema, copy_forward,
                  base_snapshot_dir, observed_num_vb, phase_t=None,
-                 early_splits=None):
+                 early_splits=None, merge_pool=None):
     """Shuffle-free per-bucket merge (stages/aligned.py). Returns
     (stats_rows, carried_files, num_vbuckets)."""
     phase_t = phase_t if phase_t is not None else {}
@@ -334,12 +338,6 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     mschema = merge_schema_from(mapped_schema, base_schema)
     mschema = pa.schema([f for f in mschema if f.name != BUCKET_COL])
 
-    merger = make_aligned_merger(
-        lake.lake_dir, run_id, mschema, wm_arr,
-        mapper=mapper,
-        rejection_log=cfg.rejection_log,
-        rejection_include_value=cfg.rejection_include_value,
-    )
     # raw-task fan-out (see make_aligned_merger docstring for why not a
     # Dataset stage); largest buckets first for better core packing
     import ray
@@ -347,14 +345,39 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     rows_of = {b: sum(i.rows for i in infos if i.vb % num_buckets == b)
                for b in by_bucket}
     order = sorted(by_bucket, key=lambda b: -rows_of[b])
-    merge_task = ray.remote(num_cpus=1, max_retries=3)(merger)
-    stats = ray.get([
-        merge_task.remote(
-            b, by_bucket[b], base_of.get(b, []),
-            *((base_refs or {}).get(b, ())),
+    if merge_pool:
+        # stateful merge-applier actor pool: bucket → actor affinity so a
+        # continuous tail merges each delta against the actor's cached
+        # copy of the committed bucket (stages/aligned.py MergeApplier)
+        from dcpray.stages.aligned import merge_bucket  # noqa: F401 (spec path)
+
+        spec = dict(
+            lake_dir=lake.lake_dir, run_id=run_id, merge_schema=mschema,
+            wm_arr=wm_arr, mapper=mapper, rejection_log=cfg.rejection_log,
+            rejection_include_value=cfg.rejection_include_value,
         )
-        for b in order
-    ])
+        stats = ray.get([
+            merge_pool[b % len(merge_pool)].merge.remote(
+                spec, b, by_bucket[b], base_of.get(b, []),
+                *((base_refs or {}).get(b, ())),
+            )
+            for b in order
+        ])
+    else:
+        merger = make_aligned_merger(
+            lake.lake_dir, run_id, mschema, wm_arr,
+            mapper=mapper,
+            rejection_log=cfg.rejection_log,
+            rejection_include_value=cfg.rejection_include_value,
+        )
+        merge_task = ray.remote(num_cpus=1, max_retries=3)(merger)
+        stats = ray.get([
+            merge_task.remote(
+                b, by_bucket[b], base_of.get(b, []),
+                *((base_refs or {}).get(b, ())),
+            )
+            for b in order
+        ])
     return stats, carried, num_vbuckets
 
 

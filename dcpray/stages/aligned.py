@@ -57,6 +57,121 @@ def _cap_arrow_threads(n: int = 2) -> None:
         pa.set_io_thread_count(n)
 
 
+_LAKE_RENAMES = {"_seqno": "seqno", "_op": "op"}
+_OUT_RENAMES = {"seqno": "_seqno", "op": "_op"}
+
+
+def _prep_to(t: pa.Table, payload_schema: pa.Schema) -> pa.Table:
+    """normalize to the merge schema; fill lake-side seqno/op."""
+    if "_seqno" in t.schema.names or "_op" in t.schema.names:
+        t = t.rename_columns([_LAKE_RENAMES.get(c, c) for c in t.schema.names])
+    t = normalize_to(t, payload_schema)
+    i = t.schema.get_field_index("op")
+    t = t.set_column(i, "op", pc.fill_null(t["op"], OP_MUTATION))
+    i = t.schema.get_field_index("seqno")
+    return t.set_column(i, "seqno", pc.fill_null(t["seqno"], 0))
+
+
+def merge_bucket(
+    spec: dict,
+    bucket: int,
+    wal_paths: list[str],
+    base_paths: list[str],
+    base_tables: tuple = (),
+    return_table: bool = False,
+):
+    """One bucket's whole pipeline: chunked WAL read → validate/DLQ →
+    mapper → local LWW → merge against base (files and/or in-memory
+    tables) → stable sort → tmp+rename Parquet write → stats dict.
+
+    ``spec`` carries the per-run parameters (lake_dir, run_id,
+    merge_schema, wm_arr, mapper, rejection knobs, chunk_rows) so both
+    the stateless task path and the stateful actor pool share this
+    function. ``base_tables`` may be staged bootstrap slices or an
+    actor's cached copy of the committed bucket."""
+    import time
+
+    _cap_arrow_threads()
+    t_start = time.perf_counter()
+    lake_dir = spec["lake_dir"]
+    run_id = spec["run_id"]
+    payload_schema = spec["merge_schema"]
+    mapper = spec.get("mapper")
+    rejected_dir = None
+    if spec.get("rejection_log", True):
+        rejected_dir = os.path.join(lake_dir, "rejected", run_id, f"b{bucket:05d}")
+        os.makedirs(rejected_dir, exist_ok=True)
+    validate = make_reject_filter(
+        spec["wm_arr"], rejected_dir, spec.get("rejection_include_value", True)
+    )
+    chunk_rows = spec.get("chunk_rows", 1_000_000)
+
+    # ---- WAL side: chunked read → validate → mapper → local LWW ----
+    partials: list[pa.Table] = []
+    pending: list[pa.Table] = []
+    pending_rows = 0
+    rows_in = 0
+
+    def _reduce_pending():
+        nonlocal pending, pending_rows
+        if not pending:
+            return
+        chunk = pa.concat_tables(pending, promote_options="permissive")
+        pending, pending_rows = [], 0
+        chunk = validate(chunk)
+        if mapper is not None:
+            chunk = mapper(chunk)
+        if chunk.num_rows:
+            partials.append(lww_filter(_prep_to(chunk, payload_schema)))
+
+    for p in wal_paths:
+        t = pq.read_table(p)
+        rows_in += t.num_rows
+        pending.append(t)
+        pending_rows += t.num_rows
+        if pending_rows >= chunk_rows:
+            _reduce_pending()
+    _reduce_pending()
+    t_wal = time.perf_counter()
+
+    # ---- base side: committed bucket file / staged slices / actor cache ----
+    for p in base_paths:
+        partials.append(lww_filter(_prep_to(pq.read_table(p), payload_schema)))
+    for s in base_tables:
+        partials.append(lww_filter(_prep_to(s, payload_schema)))
+
+    t_base = time.perf_counter()
+    if partials:
+        t = lww_filter(pa.concat_tables(partials, promote_options="none"))
+    else:
+        t = payload_schema.empty_table()
+
+    # winning tombstones are PERSISTED (see merge.py for the rule)
+    n_live = pc.sum(pc.equal(t["op"], OP_MUTATION)).as_py() or 0
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    t = t.rename_columns([_OUT_RENAMES.get(c, c) for c in t.schema.names])
+
+    rel = os.path.join("data", run_id, f"bucket-{bucket:05d}.parquet")
+    path = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.rename(tmp, path)
+    t_end = time.perf_counter()
+    stats = {
+        "bucket": bucket,
+        "rows_in": rows_in,
+        "rows_out": int(n_live),
+        "tombstoned_keys": t.num_rows - int(n_live),
+        "path": rel,
+        "bytes": os.path.getsize(path),
+        "t_wal_s": round(t_wal - t_start, 4),
+        "t_base_s": round(t_base - t_wal, 4),
+        "t_merge_s": round(t_end - t_base, 4),
+    }
+    return (stats, t) if return_table else (stats, None)
+
+
 def make_aligned_merger(
     lake_dir: str,
     run_id: str,
@@ -68,10 +183,9 @@ def make_aligned_merger(
     rejection_include_value: bool = True,
     chunk_rows: int = 1_000_000,
 ):
-    """Returns ``merge_one(bucket, wal_paths, base_paths) -> stats dict``
-    performing the whole per-bucket pipeline. Output files are
-    tmp+renamed so task retries are idempotent; nothing is visible until
-    the manifest commit.
+    """Returns ``merge_one(bucket, wal_paths, base_paths, *slices) ->
+    stats dict``. Output files are tmp+renamed so task retries are
+    idempotent; nothing is visible until the manifest commit.
 
     Dispatched as plain ``ray.remote`` tasks rather than a Dataset stage:
     the fan-out is a fixed list of a few hundred independent, internally
@@ -80,109 +194,88 @@ def make_aligned_merger(
     identical closure at 32 CPUs on the 10M-event fixture) for machinery
     — block accounting, per-op backpressure — that buys nothing here. All
     row-level transforms stay in the Dataset API; task retries +
-    idempotent writes preserve the semantics."""
-    lake_renames = {"_seqno": "seqno", "_op": "op"}
-    out_renames = {"seqno": "_seqno", "op": "_op"}
-    payload_schema = merge_schema
+    idempotent writes preserve the semantics.
 
-    def _prep(t: pa.Table) -> pa.Table:
-        """normalize to the merge schema; fill lake-side seqno/op."""
-        if "_seqno" in t.schema.names or "_op" in t.schema.names:
-            t = t.rename_columns([lake_renames.get(c, c) for c in t.schema.names])
-        t = normalize_to(t, payload_schema)
-        i = t.schema.get_field_index("op")
-        t = t.set_column(i, "op", pc.fill_null(t["op"], OP_MUTATION))
-        i = t.schema.get_field_index("seqno")
-        return t.set_column(i, "seqno", pc.fill_null(t["seqno"], 0))
+    ``*base_slices`` (staged bootstrap tables) are passed as TASK
+    ARGUMENTS, not fetched in a ray.get loop: Ray resolves them before
+    the task starts — one batched pull instead of ~25 serial IPC
+    round-trips (the get loop was the top contention source at 32
+    concurrent tasks; t_base 51 CPU-s → ~0)."""
+    spec = dict(
+        lake_dir=lake_dir, run_id=run_id, merge_schema=merge_schema,
+        wm_arr=wm_arr, mapper=mapper, rejection_log=rejection_log,
+        rejection_include_value=rejection_include_value, chunk_rows=chunk_rows,
+    )
 
-    def merge_one(
-        bucket: int,
-        wal_paths: list[str],
-        base_paths: list[str],
-        *base_slices: pa.Table,
-    ) -> dict:
-        """``base_slices`` are this bucket's staged bootstrap slices,
-        passed as TASK ARGUMENTS (not fetched in a ray.get loop): Ray
-        resolves them before the task starts, so the object store serves
-        one batched pull per task instead of ~25 serial IPC round-trips —
-        the get loop was the top contention source at 32 concurrent
-        tasks (t_base 51 CPU-s → ~0)."""
-        import time
-
-        _cap_arrow_threads()
-        t_start = time.perf_counter()
-        rejected_dir = None
-        if rejection_log:
-            rejected_dir = os.path.join(lake_dir, "rejected", run_id, f"b{bucket:05d}")
-            os.makedirs(rejected_dir, exist_ok=True)
-        validate = make_reject_filter(wm_arr, rejected_dir, rejection_include_value)
-
-        # ---- WAL side: chunked read → validate → mapper → local LWW ----
-        partials: list[pa.Table] = []
-        pending: list[pa.Table] = []
-        pending_rows = 0
-        rows_in = 0
-
-        def _reduce_pending():
-            nonlocal pending, pending_rows
-            if not pending:
-                return
-            chunk = pa.concat_tables(pending, promote_options="permissive")
-            pending, pending_rows = [], 0
-            chunk = validate(chunk)
-            if mapper is not None:
-                chunk = mapper(chunk)
-            if chunk.num_rows:
-                partials.append(lww_filter(_prep(chunk)))
-
-        for p in wal_paths:
-            t = pq.read_table(p)
-            rows_in += t.num_rows
-            pending.append(t)
-            pending_rows += t.num_rows
-            if pending_rows >= chunk_rows:
-                _reduce_pending()
-        _reduce_pending()
-        t_wal = time.perf_counter()
-
-        # ---- base side: committed bucket file and/or staged bootstrap
-        # slices (object-store values resolved by Ray before task start) ----
-        for p in base_paths:
-            partials.append(lww_filter(_prep(pq.read_table(p))))
-        for s in base_slices:
-            partials.append(lww_filter(_prep(s)))
-
-        t_base = time.perf_counter()
-        if partials:
-            t = lww_filter(pa.concat_tables(partials, promote_options="none"))
-        else:
-            t = payload_schema.empty_table()
-
-        # winning tombstones are PERSISTED (see merge.py for the rule)
-        n_live = pc.sum(pc.equal(t["op"], OP_MUTATION)).as_py() or 0
-        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-        t = t.rename_columns([out_renames.get(c, c) for c in t.schema.names])
-
-        rel = os.path.join("data", run_id, f"bucket-{bucket:05d}.parquet")
-        path = os.path.join(lake_dir, rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp-{os.getpid()}"
-        pq.write_table(t, tmp)
-        os.rename(tmp, path)
-        t_end = time.perf_counter()
-        return {
-            "bucket": bucket,
-            "rows_in": rows_in,
-            "rows_out": int(n_live),
-            "tombstoned_keys": t.num_rows - int(n_live),
-            "path": rel,
-            "bytes": os.path.getsize(path),
-            "t_wal_s": round(t_wal - t_start, 4),
-            "t_base_s": round(t_base - t_wal, 4),
-            "t_merge_s": round(t_end - t_base, 4),
-        }
+    def merge_one(bucket, wal_paths, base_paths, *base_slices):
+        return merge_bucket(spec, bucket, wal_paths, base_paths, base_slices)[0]
 
     return merge_one
+
+
+class MergeApplier:
+    """STATEFUL merge-applier (wrap with ``ray.remote`` via
+    make_merge_pool): the actor-pool analogue of the reference's
+    long-lived producer holding the compacted topic's latest-per-key
+    state (SURVEY §2 K1/K2). Each bucket is pinned to one actor
+    (``bucket % pool_size``), which caches the bucket's committed table
+    across runs — a continuous tail then merges each delta against the
+    in-memory copy instead of re-reading the lake file (cache validated
+    by the exact file path it wrote; any mismatch, restart, or eviction
+    falls back to reading base_paths, so correctness never depends on the
+    cache). Cache is LRU-bounded by total rows per actor."""
+
+    def __init__(self, cache_rows_limit: int = 2_000_000):
+        self._cache: dict[int, tuple[str, pa.Table]] = {}
+        self._lru: list[int] = []
+        self._rows = 0
+        self._limit = cache_rows_limit
+
+    def _remember(self, bucket: int, path: str, table: pa.Table) -> None:
+        old = self._cache.pop(bucket, None)
+        if old is not None:
+            self._rows -= old[1].num_rows
+            self._lru.remove(bucket)
+        self._cache[bucket] = (path, table)
+        self._lru.append(bucket)
+        self._rows += table.num_rows
+        while self._rows > self._limit and len(self._lru) > 1:
+            ev = self._lru.pop(0)
+            self._rows -= self._cache.pop(ev)[1].num_rows
+
+    def merge(self, spec, bucket, wal_paths, base_paths, *base_slices):
+        tables = list(base_slices)
+        hit = False
+        cached = self._cache.get(bucket)
+        if cached is not None and list(base_paths) == [cached[0]]:
+            tables.append(cached[1])
+            base_paths = []
+            hit = True
+        stats, out = merge_bucket(
+            spec, bucket, wal_paths, list(base_paths), tuple(tables),
+            return_table=True,
+        )
+        self._remember(bucket, os.path.join(spec["lake_dir"], stats["path"]), out)
+        stats["base_cache_hit"] = hit
+        return stats
+
+
+def make_merge_pool(size: int, cache_rows_limit: int = 2_000_000):
+    """Create the stateful merge-applier actor pool (one per slot;
+    bucket → actor affinity is bucket % size). A failed actor fails the
+    run — the committed manifest is untouched and the rerun (cold cache)
+    converges, the same crash contract as the stateless path.
+
+    Actors reserve 0 logical CPUs: a long-lived pool that pinned one CPU
+    per idle actor would starve the scan/bootstrap tasks that must run
+    between deltas (observed as a scheduling deadlock when pool size =
+    cluster CPUs). The pool SIZE is the concurrency control — each actor
+    processes one merge at a time — so size it to the cores you want the
+    merge phase to use."""
+    import ray
+
+    cls = ray.remote(num_cpus=0)(MergeApplier)
+    return [cls.remote(cache_rows_limit) for _ in range(size)]
 
 
 def _split_snapshot_file(path: str, num_vbuckets: int, num_buckets: int):

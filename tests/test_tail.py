@@ -74,3 +74,41 @@ def test_wrong_vb_modulus_detected(tiny_fixture, tmp_path):
         shutil.copy(p, dst)
     with pytest.raises(ValueError, match="num_vbuckets"):
         pipe.run(str(live_wal))
+
+
+def test_tail_with_merge_actor_pool(tiny_fixture, tmp_path):
+    """Stateful merge-applier pool: identical final state, and the second
+    delta batch merges against the actors' cached bucket tables (cache
+    hits reported in metrics) instead of re-reading lake files."""
+    from dcpray import ReplayConfig
+
+    wal_src = os.path.join(tiny_fixture, "wal")
+    files = sorted(glob.glob(os.path.join(wal_src, "**", "*.parquet"), recursive=True))
+    live_wal = tmp_path / "wal_live"
+    half = len(files) // 2
+
+    def land(paths):
+        for p in paths:
+            dst = live_wal / os.path.relpath(p, wal_src)
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy(p, dst)
+
+    cfg = ReplayConfig(num_buckets=16, num_vbuckets=8, merge_actor_pool=True,
+                       merge_concurrency=(2, 4))
+    pipe = PipelineBuilder(str(tmp_path / "lake"), cfg).build()
+    land(files[:half])
+    r1 = pipe.tail(str(live_wal), base_snapshot_dir=os.path.join(tiny_fixture, "base"),
+                   poll_interval_s=0.01, max_polls=1)
+    assert r1[0].metrics.get("base_cache_hits") == 0  # bootstrap: nothing cached
+    land(files[half:])
+    r2 = pipe.tail(str(live_wal), poll_interval_s=0.01, idle_polls_to_stop=2)
+    assert r2[0].metrics["base_cache_hits"] == r2[0].metrics["buckets_written"]
+    pipe.close()
+
+    ref = PipelineBuilder(str(tmp_path / "ref"),
+                          ReplayConfig(num_buckets=16, num_vbuckets=8)).build()
+    ref.run(wal_src, base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    assert_final_state_equal(
+        Lake(str(tmp_path / "lake")).to_pandas_sorted(),
+        Lake(str(tmp_path / "ref")).to_pandas_sorted(),
+    )
