@@ -362,6 +362,25 @@ def _q_ann_ivf_topk(sf_dir: str):
                     concurrency=4).select_columns(["query_id", "vec_id"])
 
 
+def _q_ann_ivf_full_probe(sf_dir: str):
+    """IVF with nprobe == nlist probes every list — exact by
+    construction, so the brute-force SQL oracle applies. (The default
+    ann_ivf_topk query keeps nprobe < nlist to exercise the approximate
+    scale path; its recall is tested in tests/test_functions.py.)"""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dcpray.functions.ann import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).slice(0, 5)
+    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    qids = head["vec_id"].to_numpy()
+    return ivf_topk(rd.read_parquet(path), q, qids, k=10, nlist=16, nprobe=16,
+                    concurrency=4).select_columns(["query_id", "vec_id"])
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -426,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint_md5": _q_text_fingerprint_md5,
         "quality_score": _q_quality_score,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_full_probe": _q_ann_ivf_full_probe,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -549,6 +569,15 @@ SELECT x.vec_id a, y.vec_id b,
        round(list_cosine_similarity(x.embedding, y.embedding), 4) cosine
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4""",
+        "ann_ivf_full_probe": """
+WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
+SELECT query_id, vec_id FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                     e.vec_id) rn
+  FROM q CROSS JOIN embeddings e
+) WHERE rn <= 10""",
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) n_events, round(sum(value), 4) sum_value
