@@ -51,6 +51,12 @@ class ReplayConfig:
     merge_concurrency: tuple[int, int] = (2, 8)
     # per-actor cache bound (total cached rows across its buckets)
     merge_cache_rows: int = 2_000_000
+    # aligned-strategy straggler mitigation: a bucket whose delta exceeds
+    # this many raw events is split into parallel partial LWW reduces
+    # (stages/aligned.py partial_reduce) feeding one final merge —
+    # equivalent by LWW associativity, and the aligned-mode form of the
+    # north rule's hot-key salting
+    hot_bucket_rows: int = 4_000_000
     # collection → output table routing (reference collectionTopicMapping,
     # connector.go:125-140); None → single transcripts table. Multi-table
     # routing is performed by pipelines/route.py:replay_routed, which takes

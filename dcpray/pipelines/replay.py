@@ -273,11 +273,7 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     """Shuffle-free per-bucket merge (stages/aligned.py). Returns
     (stats_rows, carried_files, num_vbuckets)."""
     phase_t = phase_t if phase_t is not None else {}
-    from dcpray.stages.aligned import (
-        collect_snapshot_splits,
-        make_aligned_merger,
-        stage_base_snapshot,
-    )
+    from dcpray.stages.aligned import collect_snapshot_splits, stage_base_snapshot
 
     # the vb modulus of the stream: fixed at lake creation, else pinned by
     # config, else the full-scan observation
@@ -345,39 +341,67 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     rows_of = {b: sum(i.rows for i in infos if i.vb % num_buckets == b)
                for b in by_bucket}
     order = sorted(by_bucket, key=lambda b: -rows_of[b])
+
+    # hot-bucket split: a flooded bucket's segments reduce in parallel
+    # partial-LWW tasks that feed its one merge (exact by associativity)
+    from dcpray.stages.aligned import partial_reduce
+
+    spec = dict(
+        lake_dir=lake.lake_dir, run_id=run_id, merge_schema=mschema,
+        wm_arr=wm_arr, mapper=mapper, rejection_log=cfg.rejection_log,
+        rejection_include_value=cfg.rejection_include_value,
+    )
+    wal_of: dict[int, list] = {}
+    parts_of: dict[int, list] = {}
+    n_hot = 0
+    partial_task = None
+    for b in order:
+        paths = by_bucket[b]
+        if rows_of[b] > cfg.hot_bucket_rows and len(paths) > 1:
+            if partial_task is None:
+                partial_task = ray.remote(num_cpus=1, max_retries=3)(partial_reduce)
+            n_groups = min(len(paths),
+                           max(2, (2 * rows_of[b]) // cfg.hot_bucket_rows))
+            groups = [paths[i::n_groups] for i in range(int(n_groups))]
+            parts_of[b] = [partial_task.remote(spec, b, g) for g in groups]
+            wal_of[b] = []
+            n_hot += 1
+        else:
+            wal_of[b] = paths
+            parts_of[b] = []
+    phase_t["hot_buckets_split"] = n_hot
+
     if merge_pool:
         # stateful merge-applier actor pool: bucket → actor affinity so a
         # continuous tail merges each delta against the actor's cached
         # copy of the committed bucket (stages/aligned.py MergeApplier)
-        from dcpray.stages.aligned import merge_bucket  # noqa: F401 (spec path)
-
-        spec = dict(
-            lake_dir=lake.lake_dir, run_id=run_id, merge_schema=mschema,
-            wm_arr=wm_arr, mapper=mapper, rejection_log=cfg.rejection_log,
-            rejection_include_value=cfg.rejection_include_value,
-        )
         stats = ray.get([
             merge_pool[b % len(merge_pool)].merge.remote(
-                spec, b, by_bucket[b], base_of.get(b, []),
-                *((base_refs or {}).get(b, ())),
+                spec, b, wal_of[b], base_of.get(b, []),
+                *parts_of[b], *((base_refs or {}).get(b, ())),
             )
             for b in order
         ])
     else:
-        merger = make_aligned_merger(
-            lake.lake_dir, run_id, mschema, wm_arr,
-            mapper=mapper,
-            rejection_log=cfg.rejection_log,
-            rejection_include_value=cfg.rejection_include_value,
-        )
-        merge_task = ray.remote(num_cpus=1, max_retries=3)(merger)
+        from dcpray.stages.aligned import merge_bucket
+
+        def _merge(b, wal_paths, base_paths, *base_tables):
+            return merge_bucket(spec, b, wal_paths, base_paths, base_tables)[0]
+
+        merge_task = ray.remote(num_cpus=1, max_retries=3)(_merge)
         stats = ray.get([
             merge_task.remote(
-                b, by_bucket[b], base_of.get(b, []),
-                *((base_refs or {}).get(b, ())),
+                b, wal_of[b], base_of.get(b, []),
+                *parts_of[b], *((base_refs or {}).get(b, ())),
             )
             for b in order
         ])
+    # a split bucket's merge saw partial tables, not raw WAL rows — report
+    # the true delta size for skew observability
+    for s in stats:
+        b = int(s["bucket"])
+        if parts_of.get(b):
+            s["rows_in"] = rows_of[b]
     return stats, carried, num_vbuckets
 
 

@@ -342,3 +342,60 @@ def stage_base_snapshot(
     return collect_snapshot_splits(
         submit_snapshot_splits(snap_paths, num_vbuckets, num_buckets)
     )
+
+
+def partial_reduce(spec: dict, bucket: int, wal_paths: list[str]) -> pa.Table:
+    """Hot-bucket straggler mitigation: the WAL side of merge_bucket only
+    (read → validate/DLQ → mapper → local LWW), returning the reduced
+    partial instead of writing a file. A version-flooded bucket's segment
+    list is split across several of these in parallel; LWW's
+    associativity makes feeding the partials into the final merge task
+    exactly equivalent to one sequential pass — the aligned-strategy
+    form of the north rule's salted sub-key splitting (sub-key = segment
+    range instead of turn hash, so the lake's bucket layout is
+    untouched)."""
+    _cap_arrow_threads()
+    payload_schema = spec["merge_schema"]
+    mapper = spec.get("mapper")
+    rejected_dir = None
+    if spec.get("rejection_log", True):
+        rejected_dir = os.path.join(
+            spec["lake_dir"], "rejected", spec["run_id"], f"b{bucket:05d}"
+        )
+        os.makedirs(rejected_dir, exist_ok=True)
+    validate = make_reject_filter(
+        spec["wm_arr"], rejected_dir, spec.get("rejection_include_value", True)
+    )
+    chunk_rows = spec.get("chunk_rows", 1_000_000)
+
+    partials: list[pa.Table] = []
+    pending: list[pa.Table] = []
+    pending_rows = 0
+    rows_in = 0
+
+    def _reduce_pending():
+        nonlocal pending, pending_rows
+        if not pending:
+            return
+        chunk = pa.concat_tables(pending, promote_options="permissive")
+        pending, pending_rows = [], 0
+        chunk = validate(chunk)
+        if mapper is not None:
+            chunk = mapper(chunk)
+        if chunk.num_rows:
+            partials.append(lww_filter(_prep_to(chunk, payload_schema)))
+
+    for p in wal_paths:
+        t = pq.read_table(p)
+        rows_in += t.num_rows
+        pending.append(t)
+        pending_rows += t.num_rows
+        if pending_rows >= chunk_rows:
+            _reduce_pending()
+    _reduce_pending()
+    if not partials:
+        out = payload_schema.empty_table()
+    else:
+        out = lww_filter(pa.concat_tables(partials, promote_options="none"))
+    # rows_in travels as table metadata so the merge task can report it
+    return out.replace_schema_metadata({b"rows_in": str(rows_in).encode()})

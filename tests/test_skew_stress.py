@@ -64,6 +64,8 @@ def test_hot_key_flood_both_strategies(tmp_path):
             lake, wal,
             config=ReplayConfig(num_buckets=8, num_vbuckets=NUM_VB, strategy=strategy),
         )
+        if strategy == "aligned":
+            assert res.metrics["hot_buckets_split"] == 0  # under threshold
         assert res.metrics["events_in"] == N_FLOOD
         df = lake.to_pandas_sorted()
         assert len(df) == len(expect), strategy
@@ -76,3 +78,23 @@ def test_hot_key_flood_both_strategies(tmp_path):
             # salted precombine collapsed the flood BEFORE the shuffle:
             # merge-side rows_in is per-block-reduced (≤ blocks × turns)
             assert res.metrics["bucket_rows_in_max"] < 1000
+
+
+def test_hot_bucket_split_equals_unsplit(tmp_path):
+    """With the threshold forced tiny, the flooded bucket's segments are
+    reduced by parallel partial-LWW tasks feeding one merge — identical
+    final state to the unsplit path (LWW associativity)."""
+    wal, expect = _make_wal(tmp_path)
+    plain = Lake(str(tmp_path / "plain"))
+    replay(plain, wal, config=ReplayConfig(num_buckets=8, num_vbuckets=NUM_VB))
+
+    split = Lake(str(tmp_path / "split"))
+    res = replay(split, wal,
+                 config=ReplayConfig(num_buckets=8, num_vbuckets=NUM_VB,
+                                     hot_bucket_rows=50_000))
+    assert res.metrics["hot_buckets_split"] == 1
+    assert res.metrics["bucket_rows_in_max"] == N_FLOOD  # true delta reported
+
+    a = plain.to_pandas_sorted()
+    b = split.to_pandas_sorted()
+    assert a.equals(b) and len(a) == len(expect)
