@@ -151,3 +151,36 @@ def test_gc_removes_uncommitted_runs(tiny_fixture, tmp_path):
     assert stats["removed_run_dirs"] == 1
     assert not os.path.exists(orphan)
     assert_final_state_equal(before, lake.to_pandas_sorted())
+
+
+def test_failing_mapper_leaves_lake_untouched(tiny_fixture, tmp_path):
+    """A poison mapper fails the run (after Ray task retries); on_error
+    fires, no manifest commits, and a rerun with a good mapper converges
+    — the crash-and-replay contract (reference producer_batch.go:117-121
+    panic path)."""
+    import pytest
+
+    def bad_mapper(batch):
+        raise RuntimeError("poison mapper")
+
+    handler = RecordingHandler()
+    pipe = (
+        PipelineBuilder(str(tmp_path / "lake"), ReplayConfig(num_buckets=16))
+        .set_mapper(bad_mapper)
+        .set_sink_response_handler(handler)
+        .build()
+    )
+    with pytest.raises(Exception):
+        pipe.run(os.path.join(tiny_fixture, "wal"),
+                 base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    assert len(handler.errors) == 1
+    lake = Lake(str(tmp_path / "lake"))
+    assert lake.store.load_current() is None  # nothing committed
+
+    good = (
+        PipelineBuilder(str(tmp_path / "lake"), ReplayConfig(num_buckets=16))
+        .build()
+    )
+    res = good.run(os.path.join(tiny_fixture, "wal"),
+                   base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    assert res.committed

@@ -112,3 +112,40 @@ def test_tail_with_merge_actor_pool(tiny_fixture, tmp_path):
         Lake(str(tmp_path / "lake")).to_pandas_sorted(),
         Lake(str(tmp_path / "ref")).to_pandas_sorted(),
     )
+
+
+def test_long_tail_chain(tiny_fixture, tmp_path):
+    """Eight incremental arrival batches through the actor pool: every
+    batch commits, lineage chains through parents, final state equals
+    one-shot."""
+    from dcpray import ReplayConfig
+
+    wal_src = os.path.join(tiny_fixture, "wal")
+    files = sorted(glob.glob(os.path.join(wal_src, "**", "*.parquet"), recursive=True))
+    live_wal = tmp_path / "wal_live"
+    cfg = ReplayConfig(num_buckets=16, num_vbuckets=8, merge_actor_pool=True,
+                       merge_concurrency=(2, 3))
+    pipe = PipelineBuilder(str(tmp_path / "lake"), cfg).build()
+    step = max(1, len(files) // 8)
+    committed = 0
+    for i in range(0, len(files), step):
+        for p in files[i:i + step]:
+            dst = live_wal / os.path.relpath(p, wal_src)
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy(p, dst)
+        r = pipe.tail(str(live_wal),
+                      base_snapshot_dir=os.path.join(tiny_fixture, "base"),
+                      poll_interval_s=0.01, max_polls=1)
+        committed += len(r)
+    pipe.close()
+    assert committed >= 8
+    hist = Lake(str(tmp_path / "lake")).store.history()
+    assert [m.seq for m in hist] == list(range(1, committed + 1))
+    for a, b in zip(hist, hist[1:]):
+        assert b.parent == a.run_id
+
+    ref = PipelineBuilder(str(tmp_path / "ref"),
+                          ReplayConfig(num_buckets=16, num_vbuckets=8)).build()
+    ref.run(wal_src, base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    assert_final_state_equal(Lake(str(tmp_path / "lake")).to_pandas_sorted(),
+                             Lake(str(tmp_path / "ref")).to_pandas_sorted())
