@@ -87,10 +87,22 @@ def _atomic_write(path: str, data: str) -> None:
     os.rename(tmp, path)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same sequence number first. The
+    loser's work is untouched on disk but unreferenced; rerun replay —
+    it reloads the winner's manifest and processes only what remains."""
+
+
 class ManifestStore:
     """Load/commit manifests under <lake_dir>/manifests with a CURRENT
     pointer. ``Save``/``Load`` parity with metadata.Metadata
-    (kafka_metadata.go); ``Clear`` is dropping CURRENT."""
+    (kafka_metadata.go); ``Clear`` is dropping CURRENT.
+
+    Commits are optimistically concurrent: the manifest file is named by
+    its sequence number and created with link-if-absent, so two writers
+    that both loaded seq N and try to commit N+1 cannot both succeed —
+    the second gets ConcurrentCommitError instead of silently
+    overwriting the first's CURRENT (lost update)."""
 
     def __init__(self, lake_dir: str):
         self.lake_dir = lake_dir
@@ -107,9 +119,25 @@ class ManifestStore:
             return Manifest.from_json(f.read())
 
     def commit(self, manifest: Manifest) -> str:
-        """Atomically publish: manifest file first, CURRENT pointer last."""
-        name = f"manifest-{manifest.seq:06d}-{manifest.run_id}.json"
-        _atomic_write(os.path.join(self.manifest_dir, name), manifest.to_json())
+        """Atomically publish: seq-named manifest file first (exclusive —
+        raises ConcurrentCommitError on a seq collision), CURRENT pointer
+        last."""
+        name = f"manifest-{manifest.seq:06d}.json"
+        final = os.path.join(self.manifest_dir, name)
+        tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            f.write(manifest.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # fails with EEXIST if a racer won seq
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"seq {manifest.seq} already committed by another writer; "
+                "reload the manifest and rerun"
+            ) from None
+        os.unlink(tmp)
         _atomic_write(self.current_path, name)
         return name
 

@@ -166,3 +166,21 @@ def test_incremental_delete(tiny_fixture, tmp_path):
     assert len(state1) == len(state0) - 1
     gone = (state1["conv_id"] == victim["conv_id"]) & (state1["turn_idx"] == victim["turn_idx"])
     assert gone.sum() == 0
+
+
+def test_concurrent_commit_detected(tmp_path):
+    """Two writers that both loaded seq N cannot both commit N+1: the
+    second gets ConcurrentCommitError and the winner's CURRENT stands."""
+    import pytest
+
+    from dcpray.state.checkpoint import ConcurrentCommitError, Manifest, ManifestStore
+
+    store = ManifestStore(str(tmp_path / "lake"))
+    base = dict(parent=None, num_buckets=4, salted=True, watermarks={0: 1},
+                files=[], metrics={}, processed_wal=[], strategy="aligned",
+                num_vbuckets=4)
+    store.commit(Manifest(run_id="r-a", seq=1, **base))
+    store.commit(Manifest(run_id="r-b", seq=2, **base))
+    with pytest.raises(ConcurrentCommitError):
+        store.commit(Manifest(run_id="r-c", seq=2, **base))
+    assert store.load_current().run_id == "r-b"
