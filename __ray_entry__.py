@@ -191,6 +191,23 @@ def _q_cdc_watermarks(sf_dir: str):
     ).astype("int64")
 
 
+def _q_cdc_then_token_count(sf_dir: str):
+    """Composition: CDC replay → lazy lake Dataset → vectorized token
+    count — the shape of a real training-data pipeline consuming the
+    materialized transcripts."""
+    import pyarrow as pa
+
+    from dcpray.functions.textstats import token_count
+
+    lake = _replay_final(sf_dir, "compose")
+    ds = lake.read_current().select_columns(["conv_id", "turn_idx", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return token_count(t).drop_columns(["text"])
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -431,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_op_counts": _q_cdc_op_counts,
         "cdc_rejected_rows": _q_cdc_rejected_rows,
         "cdc_watermarks": _q_cdc_watermarks,
+        "cdc_then_token_count": _q_cdc_then_token_count,
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_text_token_count,
         "text_stats": _q_text_stats,
@@ -494,6 +512,10 @@ WHERE conv_id IS NULL OR turn_idx < 0 OR op NOT IN ('mutation','deletion','expir
         "cdc_watermarks": f"""
 SELECT CAST(vb AS BIGINT) vb, CAST(max(seqno) AS BIGINT) watermark
 FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true) GROUP BY vb""",
+        "cdc_then_token_count": rf"""
+SELECT conv_id, turn_idx,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens
+FROM ({lww_final})""",
         "dedup_exact": """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
