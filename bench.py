@@ -163,9 +163,20 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     Headline efficiency = the 2→8 pair (N and 4N, both levels below the
     box's memory-bandwidth saturation point); the 8→32 pair is reported
     alongside."""
-    from dcpray.sources.genwal import ensure_fixture
+    import json as _json
 
+    from dcpray.sources.genwal import FIXTURE_ROOT, FIXTURE_VERSION, ensure_fixture
+
+    # prefer the 43M-event fixture when it is ALREADY cached and current
+    # (bigger job → better amortization of fixed costs), but never pay its
+    # ~25 min generation inside the scaling run — bench10m generates in ~6
     sf_dir = "bench10m"
+    try:
+        with open(os.path.join(FIXTURE_ROOT, "bench40m", "meta.json")) as f:
+            if _json.load(f).get("fixture_version") == FIXTURE_VERSION:
+                sf_dir = "bench40m"
+    except OSError:
+        pass
     ensure_fixture(sf_dir)
     results = {}
     for i, n in enumerate([max(levels)] + list(levels) * 2):
