@@ -184,3 +184,48 @@ def test_concurrent_commit_detected(tmp_path):
     with pytest.raises(ConcurrentCommitError):
         store.commit(Manifest(run_id="r-c", seq=2, **base))
     assert store.load_current().run_id == "r-b"
+
+
+def test_strict_watermark_row_filter(tmp_path):
+    """At-least-once redelivery with seqno-contiguous segments: a
+    re-delivered segment containing rows at-or-below the committed
+    watermark (even with conflicting payloads at the SAME seqno) is
+    row-filtered, so the committed state never changes."""
+    import pyarrow as pa
+
+    from dcpray.hashing import vb_of_conv
+
+    conv = "conv-strict-0"
+    vb = int(vb_of_conv(np.array([conv], dtype=object), 8)[0])
+
+    def wal_file(path, seqnos, texts):
+        pq.write_table(pa.table({
+            "vb": pa.array([vb] * len(seqnos), pa.uint16()),
+            "seqno": pa.array(seqnos, pa.uint64()),
+            "cas": pa.array([1] * len(seqnos), pa.uint64()),
+            "rev_no": pa.array([1] * len(seqnos), pa.uint64()),
+            "op": pa.array(["mutation"] * len(seqnos)),
+            "collection": pa.array(["_default"] * len(seqnos)),
+            "event_time": pa.array([0] * len(seqnos), pa.timestamp("us")),
+            "conv_id": pa.array([conv] * len(seqnos)),
+            "turn_idx": pa.array(list(range(len(seqnos))), pa.int32()),
+            "role": pa.array(["user"] * len(seqnos)),
+            "text": pa.array(texts),
+            "tool": pa.array([None] * len(seqnos), pa.string()),
+            "ts": pa.array([1] * len(seqnos), pa.timestamp("us")),
+        }), path)
+
+    wal = tmp_path / "wal" / f"vb_{vb:04d}"
+    wal.mkdir(parents=True)
+    wal_file(str(wal / "part-000.parquet"), [1, 2], ["one", "two"])
+    lake = Lake(str(tmp_path / "lake"))
+    cfg = ReplayConfig(num_buckets=8, num_vbuckets=8)
+    replay(lake, str(tmp_path / "wal"), config=cfg, strict_watermark_rows=True)
+    assert lake.store.load_current().watermarks[vb] == 2
+
+    # redelivery: same seqnos, CONFLICTING payloads, plus one new row
+    wal_file(str(wal / "part-001.parquet"), [1, 2, 3],
+             ["one-CORRUPT", "two-CORRUPT", "three"])
+    replay(lake, str(tmp_path / "wal"), config=cfg, strict_watermark_rows=True)
+    df = lake.to_pandas_sorted()
+    assert list(df["text"]) == ["one", "two", "three"]
