@@ -90,7 +90,12 @@ class ReplayConfig:
     @staticmethod
     def from_env() -> "ReplayConfig":
         """Env-var interpolation analogue (connector.go:241-249)."""
+        nvb = _env("DCPRAY_NUM_VBUCKETS", "")
         return ReplayConfig(
             num_buckets=int(_env("DCPRAY_NUM_BUCKETS", "64")),
             salted=_env("DCPRAY_SALTED", "1") == "1",
+            strategy=_env("DCPRAY_STRATEGY", "aligned"),
+            num_vbuckets=int(nvb) if nvb else None,
+            merge_actor_pool=_env("DCPRAY_MERGE_ACTOR_POOL", "0") == "1",
+            hot_bucket_rows=int(_env("DCPRAY_HOT_BUCKET_ROWS", "4000000")),
         )
