@@ -283,10 +283,12 @@ def _q_dedup_minhash_pairs(sf_dir: str):
 
     from dcpray.functions.dedup import minhash_dup_pairs
 
+    from dcpray.rayutil import push_based_shuffle
+
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    return minhash_dup_pairs(docs, threshold=0.6, concurrency=4).to_pandas().sort_values(
-        ["a", "b"]
-    ).reset_index(drop=True)
+    with push_based_shuffle():  # ~2x on the banded-LSH groupbys
+        df = minhash_dup_pairs(docs, threshold=0.6, concurrency=4).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_dedup_simhash_pairs(sf_dir: str):
@@ -294,10 +296,12 @@ def _q_dedup_simhash_pairs(sf_dir: str):
 
     from dcpray.functions.dedup import simhash_dup_pairs
 
+    from dcpray.rayutil import push_based_shuffle
+
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    return simhash_dup_pairs(docs, max_hamming=6, concurrency=4).to_pandas().sort_values(
-        ["a", "b"]
-    ).reset_index(drop=True)
+    with push_based_shuffle():
+        df = simhash_dup_pairs(docs, max_hamming=6, concurrency=4).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_embedding_neardup_pairs(sf_dir: str):
