@@ -47,7 +47,7 @@ def _compact_one(lake_dir: str, run_id: str, rel_path: str, bucket: int) -> dict
     dst = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     tmp = dst + f".tmp-{os.getpid()}"
-    pq.write_table(t, tmp)
+    pq.write_table(t, tmp, row_group_size=65536)
     os.rename(tmp, dst)
     return {"path": rel, "bucket": bucket, "rows": t.num_rows, "dropped": int(dropped)}
 

@@ -155,7 +155,9 @@ def merge_bucket(
     path = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(t, tmp)
+    # 64k row groups: downstream readers (and the bootstrapless base
+    # reads of future runs) can parallelize within one bucket file
+    pq.write_table(t, tmp, row_group_size=65536)
     os.rename(tmp, path)
     t_end = time.perf_counter()
     stats = {

@@ -179,7 +179,7 @@ def make_bucket_merger(lake_dir: str, run_id: str):
         path = os.path.join(lake_dir, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(t, tmp)
+        pq.write_table(t, tmp, row_group_size=65536)
         os.rename(tmp, path)
         return pa.table(
             {
