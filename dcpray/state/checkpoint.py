@@ -186,11 +186,28 @@ class Lake:
         m = self.store.load_current()
         return m.files if m else []
 
+    def manifest_at(self, seq: int) -> Manifest:
+        """Time travel: the manifest of commit ``seq`` (raises KeyError if
+        gc() already pruned it). Data files of superseded commits remain
+        on disk until gc, so historical reads stay valid — the same
+        snapshot-read contract as table formats' manifest lists."""
+        for m in self.store.history():
+            if m.seq == seq:
+                return m
+        raise KeyError(f"no retained manifest with seq={seq}")
+
+    def read_at(self, seq: int, drop_internal: bool = True):
+        """Committed table AS OF commit ``seq`` (lazy Dataset)."""
+        return self._read_files(self.manifest_at(seq).files, drop_internal)
+
     def read_current(self, drop_internal: bool = True):
         """Committed table as a ray.data.Dataset (lazy)."""
+        return self._read_files(self.current_files(), drop_internal)
+
+    def _read_files(self, file_entries: list[dict[str, Any]], drop_internal: bool = True):
         import ray.data as rd
 
-        files = [self.abspath(f["path"]) for f in self.current_files()]
+        files = [self.abspath(f["path"]) for f in file_entries]
         if not files:
             schema = pa.schema(
                 [*zip(TRANSCRIPT_COLUMNS, [pa.string(), pa.int32(), pa.string(), pa.string(), pa.string(), pa.timestamp("us")])]

@@ -229,3 +229,40 @@ def test_strict_watermark_row_filter(tmp_path):
     replay(lake, str(tmp_path / "wal"), config=cfg, strict_watermark_rows=True)
     df = lake.to_pandas_sorted()
     assert list(df["text"]) == ["one", "two", "three"]
+
+
+def test_time_travel_read_at(tiny_fixture, tmp_path):
+    """Snapshot reads: read_at(1) returns the table as of the first
+    commit even after later commits supersede it; gc() prunes history."""
+    lake = Lake(str(tmp_path / "lake"))
+    wal = os.path.join(tiny_fixture, "wal")
+    base = os.path.join(tiny_fixture, "base")
+    cfg = ReplayConfig(num_buckets=16)
+    replay(lake, wal, base_snapshot_dir=base, config=cfg, max_files=7)
+    state1 = lake.to_pandas_sorted()
+    replay(lake, wal, base_snapshot_dir=base, config=cfg)
+    state2 = lake.to_pandas_sorted()
+    assert not state1.equals(state2)
+
+    import pandas as pd
+
+    at1 = (lake.read_at(1).to_pandas()
+           .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        at1[sorted(at1.columns)],
+        state1[sorted(state1.columns)],
+        check_dtype=False,
+    )
+    at2 = (lake.read_at(2).to_pandas()
+           .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+           .reset_index(drop=True))
+    assert len(at2) == len(state2)
+
+    from dcpray import gc as lake_gc
+
+    lake_gc(lake, keep_manifests=1)
+    import pytest
+
+    with pytest.raises(KeyError):
+        lake.manifest_at(1)
