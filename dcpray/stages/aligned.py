@@ -120,7 +120,9 @@ def merge_bucket(
         pending, pending_rows = [], 0
         chunk = validate(chunk)
         if mapper is not None:
-            chunk = mapper(chunk)
+            from dcpray.stages.mapper import validate_mapper_output
+
+            chunk = validate_mapper_output(mapper(chunk))
         if chunk.num_rows:
             partials.append(lww_filter(_prep_to(chunk, payload_schema)))
 
@@ -383,7 +385,9 @@ def partial_reduce(spec: dict, bucket: int, wal_paths: list[str]) -> pa.Table:
         pending, pending_rows = [], 0
         chunk = validate(chunk)
         if mapper is not None:
-            chunk = mapper(chunk)
+            from dcpray.stages.mapper import validate_mapper_output
+
+            chunk = validate_mapper_output(mapper(chunk))
         if chunk.num_rows:
             partials.append(lww_filter(_prep_to(chunk, payload_schema)))
 

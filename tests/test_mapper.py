@@ -114,3 +114,18 @@ def test_route_and_split():
         raise AssertionError("expected KeyError for unmapped collection")
     except KeyError:
         pass
+
+
+def test_aligned_mapper_column_guard(tiny_fixture, tmp_path):
+    """A mapper that drops required CDC columns must fail loudly in the
+    aligned path too (same guard as the shuffle path)."""
+    import pytest
+
+    from dcpray import Lake, ReplayConfig, replay
+
+    def bad(batch):
+        return batch.drop_columns(["seqno"])
+
+    with pytest.raises(Exception, match="required CDC columns"):
+        replay(Lake(str(tmp_path / "lake")), os.path.join(tiny_fixture, "wal"),
+               config=ReplayConfig(num_buckets=16), mapper=bad)
