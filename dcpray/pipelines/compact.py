@@ -109,23 +109,23 @@ def compact(lake: Lake, wal_dir: str | None = None, *, force: bool = False) -> d
     return metrics
 
 
-def gc(lake: Lake, keep_manifests: int = 5) -> dict[str, Any]:
-    """Delete uncommitted data (run dirs with no file in the CURRENT
-    manifest), stale tmp dirs, and all but the newest ``keep_manifests``
-    manifest files. The DLQ (rejected/) is an audit log — never GC'd."""
-    cur = lake.store.load_current()
-    live_runs = {os.path.basename(os.path.dirname(f["path"])) for f in (cur.files if cur else [])}
-    removed_dirs = 0
-    data_root = os.path.join(lake.lake_dir, "data")
-    if os.path.isdir(data_root):
-        for d in os.listdir(data_root):
-            if d not in live_runs:
-                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                removed_dirs += 1
-    shutil.rmtree(os.path.join(lake.lake_dir, "tmp"), ignore_errors=True)
+def gc(lake: Lake, keep_manifests: int = 5, grace_s: float = 3600.0) -> dict[str, Any]:
+    """Garbage-collect the lake, preserving two invariants:
+
+    1. every RETAINED manifest's data files stay readable (time-travel
+       ``read_at`` never sees a retained manifest with deleted data) —
+       manifests are pruned FIRST, then liveness is the union of all
+       still-retained manifests' file lists, not just CURRENT's;
+    2. an IN-FLIGHT replay's already-written files survive: an
+       uncommitted run's dir is unreferenced by any manifest, so only
+       dirs older than ``grace_s`` (mtime cutoff) are deleted — run
+       concurrently with a replay, gc leaves the young run dir alone and
+       the subsequent commit publishes intact files.
+
+    The DLQ (rejected/) is an audit log — never GC'd."""
     removed_manifests = 0
     mdir = lake.store.manifest_dir
-    manifests = sorted(os.listdir(mdir))
+    manifests = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-"))
     current_name = None
     if os.path.exists(lake.store.current_path):
         with open(lake.store.current_path) as f:
@@ -134,5 +134,26 @@ def gc(lake: Lake, keep_manifests: int = 5) -> dict[str, Any]:
         if name != current_name:
             os.remove(os.path.join(mdir, name))
             removed_manifests += 1
+
+    live_runs = {
+        os.path.basename(os.path.dirname(f["path"]))
+        for m in lake.store.history()
+        for f in m.files
+    }
+    cutoff = time.time() - grace_s
+    removed_dirs = 0
+    data_root = os.path.join(lake.lake_dir, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            p = os.path.join(data_root, d)
+            if d not in live_runs and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+                removed_dirs += 1
+    tmp_root = os.path.join(lake.lake_dir, "tmp")
+    if os.path.isdir(tmp_root):
+        for d in os.listdir(tmp_root):
+            p = os.path.join(tmp_root, d)
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
     return {"op": "gc", "removed_run_dirs": removed_dirs,
             "removed_manifests": removed_manifests}

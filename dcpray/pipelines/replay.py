@@ -184,6 +184,21 @@ def replay(
 
     if strategy == "aligned" and any(i.vb < 0 for i in infos):
         # multi-vb files break the partition-alignment invariant
+        if prev and prev.files:
+            # an EXISTING aligned lake has vb-based bucket ids; silently
+            # flipping to hash-based bucket ids would carry forward base
+            # files under one partitioning while rewriting updated keys
+            # under another — duplicate (conv_id, turn_idx) rows with
+            # conflicting payloads. The strategy is pinned at lake
+            # creation (like num_vbuckets); refuse loudly.
+            bad = sorted(i.path for i in infos if i.vb < 0)[:3]
+            raise ValueError(
+                "WAL delta contains multi-vb segment(s) "
+                f"(e.g. {bad}) but this lake was created with the "
+                "'aligned' strategy, whose bucket ids are vb-based. "
+                "Either split the segments per vbucket, or rebuild the "
+                "lake with ReplayConfig(strategy='shuffle')."
+            )
         strategy = "shuffle"
 
     delta_schema = walmod.unified_schema(infos)
@@ -350,6 +365,7 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
         lake_dir=lake.lake_dir, run_id=run_id, merge_schema=mschema,
         wm_arr=wm_arr, mapper=mapper, rejection_log=cfg.rejection_log,
         rejection_include_value=cfg.rejection_include_value,
+        num_buckets=num_buckets,
     )
     wal_of: dict[int, list] = {}
     parts_of: dict[int, list] = {}
@@ -435,7 +451,17 @@ def _run_shuffle(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     base_ds = None
     base_schema = None
     carried: list[dict] = []
+    from dcpray.stages.mapper import identity_mapper
+
     if prev and prev.files:
+        if mapper is not None and mapper is not identity_mapper:
+            # _affected_buckets is computed from the RAW delta's keys, but
+            # a mapper is a flat-map that may emit keys absent from the
+            # raw delta — those keys' buckets would be simultaneously
+            # merged into AND carried forward (duplicate keys, base rows
+            # missing from the LWW). Rewriting every bucket is the only
+            # correct choice without running the mapper twice.
+            copy_forward = False
         if copy_forward:
             affected = _affected_buckets(paths, num_buckets, salted)
             touched = [f for f in prev.files if f["bucket"] in affected]

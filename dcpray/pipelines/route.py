@@ -28,9 +28,14 @@ from dcpray.pipelines.replay import RunResult, replay
 from dcpray.state.checkpoint import Lake
 
 
-def _collection_filter(collection: str, user_mapper=None):
+def _collection_filter(collections, user_mapper=None):
+    """Vectorized mapper prefix keeping only the given collection(s)."""
+    if isinstance(collections, str):
+        collections = [collections]
+    value_set = pa.array(sorted(collections), pa.string())
+
     def _m(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.equal(batch["collection"], collection))
+        batch = batch.filter(pc.is_in(batch["collection"], value_set=value_set))
         return user_mapper(batch) if user_mapper is not None else batch
 
     return _m
@@ -72,16 +77,36 @@ def replay_routed(
         for c in unmapped:
             routes[c] = default
 
-    out: dict[str, RunResult] = {}
+    # Group collections by destination lake: the reference allows a
+    # many-to-one collectionTopicMapping, and each replay commits the
+    # full WAL file set as processed — so TWO replays into one lake would
+    # have the second see "no new WAL files" and silently drop its
+    # collection's events. One replay per lake, filtering to every
+    # collection routed there, preserves the mapping semantics exactly.
+    by_lake: dict[str, tuple[Lake, list[str]]] = {}
     for coll in sorted(present):
-        out[coll] = replay(
-            routes[coll],
+        lk = routes[coll]
+        key = os.path.abspath(lk.lake_dir)
+        by_lake.setdefault(key, (lk, []))[1].append(coll)
+
+    out: dict[str, RunResult] = {}
+    for _key, (lk, colls) in sorted(by_lake.items()):
+        snaps = {(base_snapshot_dirs or {}).get(c) for c in colls}
+        if len(snaps) > 1:
+            raise ValueError(
+                f"collections {colls} share lake {lk.lake_dir} but have "
+                f"different base_snapshot_dirs {sorted(s or '' for s in snaps)}"
+            )
+        res = replay(
+            lk,
             wal_dir,
             config=config,
-            mapper=_collection_filter(coll, mapper),
-            base_snapshot_dir=(base_snapshot_dirs or {}).get(coll),
+            mapper=_collection_filter(colls, mapper),
+            base_snapshot_dir=next(iter(snaps)) if snaps else None,
             **kwargs,
         )
+        for c in colls:
+            out[c] = res
     return out
 
 

@@ -187,6 +187,10 @@ def file_watermarks(infos: list[WalFileInfo]) -> dict[int, int]:
 def watermark_array(watermarks: dict[int, int], num_vb_hint: int = 1024) -> np.ndarray:
     """Dense vb → seqno array for the vectorized row filter."""
     size = max([num_vb_hint] + [vb + 1 for vb in watermarks]) if watermarks else num_vb_hint
+    # never size 0: a delta of only multi-vb files reports vb=-1 for every
+    # segment, making the naive hint 0 — indexing an empty array with the
+    # clamped index -1 would silently read the LAST vb's watermark
+    size = max(size, 1)
     arr = np.zeros(size, dtype=np.uint64)
     for vb, s in watermarks.items():
         arr[vb] = s

@@ -61,6 +61,22 @@ _LAKE_RENAMES = {"_seqno": "seqno", "_op": "op"}
 _OUT_RENAMES = {"seqno": "_seqno", "op": "_op"}
 
 
+def _guard_mapper_alignment(out: pa.Table, bucket: int, num_buckets: int) -> None:
+    """The aligned strategy merges each bucket independently, so a mapper
+    running inside bucket b must emit only rows that BELONG to bucket b
+    (vb % num_buckets == b). A key-rewriting / fan-out mapper that emits
+    rows for other vbuckets would place keys in the wrong bucket (or
+    duplicate them across buckets) — that workload needs
+    strategy='shuffle', which re-partitions by the OUTPUT key."""
+    vb = out["vb"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if ((vb % num_buckets) != bucket).any():
+        raise ValueError(
+            f"mapper emitted rows whose vb does not map to bucket {bucket}; "
+            "the aligned strategy requires a vb-preserving mapper — use "
+            "ReplayConfig(strategy='shuffle') for key-rewriting mappers"
+        )
+
+
 def _prep_to(t: pa.Table, payload_schema: pa.Schema) -> pa.Table:
     """normalize to the merge schema; fill lake-side seqno/op."""
     if "_seqno" in t.schema.names or "_op" in t.schema.names:
@@ -120,9 +136,11 @@ def merge_bucket(
         pending, pending_rows = [], 0
         chunk = validate(chunk)
         if mapper is not None:
-            from dcpray.stages.mapper import validate_mapper_output
+            from dcpray.stages.mapper import identity_mapper, validate_mapper_output
 
             chunk = validate_mapper_output(mapper(chunk))
+            if mapper is not identity_mapper and spec.get("num_buckets"):
+                _guard_mapper_alignment(chunk, bucket, spec["num_buckets"])
         if chunk.num_rows:
             partials.append(lww_filter(_prep_to(chunk, payload_schema)))
 
@@ -385,9 +403,11 @@ def partial_reduce(spec: dict, bucket: int, wal_paths: list[str]) -> pa.Table:
         pending, pending_rows = [], 0
         chunk = validate(chunk)
         if mapper is not None:
-            from dcpray.stages.mapper import validate_mapper_output
+            from dcpray.stages.mapper import identity_mapper, validate_mapper_output
 
             chunk = validate_mapper_output(mapper(chunk))
+            if mapper is not identity_mapper and spec.get("num_buckets"):
+                _guard_mapper_alignment(chunk, bucket, spec["num_buckets"])
         if chunk.num_rows:
             partials.append(lww_filter(_prep_to(chunk, payload_schema)))
 

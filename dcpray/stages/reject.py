@@ -40,8 +40,11 @@ def make_reject_filter(
     def _filter(batch: pa.Table) -> pa.Table:
         vb = batch["vb"].to_numpy(zero_copy_only=False).astype(np.int64)
         seq = batch["seqno"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        wm = np.where(vb < len(wm_arr), wm_arr[np.minimum(vb, len(wm_arr) - 1)], 0)
-        live = seq > wm
+        if len(wm_arr) == 0:  # no committed watermark: everything is live
+            live = np.ones(len(seq), dtype=bool)
+        else:
+            wm = np.where(vb < len(wm_arr), wm_arr[np.minimum(vb, len(wm_arr) - 1)], 0)
+            live = seq > wm
 
         conv_ok = pc.is_valid(batch["conv_id"]).to_numpy(zero_copy_only=False)
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False)

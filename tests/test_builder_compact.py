@@ -147,7 +147,12 @@ def test_gc_removes_uncommitted_runs(tiny_fixture, tmp_path):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "bucket-00000.parquet"), "w") as f:
         f.write("junk")
+    # a FRESH orphan dir could be an in-flight replay's output — the
+    # default grace period must leave it alone
     stats = gc(lake)
+    assert stats["removed_run_dirs"] == 0
+    assert os.path.exists(orphan)
+    stats = gc(lake, grace_s=0.0)
     assert stats["removed_run_dirs"] == 1
     assert not os.path.exists(orphan)
     assert_final_state_equal(before, lake.to_pandas_sorted())

@@ -261,6 +261,14 @@ def test_time_travel_read_at(tiny_fixture, tmp_path):
 
     from dcpray import gc as lake_gc
 
+    # gc that RETAINS a historical manifest must keep its data readable
+    # (liveness = union of retained manifests, not just CURRENT)
+    lake_gc(lake, keep_manifests=5, grace_s=0.0)
+    still1 = (lake.read_at(1).to_pandas()
+              .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+              .reset_index(drop=True))
+    assert len(still1) == len(state1)
+
     lake_gc(lake, keep_manifests=1)
     import pytest
 

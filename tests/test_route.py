@@ -72,6 +72,34 @@ def test_unmapped_goes_to_default(two_collection_wal, tmp_path):
                              _oracle_for(two_collection_wal, 1))
 
 
+def test_collections_sharing_one_lake(two_collection_wal, tmp_path):
+    """Many-to-one mapping (reference allows several collections → one
+    topic): both collections routed to the SAME lake must both land —
+    one replay per destination lake, not per collection (a second replay
+    into the same lake would see 'no new WAL files' and drop events)."""
+    shared = Lake(str(tmp_path / "shared"))
+    res = replay_routed(
+        {"convs_a": shared, "convs_b": shared}, two_collection_wal,
+        config=ReplayConfig(num_buckets=16),
+    )
+    assert res["convs_a"].committed and res["convs_b"].committed
+    assert_final_state_equal(
+        shared.to_pandas_sorted(), naive_final_state(two_collection_wal, None)
+    )
+
+
+def test_unmapped_collections_share_default(two_collection_wal, tmp_path):
+    """≥2 unmapped collections routed to the shared default lake: every
+    collection's events must survive (the reported silent-drop bug)."""
+    default = Lake(str(tmp_path / "default"))
+    res = replay_routed({}, two_collection_wal,
+                        config=ReplayConfig(num_buckets=16), default=default)
+    assert set(res) == {"convs_a", "convs_b"}
+    assert_final_state_equal(
+        default.to_pandas_sorted(), naive_final_state(two_collection_wal, None)
+    )
+
+
 def test_split_wal_by_collection(two_collection_wal, tmp_path):
     """Scale path: one distributed split pass, then per-slice replay
     equals the filtered-replay result."""
