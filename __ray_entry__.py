@@ -18,6 +18,8 @@ import shutil
 from collections.abc import Callable
 from typing import Any
 
+from dcpray.sources.io import read_clean  # noqa: E402 (strips pandas schema metadata)
+
 FIXTURE_SFS = ("sf0.001", "sf0.01", "sf0.1")
 LAKE_ROOT = "/tmp/dcpray_lakes"
 
@@ -209,65 +211,63 @@ def _q_cdc_then_token_count(sf_dir: str):
 
 
 def _q_dedup_exact(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.dedup import exact_dedup
 
-    return exact_dedup(rd.read_parquet(os.path.join(sf_dir, "documents.parquet")))
+    return exact_dedup(read_clean(os.path.join(sf_dir, "documents.parquet")))
 
 
 def _q_text_token_count(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.textstats import token_count
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(token_count, batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens"]
     )
 
 
 def _q_text_stats(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.textstats import text_stats
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(text_stats, batch_format="pyarrow")
 
 
 def _q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
-    import ray.data as rd
-
     from dcpray.functions.ann import topk_cosine
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(path).slice(0, 5)
     q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
     qids = head["vec_id"].to_numpy()
-    out = topk_cosine(rd.read_parquet(path), q, qids, k=10, concurrency=4)
+    out = topk_cosine(read_clean(path), q, qids, k=10, concurrency=4)
     return out.select_columns(["query_id", "vec_id"])
 
 
 def _q_events_hourly(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
-
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "value"])
 
-    def hour(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch pre-aggregation: the shuffle moves one row per
+        # (user_id, hour) per batch instead of every event row (same
+        # pattern as cdc_op_counts; counts/sums recombine exactly)
+        t = t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+        return pa.TableGroupBy(t.select(["user_id", "hour", "value"]),
+                               ["user_id", "hour"]).aggregate(
+            [("value", "count", pc.CountOptions(mode="all")), ("value", "sum")]
+        ).rename_columns(["user_id", "hour", "n_part", "sum_part"])
 
     out = (
-        ds.map_batches(hour, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n_part", alias_name="n_events"),
+                   Sum("sum_part", alias_name="sum_value"))
         .to_pandas()
     )
     out["n_events"] = out["n_events"].astype("int64")
@@ -279,39 +279,33 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_dedup_minhash_pairs(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.dedup import minhash_dup_pairs
 
     from dcpray.rayutil import push_based_shuffle
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_clean(os.path.join(sf_dir, "documents.parquet"))
     with push_based_shuffle():  # ~2x on the banded-LSH groupbys
         df = minhash_dup_pairs(docs, threshold=0.6, concurrency=4).to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_dedup_simhash_pairs(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.dedup import simhash_dup_pairs
 
     from dcpray.rayutil import push_based_shuffle
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_clean(os.path.join(sf_dir, "documents.parquet"))
     with push_based_shuffle():
         df = simhash_dup_pairs(docs, max_hamming=6, concurrency=4).to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_embedding_neardup_pairs(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.dedup import embedding_dup_pairs
 
     import pandas as pd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"))
     df = embedding_dup_pairs(ds, threshold=0.9, dim=64).to_pandas()
     if df.empty:
         df = pd.DataFrame({"a": pd.Series(dtype="int64"),
@@ -323,63 +317,51 @@ def _q_embedding_neardup_pairs(sf_dir: str):
 def _q_embedding_neardup_exact(sf_dir: str):
     """Exact all-pairs cosine near-dup (the SQL-verifiable baseline the
     LSH variant approximates)."""
-    import ray.data as rd
-
     from dcpray.functions.dedup import embedding_exact_pairs
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"))
     out = embedding_exact_pairs(ds, threshold=0.4, concurrency=4).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_lang_id(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.textstats import LangId
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=4)
 
 
 def _q_text_fingerprint_md5(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.textstats import fingerprint_md5
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_md5, batch_format="pyarrow")
 
 
 def _q_text_fingerprint(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.textstats import fingerprint
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(fingerprint, batch_format="pyarrow")
 
 
 def _q_quality_score(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.textstats import QualityScorer
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=4)
 
 
 def _q_ann_ivf_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
-    import ray.data as rd
-
     from dcpray.functions.ann import ivf_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(path).slice(0, 5)
     q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
     qids = head["vec_id"].to_numpy()
-    return ivf_topk(rd.read_parquet(path), q, qids, k=10, nlist=16, nprobe=8,
+    return ivf_topk(read_clean(path), q, qids, k=10, nlist=16, nprobe=8,
                     concurrency=4).select_columns(["query_id", "vec_id"])
 
 
@@ -390,26 +372,22 @@ def _q_ann_ivf_full_probe(sf_dir: str):
     scale path; its recall is tested in tests/test_functions.py.)"""
     import numpy as np
     import pyarrow.parquet as pq
-    import ray.data as rd
-
     from dcpray.functions.ann import ivf_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(path).slice(0, 5)
     q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
     qids = head["vec_id"].to_numpy()
-    return ivf_topk(rd.read_parquet(path), q, qids, k=10, nlist=16, nprobe=16,
+    return ivf_topk(read_clean(path), q, qids, k=10, nlist=16, nprobe=16,
                     concurrency=4).select_columns(["query_id", "vec_id"])
 
 
 def _q_multimodal_features(sf_dir: str):
-    import ray.data as rd
-
     from dcpray.functions.multimodal import ImageFeatureExtractor, synthesize_media
 
     import pyarrow as pa
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     media = ds.map_batches(synthesize_media, batch_format="pyarrow")
     feats = media.map_batches(ImageFeatureExtractor, batch_format="pyarrow",
                               concurrency=4, batch_size=256)

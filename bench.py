@@ -136,7 +136,7 @@ def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dic
             _consume(qs[name](sf_dir))
             queries[name] = round(time.perf_counter() - t0, 3)
 
-    return {
+    out = {
         "metric": "cdc_replay_wall_s",
         "value": round(replay_s, 3),
         "unit": "sec",
@@ -146,9 +146,21 @@ def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dic
         "events": events,
         "events_per_s": round(events / max(replay_s, 1e-9), 1),
     }
+    if include_secondary:
+        # N→4N scaling evidence in the SAME machine-readable record the
+        # driver captures: the 2→8 CPU pair on the 11M-event fixture
+        # (both levels below this box's memory-bandwidth saturation; the
+        # full 2/8/32 sweep incl. the bandwidth-bound 8→32 pair is
+        # bench.py --scaling, recorded in BASELINE.md)
+        try:
+            out["scaling"] = run_scaling(sf_dir, levels=(2, 8), fixture="bench10m")
+        except Exception as e:  # never fail the bench over the extra block
+            out["scaling"] = {"error": str(e)}
+    return out
 
 
-def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
+def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32),
+                fixture: str | None = None) -> dict:
     """Same replay at N, 4N (and 16N) CPUs in fresh ray.init processes.
 
     Uses the bench10m fixture scale (~11M events) rather than sf0.1: the
@@ -170,13 +182,16 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     # prefer the 43M-event fixture when it is ALREADY cached and current
     # (bigger job → better amortization of fixed costs), but never pay its
     # ~25 min generation inside the scaling run — bench10m generates in ~6
-    sf_dir = "bench10m"
-    try:
-        with open(os.path.join(FIXTURE_ROOT, "bench40m", "meta.json")) as f:
-            if _json.load(f).get("fixture_version") == FIXTURE_VERSION:
-                sf_dir = "bench40m"
-    except OSError:
-        pass
+    if fixture is not None:
+        sf_dir = fixture
+    else:
+        sf_dir = "bench10m"
+        try:
+            with open(os.path.join(FIXTURE_ROOT, "bench40m", "meta.json")) as f:
+                if _json.load(f).get("fixture_version") == FIXTURE_VERSION:
+                    sf_dir = "bench40m"
+        except OSError:
+            pass
     ensure_fixture(sf_dir)
     results = {}
     for i, n in enumerate([max(levels)] + list(levels) * 2):

@@ -31,10 +31,10 @@ from dcpray.config import ReplayConfig
 from dcpray.pipelines.builder import Pipeline, PipelineBuilder, SinkResponseHandler
 from dcpray.pipelines.compact import compact, gc
 from dcpray.pipelines.replay import replay
-from dcpray.state.checkpoint import Lake, ManifestStore
+from dcpray.state.checkpoint import CasManifestStore, Lake, ManifestStore
 
 __all__ = [
-    "ReplayConfig", "replay", "Lake", "ManifestStore",
+    "ReplayConfig", "replay", "Lake", "ManifestStore", "CasManifestStore",
     "PipelineBuilder", "Pipeline", "SinkResponseHandler", "compact", "gc",
 ]
 __version__ = "0.1.0"

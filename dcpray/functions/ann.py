@@ -117,7 +117,14 @@ class ListAssigner:
 
 
 class ProbedScorer(BatchScorer):
-    """Scores a batch only against queries probing this batch's lists."""
+    """Scores one IVF list's rows against only the queries probing that
+    list. The broadcast query/probe matrices arrive as ObjectRefs and
+    are fetched from the node-local object store (zero-copy for numpy) —
+    never serialized into task closures. The group is scored in bounded
+    chunks; the per-chunk local top-k union still contains the global
+    top-k (exactness preserved through the final reduce)."""
+
+    CHUNK = 8192
 
     def __init__(self, queries_ref, k: int, probes_ref):
         super().__init__(queries_ref, k)
@@ -134,7 +141,26 @@ class ProbedScorer(BatchScorer):
                              "score": pa.array([], pa.float64())})
         sub = BatchScorer.__new__(BatchScorer)
         sub.qids, sub.qmat, sub.k = self.qids[qmask], self.qmat[qmask], self.k
-        return BatchScorer.__call__(sub, batch)
+        parts = [
+            BatchScorer.__call__(sub, batch.slice(off, self.CHUNK))
+            for off in range(0, batch.num_rows, self.CHUNK)
+        ]
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+
+_PROBED_CACHE: dict = {}
+
+
+def _probed_score(group: pa.Table, qref, k: int, probes_ref) -> pa.Table:
+    """Worker-side entry for the probed scorer: memoizes the constructed
+    scorer per (qref, k) so repeated tasks in one worker process skip
+    the (already zero-copy) ref resolution and query re-normalization."""
+    key = (qref.hex(), k, probes_ref.hex())
+    sc = _PROBED_CACHE.get(key)
+    if sc is None:
+        _PROBED_CACHE.clear()
+        sc = _PROBED_CACHE[key] = ProbedScorer(qref, k, probes_ref)
+    return sc(group)
 
 
 def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
@@ -160,10 +186,17 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         ListAssigner, fn_constructor_args=(cents_ref,),
         batch_format="pyarrow", concurrency=concurrency, batch_size=8192,
     )
-    # co-locate each IVF list, then score each list-batch against only
-    # the queries that probe it
+    # co-locate each IVF list, then score each list against only the
+    # queries that probe it. The scorer runs as TASK-pool map_groups with
+    # the broadcast ObjectRefs passed via fn_args: each task resolves
+    # them from the node-local object store (zero-copy plasma read,
+    # memoized per worker process) — a driver-constructed bound method
+    # would instead pickle the query/probe matrices into every task, and
+    # a second actor pool here can deadlock with ListAssigner's pool on
+    # small clusters (both pools reserve CPUs across the intervening
+    # sort).
     cand = assigned.groupby("ivf_list").map_groups(
-        ProbedScorer(qref, k, probes_ref).__call__, batch_format="pyarrow"
+        _probed_score, fn_args=(qref, k, probes_ref), batch_format="pyarrow"
     )
     return cand.groupby("query_id").map_groups(
         lambda g: _global_topk(g, k), batch_format="pyarrow"

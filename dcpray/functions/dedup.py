@@ -13,10 +13,14 @@ Scale shape (the part that must survive 100 TB):
   O(n²); for adversarial corpora swap in iterative min-label
   propagation (groupby rounds), noted below.
 
-The corpus-text lookup used by pair verification is BROADCAST via
-``ray.put`` (one copy in the object store, read per actor) — fine up to
-~10⁶ docs; beyond that verification becomes a hash-join of the pair
-list against the corpus on doc_id (same groupby machinery as the merge).
+Pair verification is DISTRIBUTED by default (``verify="join"``): a
+bucketed hash-join of the candidate-pair list against the corpus on
+doc_id — requested texts are shipped to the pair's verify bucket via two
+keyed groupbys (the same machinery the merge uses), so the driver never
+materializes corpus text and total text movement is O(corpus once +
+pairs). The ``verify="broadcast"`` path (driver dict + ``ray.put``)
+remains for small corpora where one object-store copy is cheaper than
+two shuffles.
 """
 
 from __future__ import annotations
@@ -103,6 +107,125 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+# ----------------------------------------------- vectorized batch hashing
+
+
+def _flat_utf8(col) -> tuple[np.ndarray, np.ndarray]:
+    """A string column as (flat uint8 byte buffer, int64 doc offsets) —
+    zero-copy views of Arrow's own layout, the basis for hashing every
+    document of a batch in one numpy pass instead of a Python loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    off_width = np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_width)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offs.astype(np.int64)
+
+
+#: odd multiplier: x → (x ^ seed) * _PERM_MULT is a bijection on uint64
+#: per seed (xor then odd-multiply), a standard cheap permutation family
+#: for MinHash — 2 ops/element where a full splitmix64 remix costs 5
+_PERM_MULT = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _perm(sh: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (sh[:, None] ^ seeds[None, :]) * _PERM_MULT
+
+
+def _seg_min(seg: np.ndarray, starts: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Per-segment min of the permuted shingles over one shingle slab."""
+    return np.minimum.reduceat(_perm(seg, seeds), starts, axis=0)
+
+
+def minhash_signatures(col, seeds: np.ndarray, k: int = 5) -> np.ndarray:
+    """(n_docs, n_perm) MinHash signatures for a whole string column in
+    vectorized numpy: one rolling-hash pass over the batch's flat utf8
+    buffer, then segmented per-document minima via ``ufunc.reduceat`` —
+    no per-document Python loop. Exactly equivalent to the per-doc
+    ``MinHasher.signature`` (min over a multiset equals min over its
+    set, so skipping the per-doc unique changes nothing)."""
+    data, offs = _flat_utf8(col)
+    n = len(offs) - 1
+    P = len(seeds)
+    sigs = np.empty((n, P), dtype=np.uint64)
+    lens = offs[1:] - offs[:-1]
+    ok = lens >= k
+
+    if ok.any() and len(data) >= k:
+        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            flat_h = splitmix64(win @ pows)
+        counts = (lens[ok] - k + 1).astype(np.int64)
+        seg_id = np.repeat(np.arange(len(counts)), counts)
+        cum = np.r_[0, np.cumsum(counts)]
+        local = np.arange(counts.sum()) - cum[seg_id]
+        sh = flat_h[offs[:-1][ok][seg_id] + local]
+        doc_starts = cum[:-1]
+        # chunk whole docs so each (shingles × perms) slab stays inside
+        # the CPU cache — 512×128×8B ≈ 512 KB (measured 6× faster than
+        # 64k-shingle slabs, which thrash memory bandwidth)
+        out_ok = np.empty((len(counts), P), dtype=np.uint64)
+        i = 0
+        while i < len(counts):
+            j = i + 1
+            while j < len(counts) and cum[j + 1] - cum[i] <= 512:
+                j += 1
+            out_ok[i:j] = _seg_min(sh[cum[i] : cum[j]], doc_starts[i:j] - cum[i], seeds)
+            i = j
+        sigs[ok] = out_ok
+
+    if (~ok).any():
+        # short docs (len < k, incl. empty): the padded-single-window path
+        for i in np.flatnonzero(~ok):
+            b = np.pad(data[offs[i] : offs[i + 1]], (0, k - int(lens[i]))).astype(np.uint64)
+            pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                h = splitmix64(np.array([b @ pows], dtype=np.uint64))
+            sigs[i] = _perm(h, seeds).min(axis=0)
+    return sigs
+
+
+def simhash_batch(col) -> np.ndarray:
+    """64-bit SimHash per document for a whole string column: Arrow
+    lowercase + whitespace-split, one vectorized token-hash pass over the
+    flattened token list, per-document bit votes via ``add.reduceat``.
+    Token hash is the stable pandas siphash (hash_strings) — like the
+    reference implementation's crc32, deterministic across workers."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    n = len(toks)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = offs[1:] - offs[:-1]
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    # drop empty tokens (split of "" / leading+trailing whitespace)
+    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    h = splitmix64(hash_strings(flat))
+    bits_mask = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] & bits_mask[None, :]) != 0) & nonempty[:, None]
+    has = counts > 0
+    votes = np.zeros((n, 64), dtype=np.int64)
+    ntok = np.zeros(n, dtype=np.int64)
+    if has.any():
+        starts = offs[:-1][has]
+        votes[has] = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        ntok[has] = np.add.reduceat(nonempty.astype(np.int64), starts)
+    majority = ((votes * 2 - ntok[:, None]) > 0).astype(np.uint64)
+    out = (majority * bits_mask[None, :]).sum(axis=1, dtype=np.uint64)
+    out[ntok == 0] = np.uint64(0)
+    return out
+
+
 # ---------------------------------------------------------- MinHash+LSH
 
 
@@ -121,18 +244,15 @@ class MinHasher:
         self.key_col = key_col
 
     def signature(self, text: str) -> np.ndarray:
+        """Single-doc reference implementation (tests compare the
+        vectorized batch path against this)."""
         sh = char_shingle_hashes(text or "", self.k)
-        with np.errstate(over="ignore"):
-            m = splitmix64(sh[:, None] ^ self.seeds[None, :])
-        return m.min(axis=0)
+        return _perm(sh, self.seeds).min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        n = len(texts)
-        sigs = np.empty((n, len(self.seeds)), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t)
+        n = batch.num_rows
+        sigs = minhash_signatures(batch[self.text_col], self.seeds, self.k)
         # fold each band's rows into one 64-bit band hash
         bh = np.zeros((n, self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -215,12 +335,165 @@ class PairVerifier:
         )
 
 
+def _join_schema() -> pa.Schema:
+    return pa.schema([
+        ("j", pa.int32()), ("g", pa.int32()), ("a", pa.int64()),
+        ("b", pa.int64()), ("doc_id", pa.int64()), ("text", pa.string()),
+    ])
+
+
+def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
+                        text_col="text", key_col="doc_id",
+                        join_parts=64, verify_parts=64):
+    """Distributed pair verification as a bucketed hash-join — no driver
+    materialization of corpus text (the broadcast path OOMs the driver
+    long before LSH breaks). Two keyed exchanges:
+
+    1. text routing: candidate pairs emit (doc_id → verify bucket g)
+       requests; requests ∪ corpus are grouped by ``hash(doc_id) %
+       join_parts`` and each join partition resolves its requested
+       texts with a vectorized searchsorted — only texts some pair
+       actually needs leave this stage, tagged with their g;
+    2. verification: pairs ∪ routed texts are grouped by g; each verify
+       bucket builds its local doc→shingles map and computes exact
+       n-gram Jaccard. Duplicate candidates from multiple agreeing LSH
+       bands collapse here (same (a,b) ⇒ same g), which also removes
+       the old per-pair ``groupby(["a","b"]).map_groups`` dedup pass.
+
+    Text movement is O(corpus once + requested texts); driver memory is
+    O(1). Pairs output: (a, b, jaccard), a < b, jaccard ≥ threshold —
+    identical to the broadcast path's."""
+    schema = _join_schema()
+    # both the request pass and the verify pass consume the candidate
+    # set; materialize it once (it is O(dups) small — post-banding pairs,
+    # never raw text) so the LSH signature DAG doesn't execute twice
+    cand = cand.materialize()
+
+    def tag_requests(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (splitmix64(a.view(np.uint64) ^ (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+             % np.uint64(verify_parts)).astype(np.int32)
+        doc = np.concatenate([a, b])
+        gg = np.concatenate([g, g])
+        j = (splitmix64(doc.view(np.uint64)) % np.uint64(join_parts)).astype(np.int32)
+        return pa.table({
+            "j": pa.array(j), "g": pa.array(gg),
+            "a": pa.nulls(2 * len(a), pa.int64()),
+            "b": pa.nulls(2 * len(a), pa.int64()),
+            "doc_id": pa.array(doc), "text": pa.nulls(2 * len(a), pa.string()),
+        }, schema=schema)
+
+    def corpus_rows(t: pa.Table) -> pa.Table:
+        doc = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = (splitmix64(doc.view(np.uint64)) % np.uint64(join_parts)).astype(np.int32)
+        n = len(doc)
+        return pa.table({
+            "j": pa.array(j), "g": pa.array(np.full(n, -1, np.int32)),
+            "a": pa.nulls(n, pa.int64()), "b": pa.nulls(n, pa.int64()),
+            "doc_id": pa.array(doc), "text": t[text_col].cast(pa.string()),
+        }, schema=schema)
+
+    def join_texts(group: pa.Table) -> pa.Table:
+        g = group["g"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        is_corpus = g < 0
+        req = np.unique(np.stack([doc[~is_corpus], g[~is_corpus]], axis=1), axis=0)
+        if len(req) == 0:
+            return pa.table({"j": pa.array([], pa.int32()), "g": pa.array([], pa.int32()),
+                             "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())}, schema=schema)
+        cd = doc[is_corpus]
+        order = np.argsort(cd, kind="stable")
+        pos = np.searchsorted(cd[order], req[:, 0])
+        pos_c = np.minimum(pos, max(len(cd) - 1, 0))
+        found = (len(cd) > 0) & (cd[order][pos_c] == req[:, 0])
+        sel = order[pos_c[found]]
+        texts = group["text"].filter(pa.array(is_corpus)).take(pa.array(sel))
+        n = int(found.sum())
+        return pa.table({
+            "j": pa.array(np.zeros(n, np.int32)),
+            "g": pa.array(req[found, 1].astype(np.int32)),
+            "a": pa.nulls(n, pa.int64()), "b": pa.nulls(n, pa.int64()),
+            "doc_id": pa.array(req[found, 0].astype(np.int64)), "text": texts,
+        }, schema=schema)
+
+    def verify(group: pa.Table) -> pa.Table:
+        a_col = group["a"]
+        is_text = pc.is_null(a_col).to_numpy(zero_copy_only=False)
+        a = a_col.to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        texts = group["text"].filter(pa.array(is_text)).to_pylist()
+        text_of = dict(zip(doc[is_text].astype(np.int64), texts))
+        pairs = np.unique(
+            np.stack([a[~is_text].astype(np.int64), b[~is_text].astype(np.int64)], axis=1),
+            axis=0,
+        )
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(i: int) -> np.ndarray:
+            s = cache.get(i)
+            if s is None:
+                s = char_shingle_hashes(text_of.get(i, "") or "", shingle_k)
+                cache[i] = s
+            return s
+
+        jac = np.array([jaccard(sh(int(x)), sh(int(y))) for x, y in pairs],
+                       dtype=np.float64) if len(pairs) else np.empty(0)
+        keep = jac >= threshold
+        return pa.table({
+            "a": pa.array(pairs[keep, 0] if len(pairs) else [], pa.int64()),
+            "b": pa.array(pairs[keep, 1] if len(pairs) else [], pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 6) if len(pairs) else [], pa.float64()),
+        })
+
+    requests = cand.map_batches(tag_requests, batch_format="pyarrow")
+    corpus = ds.select_columns([key_col, text_col]).map_batches(
+        corpus_rows, batch_format="pyarrow"
+    )
+    routed = requests.union(corpus).groupby("j").map_groups(
+        join_texts, batch_format="pyarrow"
+    )
+
+    def pairs_tagged(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (splitmix64(a.view(np.uint64) ^ (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+             % np.uint64(verify_parts)).astype(np.int32)
+        n = len(a)
+        return pa.table({
+            "j": pa.array(np.zeros(n, np.int32)), "g": pa.array(g),
+            "a": pa.array(a), "b": pa.array(b),
+            "doc_id": pa.nulls(n, pa.int64()), "text": pa.nulls(n, pa.string()),
+        }, schema=schema)
+
+    tagged = cand.map_batches(pairs_tagged, batch_format="pyarrow")
+    return tagged.union(routed).groupby("g").map_groups(
+        verify, batch_format="pyarrow"
+    )
+
+
 def minhash_dup_pairs(ds, threshold=0.7, num_perm=128, bands=16, shingle_k=5,
-                      text_col="text", key_col="doc_id", concurrency=4):
-    """Verified near-duplicate pairs (a < b, jaccard ≥ threshold)."""
+                      text_col="text", key_col="doc_id", concurrency=4,
+                      verify="join"):
+    """Verified near-duplicate pairs (a < b, jaccard ≥ threshold).
+
+    ``verify="join"`` (default): distributed bucketed hash-join — the
+    scale path; driver memory O(1). ``verify="broadcast"``: driver
+    builds the doc→text dict and broadcasts it via ``ray.put`` — only
+    for small corpora (≲10⁶ docs)."""
+    cand = minhash_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, key_col, concurrency)
+    if verify == "join":
+        corpus = ds.select_columns([key_col, text_col])
+        return verified_pairs_join(
+            cand.drop_columns(["capped"]), corpus,
+            shingle_k=shingle_k, threshold=threshold,
+            text_col=text_col, key_col=key_col,
+        )
     import ray
 
-    cand = minhash_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, key_col, concurrency)
     # drop duplicate pairs produced by multiple agreeing bands
     cand = cand.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     corpus = {}
@@ -293,23 +566,19 @@ class SimHasher:
         self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> np.uint64:
-        import zlib
-
-        toks = (text or "").lower().split()
+        """Single-doc reference implementation (tests compare the
+        vectorized batch path against this)."""
+        toks = [t for t in (text or "").lower().split() if t]
         if not toks:
             return np.uint64(0)
-        # crc32, not builtin hash(): stable across worker processes
-        h = splitmix64(
-            np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-        )
+        h = splitmix64(hash_strings(np.array(toks, dtype=object)))
         bits = (h[:, None] & self.bits[None, :]) != 0
         vote = bits.sum(axis=0) * 2 - len(toks)
         return np.uint64(((vote > 0) * self.bits).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        sh = np.array([self.simhash(t) for t in batch[self.text_col].to_pylist()],
-                      dtype=np.uint64)
+        sh = simhash_batch(batch[self.text_col])
         n = len(keys)
         chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
         chunks = np.empty((n, 4), dtype=np.uint64)
@@ -359,9 +628,12 @@ def simhash_dup_pairs(ds, max_hamming=3, text_col="text", key_col="doc_id",
     pairs = sig.groupby(["chunk_id", "chunk_val"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # duplicate pairs from multiple matching chunks collapse via a
+    # vectorized aggregate (hamming is identical across copies), not a
+    # per-pair Python map_groups callback
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # --------------------------------------------- embedding-cosine near-dup

@@ -69,7 +69,8 @@ def compact(lake: Lake, wal_dir: str | None = None, *, force: bool = False) -> d
 
         unprocessed = [
             i.path for i in walmod.scan_wal(wal_dir)
-            if i.path not in set(prev.processed_wal)
+            if not walmod.is_processed(i, set(prev.processed_wal),
+                                       prev.processed_floor)
         ]
         if unprocessed:
             raise ValueError(
@@ -102,10 +103,12 @@ def compact(lake: Lake, wal_dir: str | None = None, *, force: bool = False) -> d
         files=files,
         metrics=metrics,
         processed_wal=prev.processed_wal,
+        processed_floor=prev.processed_floor,
         strategy=prev.strategy,
         num_vbuckets=prev.num_vbuckets,
     )
     lake.store.commit(manifest)
+    lake.write_metrics(run_id, metrics)
     return metrics
 
 

@@ -149,6 +149,7 @@ def replay(
     prev = lake.store.load_current()
     wm = dict(prev.watermarks) if prev else {}
     processed: set[str] = set(prev.processed_wal) if prev else set()
+    prev_floor: dict[int, int] = dict(prev.processed_floor) if prev else {}
     num_buckets = prev.num_buckets if prev else cfg.num_buckets
     salted = prev.salted if prev else cfg.salted
     strategy = prev.strategy if prev else cfg.strategy
@@ -174,7 +175,9 @@ def replay(
     # inferred from the FULL scan — never from a truncated delta — or
     # pinned explicitly via cfg.num_vbuckets
     observed_num_vb = max([i.vb for i in all_infos] + [vb for vb in wm] + [-1]) + 1
-    infos = [i for i in all_infos if i.path not in processed]
+    infos = [
+        i for i in all_infos if not walmod.is_processed(i, processed, prev_floor)
+    ]
     infos.sort(key=lambda i: i.path)
     if max_files is not None:
         infos = infos[:max_files]
@@ -260,6 +263,9 @@ def replay(
         rins = sorted((int(s["rows_in"]) for s in stats), reverse=True)
         metrics["bucket_rows_in_max"] = rins[0]
         metrics["bucket_rows_in_mean"] = int(sum(rins) / len(rins))
+    new_floor, residual = walmod.compact_processed(
+        all_infos, processed | {i.path for i in infos}, prev_floor
+    )
     manifest = Manifest(
         run_id=run_id,
         seq=(prev.seq + 1) if prev else 1,
@@ -269,11 +275,13 @@ def replay(
         watermarks=new_wm,
         files=files,
         metrics=metrics,
-        processed_wal=sorted(processed | {i.path for i in infos}),
+        processed_wal=residual,
+        processed_floor=new_floor,
         strategy=strategy,
         num_vbuckets=num_vbuckets,
     )
     lake.store.commit(manifest)
+    lake.write_metrics(run_id, metrics)
     shutil.rmtree(os.path.join(lake.lake_dir, "tmp", run_id), ignore_errors=True)
     return RunResult(run_id=run_id, committed=True, manifest=manifest, metrics=metrics)
 

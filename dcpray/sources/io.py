@@ -35,6 +35,21 @@ class _NoPrefetchMetadataProvider:
         return cls._cls()
 
 
+def read_clean(path: str, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with pandas-writer schema metadata
+    stripped. Pandas-written parquet carries a ``b'pandas'`` schema
+    metadata blob whose presence makes ``pyarrow.Schema`` unhashable,
+    which defeats Ray Data's schema deduplication and spams
+    'Failed to hash the schemas' warnings on every stage."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, schema=schema, columns=columns, **kwargs)
+
+
 def read_parquet_fast(
     paths: list[str],
     *,

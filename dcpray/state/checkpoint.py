@@ -52,9 +52,16 @@ class Manifest:
     watermarks: dict[int, int]  # vb -> highest committed seqno
     files: list[dict[str, Any]]  # {path (lake-relative), bucket, rows}
     metrics: dict[str, Any] = field(default_factory=dict)
-    # exact set of WAL files already applied (see replay.py docstring for
-    # why this, not the watermark alone, is the general resume mechanism)
+    # residual exact set of applied WAL files NOT covered by the per-vb
+    # processed floor below (multi-vb segments and stragglers whose seqno
+    # range reaches above the floor); see wal.compact_processed
     processed_wal: list[str] = field(default_factory=list)
+    # vb → seqno floor: every scanned segment of vb with max_seqno at or
+    # below the floor is applied — compacts the O(#segments) exact set
+    # to O(#vb) once a vb's backlog drains (SURVEY §8 checkpoint-size
+    # arithmetic; the analogue of the reference committing only per-vb
+    # seqno offsets, kafka_metadata.go:26-46)
+    processed_floor: dict[int, int] = field(default_factory=dict)
     # physical merge strategy the lake was built with ("aligned" buckets
     # are vb % num_buckets; "shuffle" buckets are salted key hashes) —
     # pinned at creation so incremental runs keep the same partitioning
@@ -65,12 +72,16 @@ class Manifest:
     def to_json(self) -> str:
         d = dict(self.__dict__)
         d["watermarks"] = {str(k): v for k, v in self.watermarks.items()}
+        d["processed_floor"] = {str(k): v for k, v in self.processed_floor.items()}
         return json.dumps(d, indent=1)
 
     @staticmethod
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
         d["watermarks"] = {int(k): v for k, v in d["watermarks"].items()}
+        d["processed_floor"] = {
+            int(k): v for k, v in d.get("processed_floor", {}).items()
+        }
         return Manifest(**d)
 
 
@@ -159,13 +170,129 @@ class ManifestStore:
         return out
 
 
-class Lake:
-    """A transcripts Parquet lake rooted at ``lake_dir``."""
+class ConditionalKV:
+    """Minimal object-store surface a manifest store needs: atomic
+    create-if-absent plus get/list/delete. Models S3-style conditional
+    PUT (``If-None-Match: *``) — the commit primitive that EXISTS on
+    real object stores, unlike POSIX ``rename``/``link``. Implement this
+    against S3/GCS/ABS for a multi-node deployment; ``LocalFSKV`` is the
+    sandbox emulation."""
 
-    def __init__(self, lake_dir: str):
+    def put_if_absent(self, key: str, data: bytes) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+    def get(self, key: str) -> bytes | None:  # pragma: no cover
+        raise NotImplementedError
+
+    def list(self) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LocalFSKV(ConditionalKV):
+    """Filesystem emulation of conditional PUT (exclusive create)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        path = os.path.join(self.root, key)
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # EEXIST ⇒ a racer won: conditional-put failure
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def get(self, key: str) -> bytes | None:
+        try:
+            with open(os.path.join(self.root, key), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def list(self) -> list[str]:
+        try:
+            return sorted(os.listdir(self.root))
+        except FileNotFoundError:
+            return []
+
+    def delete(self, key: str) -> None:
+        try:
+            os.remove(os.path.join(self.root, key))
+        except FileNotFoundError:
+            pass
+
+
+class CasManifestStore:
+    """Object-store-safe manifest store: NO ``CURRENT`` pointer and no
+    rename — a commit is one conditional put of the seq-named manifest,
+    and the current manifest is simply the highest committed seq in the
+    listing. Same optimistic-concurrency contract as ``ManifestStore``
+    (two writers racing seq N+1: exactly one put succeeds), but nothing
+    here relies on POSIX atomicity, so the layout transfers to
+    S3-compatible stores as-is. Drop-in replacement via
+    ``Lake(dir, store=CasManifestStore(dir))``."""
+
+    def __init__(self, lake_dir: str, kv: ConditionalKV | None = None):
+        self.lake_dir = lake_dir
+        self.manifest_dir = os.path.join(lake_dir, "manifests")
+        # no CURRENT pointer exists in this layout; the attribute is the
+        # path gc() probes (absent ⇒ ignored)
+        self.current_path = os.path.join(lake_dir, "CURRENT")
+        self.kv = kv or LocalFSKV(self.manifest_dir)
+
+    def _names(self) -> list[str]:
+        return [n for n in self.kv.list() if n.startswith("manifest-") and n.endswith(".json")]
+
+    def load_current(self) -> Manifest | None:
+        names = self._names()
+        if not names:
+            return None
+        data = self.kv.get(names[-1])
+        return Manifest.from_json(data.decode()) if data is not None else None
+
+    def commit(self, manifest: Manifest) -> str:
+        name = f"manifest-{manifest.seq:06d}.json"
+        if not self.kv.put_if_absent(name, manifest.to_json().encode()):
+            raise ConcurrentCommitError(
+                f"seq {manifest.seq} already committed by another writer; "
+                "reload the manifest and rerun"
+            )
+        return name
+
+    def clear(self) -> None:
+        for n in self._names():
+            self.kv.delete(n)
+
+    def history(self) -> list[Manifest]:
+        out = []
+        for name in self._names():
+            data = self.kv.get(name)
+            if data is not None:
+                out.append(Manifest.from_json(data.decode()))
+        return out
+
+
+class Lake:
+    """A transcripts Parquet lake rooted at ``lake_dir``. ``store``
+    selects the manifest backend (reference parity: metadata.type picks
+    Couchbase/Kafka/file stores, /root/reference/connector.go:173-175);
+    default is the POSIX ``ManifestStore``."""
+
+    def __init__(self, lake_dir: str, store=None):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
-        self.store = ManifestStore(lake_dir)
+        self.store = store if store is not None else ManifestStore(lake_dir)
 
     # ---- paths ----
     def data_dir(self, run_id: str) -> str:
@@ -258,6 +385,18 @@ class Lake:
         return df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
             drop=True
         )
+
+    def write_metrics(self, run_id: str, metrics: dict[str, Any]) -> str:
+        """Per-run metrics dump (X2 parity: the reference exposes run
+        metrics via a Prometheus collector, /root/reference/metric/
+        collector.go:9-56; a bounded replay's analogue is one JSON file
+        per run under <lake>/metrics/). The manifest embeds the same
+        block; this file is the standalone scrape surface."""
+        d = os.path.join(self.lake_dir, "metrics")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{run_id}.json")
+        _atomic_write(path, json.dumps(metrics, indent=1, default=str))
+        return path
 
     def rejected_count(self, run_id: str | None = None) -> int:
         """Rows landed in the DLQ (footer metadata only)."""

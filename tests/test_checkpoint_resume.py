@@ -27,9 +27,70 @@ def test_incremental_arrival_equals_full(tiny_fixture, tmp_path):
     assert r3.manifest.seq == 3
     oracle = naive_final_state(wal, base)
     assert_final_state_equal(lake.to_pandas_sorted(), oracle)
-    # each file was processed exactly once
-    n_files = len(r3.manifest.processed_wal)
-    assert n_files == r1.metrics["wal_files"] + r2.metrics["wal_files"] + r3.metrics["wal_files"]
+    # each file was processed exactly once...
+    import glob
+
+    total = r1.metrics["wal_files"] + r2.metrics["wal_files"] + r3.metrics["wal_files"]
+    assert total == len(glob.glob(os.path.join(wal, "**", "*.parquet"), recursive=True))
+    # ...and once the backlog drains, the exact processed set compacts
+    # away into per-vb floors equal to the watermarks (manifest stays
+    # O(#vb), not O(#segments))
+    assert r3.manifest.processed_wal == []
+    assert r3.manifest.processed_floor == r3.manifest.watermarks
+
+
+def test_processed_set_compacts_at_many_segments(tmp_path):
+    """SURVEY §8 checkpoint-size bound: after committing a 1,280-segment
+    WAL the manifest must stay O(#vb) — per-vb floors, empty residual —
+    not O(#segments); a partial ingest keeps exact paths only for the
+    straggler tail, and resume stays exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dcpray.schema import WAL_SCHEMA
+
+    wal = tmp_path / "wal"
+    n_vb, per_vb = 16, 80  # 1,280 segments
+    ts = pa.scalar(0, pa.timestamp("us"))
+    for vb in range(n_vb):
+        d = wal / f"vb_{vb:04d}"
+        os.makedirs(d)
+        for f in range(per_vb):
+            seq = f + 1
+            t = pa.table({
+                "vb": pa.array([vb], pa.uint16()),
+                "seqno": pa.array([seq], pa.uint64()),
+                "cas": pa.array([0], pa.uint64()),
+                "rev_no": pa.array([0], pa.uint64()),
+                "op": pa.array(["mutation"]),
+                "collection": pa.array(["_default"]),
+                "event_time": pa.array([0], pa.timestamp("us")),
+                "conv_id": pa.array([f"conv-{vb}"]),
+                "turn_idx": pa.array([f], pa.int32()),
+                "role": pa.array(["user"]),
+                "text": pa.array([f"t{vb}-{f}"]),
+                "tool": pa.array([None], pa.string()),
+                "ts": pa.array([0], pa.timestamp("us")),
+            }, schema=WAL_SCHEMA)
+            pq.write_table(t, str(d / f"part-{f:05d}.parquet"))
+
+    lake = Lake(str(tmp_path / "lake"))
+    cfg = ReplayConfig(num_buckets=8)
+    r1 = replay(lake, str(wal), config=cfg, max_files=1000)
+    m1 = lake.store.load_current()
+    # residual exact set holds only stragglers, far below #segments
+    assert len(m1.processed_wal) < 300, len(m1.processed_wal)
+
+    r2 = replay(lake, str(wal), config=cfg)
+    m2 = lake.store.load_current()
+    assert m2.processed_wal == []
+    assert m2.processed_floor == {vb: per_vb for vb in range(n_vb)}
+    assert len(m2.to_json()) < 20_000
+    # resume is exact: nothing left to do
+    r3 = replay(lake, str(wal), config=cfg)
+    assert not r3.committed and r3.metrics["note"] == "no new WAL files"
+    assert r1.metrics["events_in"] + r2.metrics["events_in"] == n_vb * per_vb
 
 
 def test_crash_before_commit_is_invisible_then_resumes(tiny_fixture, tmp_path, monkeypatch):

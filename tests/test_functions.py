@@ -142,6 +142,61 @@ def test_simhash_pairs():
         assert (trio_start, trio_start + 1) in got  # identical text → hamming 0
 
 
+def test_minhash_signature_batch_equals_single_doc():
+    """The vectorized flat-buffer signature path must equal the per-doc
+    reference implementation, including short/empty/unicode docs."""
+    import pyarrow.parquet as pq
+
+    from dcpray.functions.dedup import MinHasher, minhash_signatures
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+    texts += ["", "ab", "    ", "ümlaut ÄÖÜ tabs\tand\nnewlines", "x" * 4, "x" * 6, None]
+    col = pa.array(texts, pa.string())
+    mh = MinHasher()
+    sigs = minhash_signatures(col, mh.seeds, mh.k)
+    for i, t in enumerate(texts):
+        assert np.array_equal(sigs[i], mh.signature(t or "")), f"doc {i}"
+
+
+def test_simhash_batch_equals_single_doc():
+    import pyarrow.parquet as pq
+
+    from dcpray.functions.dedup import SimHasher, simhash_batch
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+    texts += ["", "  leading space", "one", None]
+    col = pa.array(texts, pa.string())
+    s = SimHasher()
+    sh = simhash_batch(col)
+    for i, t in enumerate(texts):
+        assert sh[i] == s.simhash(t or ""), f"doc {i}"
+
+
+def test_minhash_verify_join_equals_broadcast():
+    """The distributed hash-join verification (scale path, no driver
+    corpus dict) must produce the identical verified pair set as the
+    broadcast path — on the synthetic dup corpus and on a 10× fixture
+    (5k docs, sf0.01) where the driver never materializes text."""
+    import ray.data as rd
+
+    from dcpray.functions.dedup import minhash_dup_pairs
+
+    def run(ds_factory, threshold):
+        out = {}
+        for mode in ("join", "broadcast"):
+            df = (minhash_dup_pairs(ds_factory(), threshold=threshold,
+                                    concurrency=2, verify=mode)
+                  .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+            out[mode] = df
+        assert out["join"].equals(out["broadcast"]), (
+            out["join"].head(), out["broadcast"].head())
+        return out["join"]
+
+    run(lambda: _corpus_with_dups()[0], 0.5)
+    big = run(lambda: rd.read_parquet("/root/testdata/sf0.01/documents.parquet"), 0.6)
+    assert len(big) > 0
+
+
 def test_ngram_jaccard_consistency():
     from dcpray.functions.dedup import char_shingle_hashes, jaccard, word_ngram_hashes
 

@@ -61,6 +61,18 @@ def test_watermarks_match_meta(replayed, tiny_fixture):
     assert {str(k): v for k, v in res.manifest.watermarks.items()} == meta["watermarks"]
 
 
+def test_metrics_json_written(replayed):
+    """X2 parity: each committed run dumps its metrics block to
+    <lake>/metrics/<run_id>.json (the standalone scrape surface)."""
+    lake, res = replayed
+    p = os.path.join(lake.lake_dir, "metrics", f"{res.run_id}.json")
+    assert os.path.exists(p)
+    with open(p) as f:
+        m = json.load(f)
+    assert m["events_in"] == res.metrics["events_in"]
+    assert m["events_per_s"] > 0
+
+
 def test_salted_equals_unsalted(tiny_fixture, tmp_path):
     """Skew handling must not change results: bucket-by-(conv,turn)
     (salted) and bucket-by-conv produce identical final tables."""

@@ -50,7 +50,11 @@ def test_tail_picks_up_arrivals(tiny_fixture, tmp_path):
     hist = Lake(str(tmp_path / "lake")).store.history()
     assert [m.seq for m in hist] == [1, 2]
     assert hist[1].parent == hist[0].run_id
-    assert set(hist[0].processed_wal) < set(hist[1].processed_wal)
+    # processed coverage strictly grows (floors never regress, and the
+    # new segment advanced at least one vb's floor)
+    f0, f1 = hist[0].processed_floor, hist[1].processed_floor
+    assert all(f1.get(vb, 0) >= s for vb, s in f0.items())
+    assert sum(f1.values()) > sum(f0.values())
 
 
 def test_wrong_vb_modulus_detected(tiny_fixture, tmp_path):
