@@ -251,7 +251,8 @@ def _q_events_hourly(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     ds = read_clean(os.path.join(sf_dir, "events.parquet"),
-                         columns=["user_id", "ts", "value"])
+                    columns=["user_id", "ts", "value"],
+                    override_num_blocks=16)
 
     def partial(t: pa.Table) -> pa.Table:
         # per-batch pre-aggregation: the shuffle moves one row per
@@ -283,9 +284,12 @@ def _q_dedup_minhash_pairs(sf_dir: str):
 
     from dcpray.rayutil import push_based_shuffle
 
-    docs = read_clean(os.path.join(sf_dir, "documents.parquet"))
+    # a small-SF documents table is ONE parquet file = one Ray block;
+    # split it so the signature actors actually parallelize
+    docs = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                      override_num_blocks=16)
     with push_based_shuffle():  # ~2x on the banded-LSH groupbys
-        df = minhash_dup_pairs(docs, threshold=0.6, concurrency=4).to_pandas()
+        df = minhash_dup_pairs(docs, threshold=0.6, concurrency=8).to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -294,9 +298,10 @@ def _q_dedup_simhash_pairs(sf_dir: str):
 
     from dcpray.rayutil import push_based_shuffle
 
-    docs = read_clean(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                      override_num_blocks=16)
     with push_based_shuffle():
-        df = simhash_dup_pairs(docs, max_hamming=6, concurrency=4).to_pandas()
+        df = simhash_dup_pairs(docs, max_hamming=6, concurrency=8).to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 

@@ -270,7 +270,10 @@ class MinHasher:
 
 def _bucket_pairs(group: pa.Table, max_bucket: int = 256) -> pa.Table:
     """Candidate pairs within one LSH bucket (cap guards a degenerate
-    bucket from going quadratic; capped buckets are flagged)."""
+    bucket from going quadratic; capped buckets are flagged). Kept as
+    the single-bucket reference; the pipeline uses the partitioned
+    ``_partition_pairs`` (one call per coarse partition, not per
+    bucket)."""
     ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
     capped = len(ids) > max_bucket
     if capped:
@@ -288,17 +291,67 @@ def _bucket_pairs(group: pa.Table, max_bucket: int = 256) -> pa.Table:
     )
 
 
+def _partition_pairs(group: pa.Table, max_bucket: int = 256) -> pa.Table:
+    """Candidate pairs for a COARSE partition holding many whole LSH
+    buckets: one lexsort + run detection finds the buckets, and only the
+    (rare) multi-doc runs emit pairs. Replaces a per-bucket
+    ``map_groups`` — most buckets are singletons, so calling Python once
+    per bucket was pure overhead (76k calls for 80k rows at sf0.1)."""
+    bid = group["band_id"].to_numpy(zero_copy_only=False)
+    bh = group["band_hash"].to_numpy(zero_copy_only=False)
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bh, bid))
+    bid, bh, doc = bid[order], bh[order], doc[order]
+    new = np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, len(bid)])
+    multi = np.flatnonzero(sizes >= 2)
+    a_parts, b_parts, cap_parts = [], [], []
+    for m in multi:
+        ids = np.unique(doc[starts[m] : starts[m] + sizes[m]])
+        capped = len(ids) > max_bucket
+        if capped:
+            ids = ids[:max_bucket]
+        if len(ids) < 2:
+            continue
+        iu = np.triu_indices(len(ids), k=1)
+        a_parts.append(ids[iu[0]])
+        b_parts.append(ids[iu[1]])
+        cap_parts.append(np.full(len(iu[0]), capped))
+    if not a_parts:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "capped": pa.array([], pa.bool_())})
+    return pa.table({
+        "a": pa.array(np.concatenate(a_parts).astype(np.int64)),
+        "b": pa.array(np.concatenate(b_parts).astype(np.int64)),
+        "capped": pa.array(np.concatenate(cap_parts)),
+    })
+
+
 def minhash_candidate_pairs(ds, num_perm=128, bands=16, shingle_k=5,
-                            text_col="text", key_col="doc_id", concurrency=4):
+                            text_col="text", key_col="doc_id", concurrency=4,
+                            partitions=64):
+    """(a, b, capped) LSH candidate pairs. The banding exchange groups on
+    a COARSE partition key (hash of the band bucket % ``partitions``) so
+    whole buckets co-locate but Python runs once per partition, with the
+    per-bucket work fully vectorized inside (``_partition_pairs``)."""
     sig = ds.map_batches(
         MinHasher(num_perm, bands, shingle_k, text_col, key_col),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = sig.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (splitmix64(bh ^ (bid * np.uint64(0x9E3779B97F4A7C15)))
+                  % np.uint64(partitions)).astype(np.int32)
+        return t.append_column("pk", pa.array(pk))
+
+    return sig.map_batches(add_part, batch_format="pyarrow").groupby("pk").map_groups(
+        _partition_pairs, batch_format="pyarrow"
     )
-    return pairs
 
 
 class PairVerifier:
@@ -344,25 +397,33 @@ def _join_schema() -> pa.Schema:
 
 def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
                         text_col="text", key_col="doc_id",
-                        join_parts=64, verify_parts=64):
-    """Distributed pair verification as a bucketed hash-join — no driver
-    materialization of corpus text (the broadcast path OOMs the driver
-    long before LSH breaks). Two keyed exchanges:
+                        join_parts=64, verify_parts=64,
+                        requests="broadcast"):
+    """Distributed pair verification — no driver materialization of
+    corpus TEXT (the naive broadcast path OOMs the driver long before
+    LSH breaks). Two request-routing modes:
 
-    1. text routing: candidate pairs emit (doc_id → verify bucket g)
-       requests; requests ∪ corpus are grouped by ``hash(doc_id) %
-       join_parts`` and each join partition resolves its requested
-       texts with a vectorized searchsorted — only texts some pair
-       actually needs leave this stage, tagged with their g;
-    2. verification: pairs ∪ routed texts are grouped by g; each verify
-       bucket builds its local doc→shingles map and computes exact
-       n-gram Jaccard. Duplicate candidates from multiple agreeing LSH
-       bands collapse here (same (a,b) ⇒ same g), which also removes
-       the old per-pair ``groupby(["a","b"]).map_groups`` dedup pass.
+    - ``requests="broadcast"`` (default): the (doc_id → verify bucket)
+      request index — INTS only, O(#candidate ids), the same order the
+      driver already holds for union-find clustering — is broadcast via
+      ``ray.put``; ONE narrow map pass over the corpus emits each
+      requested text to its verify bucket(s) via vectorized
+      searchsorted. The corpus itself never shuffles.
+    - ``requests="shuffle"``: fully driver-O(1) — requests ∪ corpus are
+      grouped by ``hash(doc_id) % join_parts`` and each join partition
+      resolves its texts locally. One extra all-to-all; use when even
+      the candidate-id list could exceed driver memory (adversarial
+      all-duplicate corpora).
 
-    Text movement is O(corpus once + requested texts); driver memory is
-    O(1). Pairs output: (a, b, jaccard), a < b, jaccard ≥ threshold —
-    identical to the broadcast path's."""
+    Then verification: pairs ∪ routed texts are grouped by verify
+    bucket g; each bucket builds its local doc→shingles map and
+    computes exact n-gram Jaccard. Duplicate candidates from multiple
+    agreeing LSH bands collapse here (same (a,b) ⇒ same g), replacing
+    the old per-pair ``groupby(["a","b"]).map_groups`` dedup pass.
+
+    Text movement is O(requested texts) (+ corpus once for "shuffle");
+    output: (a, b, jaccard), a < b, jaccard ≥ threshold — identical to
+    the in-memory broadcast verifier's."""
     schema = _join_schema()
     # both the request pass and the verify pass consume the candidate
     # set; materialize it once (it is O(dups) small — post-banding pairs,
@@ -449,13 +510,60 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
             "jaccard": pa.array(np.round(jac[keep], 6) if len(pairs) else [], pa.float64()),
         })
 
-    requests = cand.map_batches(tag_requests, batch_format="pyarrow")
-    corpus = ds.select_columns([key_col, text_col]).map_batches(
-        corpus_rows, batch_format="pyarrow"
-    )
-    routed = requests.union(corpus).groupby("j").map_groups(
-        join_texts, batch_format="pyarrow"
-    )
+    if requests == "broadcast":
+        import ray
+
+        # driver collects ONLY the (doc_id, g) int request index
+        doc_parts, g_parts = [], []
+        for bt in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            a = bt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = bt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            g = (splitmix64(a.view(np.uint64)
+                            ^ (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+                 % np.uint64(verify_parts)).astype(np.int32)
+            doc_parts += [a, b]
+            g_parts += [g, g]
+        if doc_parts:
+            dg = np.unique(
+                np.stack([np.concatenate(doc_parts),
+                          np.concatenate(g_parts).astype(np.int64)], axis=1), axis=0)
+        else:
+            dg = np.empty((0, 2), np.int64)
+        req_ref = ray.put((np.ascontiguousarray(dg[:, 0]),
+                           np.ascontiguousarray(dg[:, 1].astype(np.int32))))
+
+        def route_texts(t: pa.Table) -> pa.Table:
+            doc_req, g_req = ray.get(req_ref)  # node-local, zero-copy
+            doc = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            lo = np.searchsorted(doc_req, doc, "left")
+            hi = np.searchsorted(doc_req, doc, "right")
+            counts = hi - lo
+            rows = np.repeat(np.arange(len(doc)), counts)
+            if len(rows) == 0:
+                return schema.empty_table()
+            cum = np.cumsum(counts)
+            req_idx = np.arange(int(cum[-1])) - np.repeat(cum - counts, counts) \
+                + np.repeat(lo, counts)
+            n = len(rows)
+            return pa.table({
+                "j": pa.array(np.zeros(n, np.int32)),
+                "g": pa.array(g_req[req_idx]),
+                "a": pa.nulls(n, pa.int64()), "b": pa.nulls(n, pa.int64()),
+                "doc_id": pa.array(doc[rows]),
+                "text": t[text_col].cast(pa.string()).take(pa.array(rows)),
+            }, schema=schema)
+
+        routed = ds.select_columns([key_col, text_col]).map_batches(
+            route_texts, batch_format="pyarrow"
+        )
+    else:
+        reqs = cand.map_batches(tag_requests, batch_format="pyarrow")
+        corpus = ds.select_columns([key_col, text_col]).map_batches(
+            corpus_rows, batch_format="pyarrow"
+        )
+        routed = reqs.union(corpus).groupby("j").map_groups(
+            join_texts, batch_format="pyarrow"
+        )
 
     def pairs_tagged(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -477,20 +585,21 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
 
 def minhash_dup_pairs(ds, threshold=0.7, num_perm=128, bands=16, shingle_k=5,
                       text_col="text", key_col="doc_id", concurrency=4,
-                      verify="join"):
+                      verify="join", requests="broadcast"):
     """Verified near-duplicate pairs (a < b, jaccard ≥ threshold).
 
-    ``verify="join"`` (default): distributed bucketed hash-join — the
-    scale path; driver memory O(1). ``verify="broadcast"``: driver
-    builds the doc→text dict and broadcasts it via ``ray.put`` — only
-    for small corpora (≲10⁶ docs)."""
+    ``verify="join"`` (default): distributed verification — corpus text
+    never lands on the driver; ``requests`` picks the routing mode (see
+    ``verified_pairs_join``). ``verify="broadcast"``: driver builds the
+    full doc→text dict and broadcasts it via ``ray.put`` — only for
+    small corpora (≲10⁶ docs)."""
     cand = minhash_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, key_col, concurrency)
     if verify == "join":
         corpus = ds.select_columns([key_col, text_col])
         return verified_pairs_join(
             cand.drop_columns(["capped"]), corpus,
             shingle_k=shingle_k, threshold=threshold,
-            text_col=text_col, key_col=key_col,
+            text_col=text_col, key_col=key_col, requests=requests,
         )
     import ray
 

@@ -60,38 +60,68 @@ def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 class QualityScorer:
     """Actor-pool stage: composite quality score from cheap heuristics
     (length band, stopword ratio, alphabetic ratio, repetition).
-    Stopword sets and regexes are built once per actor."""
+    Fully vectorized: Arrow regex split → flat word list → per-doc
+    reduceat sums (stopword membership via one ``is_in`` pass; distinct
+    words via factorize + bincount). The stopword value-set is built
+    once per actor."""
 
-    STOPWORDS = {
+    STOPWORDS = (
         "the", "and", "of", "a", "to", "in", "is", "it", "for", "on",
         "with", "as", "was", "at", "by", "an", "be", "this", "that",
-    }
+    )
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-zA-Z]+")
-        self.alpha_re = re.compile(r"[A-Za-z]")
+        self.stop_set = pa.array(sorted(self.STOPWORDS), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        scores = np.empty(len(texts))
-        stop_ratios = np.empty(len(texts))
-        for i, t in enumerate(texts):
-            t = t or ""
-            words = self.word_re.findall(t.lower())
-            n = len(words)
-            stop = sum(w in self.STOPWORDS for w in words) / n if n else 0.0
-            alpha = len(self.alpha_re.findall(t)) / max(1, len(t))
-            uniq = len(set(words)) / n if n else 0.0
-            length_band = 1.0 if 50 <= len(t) <= 4000 else 0.3
-            scores[i] = 0.3 * length_band + 0.2 * min(stop * 4, 1.0) + 0.25 * alpha + 0.25 * uniq
-            stop_ratios[i] = stop
-        scores = _round6(scores)
-        stop_ratios = _round6(stop_ratios)
+        text = batch["text"]
+        n = batch.num_rows
+        filled = pc.fill_null(text, "")
+        n_chars = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # words per doc = regex findall [a-z]+ over the lowercased text,
+        # expressed as split-on-[^a-z]+ then dropping empty fragments
+        toks = pc.split_pattern_regex(pc.utf8_lower(filled), r"[^a-z]+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts_raw = offs[1:] - offs[:-1]
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0 \
+            if len(flat) else np.empty(0, bool)
+        is_stop = pc.is_in(flat, value_set=self.stop_set).to_numpy(zero_copy_only=False) \
+            if len(flat) else np.empty(0, bool)
+
+        n_words = np.zeros(n, np.int64)
+        n_stop = np.zeros(n, np.int64)
+        n_uniq = np.zeros(n, np.int64)
+        has = counts_raw > 0
+        if has.any():
+            starts = offs[:-1][has]
+            n_words[has] = np.add.reduceat(nonempty.astype(np.int64), starts)
+            n_stop[has] = np.add.reduceat((is_stop & nonempty).astype(np.int64), starts)
+            # distinct words per doc: factorize the flat words, then count
+            # unique (doc, code) pairs per doc
+            seg = np.repeat(np.arange(n), counts_raw)[nonempty]
+            codes = pd.factorize(
+                flat.filter(pa.array(nonempty)).to_numpy(zero_copy_only=False)
+            )[0]
+            ncodes = codes.max() + 1 if len(codes) else 1
+            pairs = np.unique(seg.astype(np.int64) * ncodes + codes)
+            n_uniq = np.bincount((pairs // ncodes).astype(np.int64), minlength=n)
+
+        alpha = pc.count_substring_regex(filled, r"[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.float64)
+        denom_w = np.maximum(n_words, 1).astype(np.float64)
+        stop = np.where(n_words > 0, n_stop / denom_w, 0.0)
+        uniq = np.where(n_words > 0, n_uniq / denom_w, 0.0)
+        alpha_ratio = alpha / np.maximum(1, n_chars)
+        length_band = np.where((n_chars >= 50) & (n_chars <= 4000), 1.0, 0.3)
+        scores = (0.3 * length_band + 0.2 * np.minimum(stop * 4, 1.0)
+                  + 0.25 * alpha_ratio + 0.25 * uniq)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "stopword_ratio": pa.array(stop_ratios),
-                "quality_score": pa.array(scores),
+                "stopword_ratio": pa.array(_round6(stop)),
+                "quality_score": pa.array(_round6(scores)),
             }
         )
 
@@ -108,33 +138,52 @@ class LangId:
         "es": {"el", "la", "los", "las", "es", "por", "que", "una", "con", "para"},
     }
 
+    ACCENT = {"de": r"[äöüß]", "fr": r"[éèêàçœ]", "es": r"[ñáíóú¿¡]"}
+    #: chars that form a "word" for profile matching (the oracle's
+    #: regexp_extract_all character class)
+    WORD = "a-zäöüßéèêàçñ"
+
     def __init__(self):
-        self.word_re = re.compile(r"[a-zA-Zäöüßéèêàçñ]+")
-        self.cjk_re = re.compile(r"[一-鿿]")
-        self.accent = {
-            "de": re.compile(r"[äöüß]"),
-            "fr": re.compile(r"[éèêàçœ]"),
-            "es": re.compile(r"[ñáíóú¿¡]"),
+        # one compiled whole-word regex per profile word (40 total),
+        # applied VECTORIZED per batch via Arrow's re2 kernels — built
+        # once per actor
+        self.word_patterns = {
+            lang: [rf"(^|[^{self.WORD}]){w}($|[^{self.WORD}])" for w in sorted(stops)]
+            for lang, stops in self.PROFILES.items()
         }
 
-    def _classify(self, t: str) -> str:
-        if not t:
-            return "und"
-        if self.cjk_re.search(t):
-            return "zh"
-        words = set(self.word_re.findall(t.lower()))
-        best, best_score = "en", -1.0
-        for lang, stops in self.PROFILES.items():
-            score = len(words & stops)
-            score += 2 * bool(self.accent.get(lang) and self.accent[lang].search(t))
-            if score > best_score:
-                best, best_score = lang, score
-        return best
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._classify(t) for t in batch["text"].to_pylist()]
+        text = pc.fill_null(batch["text"], "")
+        lower = pc.utf8_lower(text)
+        n = batch.num_rows
+        scores = {}
+        for lang, pats in self.word_patterns.items():
+            s = np.zeros(n, np.int64)
+            for p in pats:
+                # distinct-word membership: each profile word contributes
+                # 0 or 1 regardless of multiplicity — matches the
+                # set-intersection semantics of the oracle
+                s += pc.match_substring_regex(lower, p).to_numpy(zero_copy_only=False)
+            acc = self.ACCENT.get(lang)
+            if acc:
+                s += 2 * pc.match_substring_regex(text, acc).to_numpy(zero_copy_only=False)
+            scores[lang] = s
+
+        empty = pc.equal(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+        cjk = pc.match_substring_regex(text, r"[一-鿿]").to_numpy(zero_copy_only=False)
+        s_en, s_de, s_fr, s_es = (scores[lang] for lang in ("en", "de", "fr", "es"))
+        # tie-break order mirrors the oracle CASE exactly: es beats all on
+        # strict >, then fr, then de, else en
+        preds = np.select(
+            [empty, cjk,
+             s_es > np.maximum(np.maximum(s_en, s_de), s_fr),
+             s_fr > np.maximum(s_en, s_de),
+             s_de > s_en],
+            ["und", "zh", "es", "fr", "de"],
+            default="en",
+        )
         return pa.table(
-            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds.tolist(), pa.string())}
         )
 
 

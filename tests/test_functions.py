@@ -183,14 +183,18 @@ def test_minhash_verify_join_equals_broadcast():
 
     def run(ds_factory, threshold):
         out = {}
-        for mode in ("join", "broadcast"):
+        for mode, kw in (("join-bcast", dict(verify="join", requests="broadcast")),
+                         ("join-shuffle", dict(verify="join", requests="shuffle")),
+                         ("broadcast", dict(verify="broadcast"))):
             df = (minhash_dup_pairs(ds_factory(), threshold=threshold,
-                                    concurrency=2, verify=mode)
+                                    concurrency=2, **kw)
                   .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
             out[mode] = df
-        assert out["join"].equals(out["broadcast"]), (
-            out["join"].head(), out["broadcast"].head())
-        return out["join"]
+        assert out["join-bcast"].equals(out["broadcast"]), (
+            out["join-bcast"].head(), out["broadcast"].head())
+        assert out["join-shuffle"].equals(out["broadcast"]), (
+            out["join-shuffle"].head(), out["broadcast"].head())
+        return out["join-bcast"]
 
     run(lambda: _corpus_with_dups()[0], 0.5)
     big = run(lambda: rd.read_parquet("/root/testdata/sf0.01/documents.parquet"), 0.6)
