@@ -387,6 +387,29 @@ def _q_ann_ivf_full_probe(sf_dir: str):
                     concurrency=4).select_columns(["query_id", "vec_id"])
 
 
+def _q_ann_ivf_index_full_probe(sf_dir: str):
+    """Persistent IVF index (build once / query many): build the
+    partitioned per-list index under /tmp, then query it probing every
+    list — exact by construction, so the brute-force SQL oracle applies.
+    (Sub-probe queries read ONLY the probed lists' files — file-level
+    pruning; tested in tests/test_functions.py.)"""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dcpray.functions.ann import build_ivf_index, ivf_query
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = os.path.join("/tmp/dcpray_ivf", os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(read_clean(path), idx, nlist=16, concurrency=4)
+    head = pq.read_table(path).slice(0, 5)
+    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    qids = head["vec_id"].to_numpy()
+    return ivf_query(idx, q, qids, k=10, nprobe=16).select_columns(
+        ["query_id", "vec_id"]
+    )
+
+
 def _q_multimodal_features(sf_dir: str):
     from dcpray.functions.multimodal import ImageFeatureExtractor, synthesize_media
 
@@ -451,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_full_probe": _q_ann_ivf_full_probe,
+        "ann_ivf_index_full_probe": _q_ann_ivf_index_full_probe,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -578,6 +602,15 @@ SELECT x.vec_id a, y.vec_id b,
        round(list_cosine_similarity(x.embedding, y.embedding), 4) cosine
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4""",
+        "ann_ivf_index_full_probe": """
+WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
+SELECT query_id, vec_id FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                     e.vec_id) rn
+  FROM q CROSS JOIN embeddings e
+) WHERE rn <= 10""",
         "ann_ivf_full_probe": """
 WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
 SELECT query_id, vec_id FROM (

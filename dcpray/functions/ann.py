@@ -17,6 +17,8 @@ Two paths:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -161,6 +163,101 @@ def _probed_score(group: pa.Table, qref, k: int, probes_ref) -> pa.Table:
         _PROBED_CACHE.clear()
         sc = _PROBED_CACHE[key] = ProbedScorer(qref, k, probes_ref)
     return sc(group)
+
+
+def build_ivf_index(ds, index_dir: str, nlist: int = 32,
+                    sample_size: int = 10_000, concurrency: int = 4) -> dict:
+    """Materialize a partitioned IVF index: the corpus is assigned to its
+    nearest coarse centroid and written as ONE parquet file per list
+    (``list-NNNNN.parquet``, ivf_list carried as a column) plus the
+    centroid matrix (``centroids.parquet``) and ``meta.json``. Build
+    once, query many — ``ivf_query`` then reads ONLY the probed lists'
+    files, the ANN analogue of the replay path's watermark file pruning:
+    at cluster scale each list file is the unit of placement and a query
+    touches ~nprobe/nlist of the corpus at the FILE level, not per-row.
+    """
+    import json
+
+    import ray
+
+    os.makedirs(index_dir, exist_ok=True)
+    sample = _stack(
+        ds.select_columns(["embedding"]).take_batch(sample_size, batch_format="pyarrow")["embedding"]
+    )
+    cents = train_centroids(sample, nlist)
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(
+        ListAssigner, fn_constructor_args=(cents_ref,),
+        batch_format="pyarrow", concurrency=concurrency, batch_size=8192,
+    )
+
+    def write_list(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        list_id = int(group["ivf_list"][0].as_py())
+        path = os.path.join(index_dir, f"list-{list_id:05d}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(group, tmp, row_group_size=65536)
+        os.rename(tmp, path)
+        return pa.table({"ivf_list": pa.array([list_id], pa.int32()),
+                         "rows": pa.array([group.num_rows], pa.int64())})
+
+    stats = assigned.groupby("ivf_list").map_groups(
+        write_list, batch_format="pyarrow"
+    ).to_pandas()
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"list_id": pa.array(range(len(cents)), pa.int32()),
+                  "centroid": pa.array([list(map(float, c)) for c in cents],
+                                       pa.list_(pa.float64()))}),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    meta = {"nlist": int(len(cents)), "dim": int(cents.shape[1]),
+            "num_vectors": int(stats["rows"].sum()),
+            "lists": {int(r.ivf_list): int(r.rows) for r in stats.itertuples()}}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_query(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
+              k: int = 10, nprobe: int = 8):
+    """Query a persisted IVF index: resolve each query's nprobe nearest
+    lists from the stored centroids, read ONLY those lists' parquet
+    files, score each against the queries probing it, reduce to the
+    global top-k. Exact when nprobe == nlist (the full-probe variant is
+    oracle-checked against brute force)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cent_tab = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = _normalize(_stack(cent_tab["centroid"]))
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    order = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    probed = sorted(set(order.reshape(-1).tolist()))
+    paths = [os.path.join(index_dir, f"list-{l:05d}.parquet") for l in probed]
+    paths = [p for p in paths if os.path.exists(p)]  # empty lists have no file
+    probes_ref = ray.put(order.astype(np.int32))
+    qref = ray.put({"qid": np.asarray(query_ids, dtype=np.int64), "mat": qmat})
+    import ray.data as rd
+
+    ds = rd.read_parquet(paths)
+    cand = ds.map_batches(
+        _probed_score_batches, fn_args=(qref, k, probes_ref),
+        batch_format="pyarrow", batch_size=8192,
+    )
+    return cand.groupby("query_id").map_groups(
+        lambda g: _global_topk(g, k), batch_format="pyarrow"
+    )
+
+
+def _probed_score_batches(batch: pa.Table, qref, k: int, probes_ref) -> pa.Table:
+    """map_batches form of the probed scorer (index files carry
+    ivf_list as a column; one file = one list, so batches are
+    list-homogeneous)."""
+    return _probed_score(batch, qref, k, probes_ref)
 
 
 def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,

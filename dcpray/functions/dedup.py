@@ -9,9 +9,10 @@ Scale shape (the part that must survive 100 TB):
   bit signature), never on raw text;
 - pair verification re-derives features for candidate pairs only;
 - clustering is min-label union-find over the (tiny) surviving pair
-  set on the driver — candidate pairs after banding are O(dups), not
-  O(n²); for adversarial corpora swap in iterative min-label
-  propagation (groupby rounds), noted below.
+  set on the driver (``cluster_pairs``); for corpora where even the
+  verified pair set is huge, ``cluster_pairs_distributed`` runs the
+  same connected-components computation as iterative min-label
+  propagation over coarse-partition groupbys — nothing on the driver.
 
 Pair verification is DISTRIBUTED by default (``verify="join"``): a
 bucketed hash-join of the candidate-pair list against the corpus on
@@ -635,6 +636,108 @@ def cluster_pairs(pairs_df) -> dict[int, int]:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
     return {x: find(x) for x in list(parent)}
+
+
+def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50):
+    """Distributed connected components over the verified-pair edge set —
+    the scale fallback for ``cluster_pairs`` when even O(#dup pairs)
+    exceeds driver memory. Iterative min-label propagation: each round
+    joins current labels onto edges (one coarse-partition groupby,
+    vectorized searchsorted inside) and takes the per-node min over
+    {own label} ∪ {neighbors' labels} (second groupby). Converges in
+    O(component diameter) rounds — near-dup clusters are dense, so
+    diameter is tiny in practice; ``max_rounds`` guards adversarial
+    chains. Returns a Dataset of (doc_id, rep_id), rep = component min —
+    the same contract as driver-side ``cluster_pairs``."""
+    import ray.data as rd
+
+    edge_schema = pa.schema([("pk", pa.int32()), ("node", pa.int64()),
+                             ("peer", pa.int64()), ("label", pa.int64())])
+
+    def _pk(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.view(np.uint64)) % np.uint64(parts)).astype(np.int32)
+
+    def edges_both(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        peer = np.concatenate([b, a])
+        return pa.table({"pk": pa.array(_pk(node)), "node": pa.array(node),
+                         "peer": pa.array(peer),
+                         "label": pa.nulls(len(node), pa.int64())}, schema=edge_schema)
+
+    edges = pairs_ds.map_batches(edges_both, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        node = np.unique(t["node"].to_numpy(zero_copy_only=False))
+        n = len(node)
+        return pa.table({"pk": pa.array(_pk(node)), "node": pa.array(node),
+                         "peer": pa.nulls(n, pa.int64()),
+                         "label": pa.array(node)}, schema=edge_schema)
+
+    def propagate(group: pa.Table) -> pa.Table:
+        """One partition: edge rows keyed by node + label rows; emit the
+        candidate label for each PEER (label of this node travels over
+        its edges)."""
+        node = group["node"].to_numpy(zero_copy_only=False)
+        peer = group["peer"].to_numpy(zero_copy_only=False)
+        lab = group["label"].to_numpy(zero_copy_only=False)
+        is_lab = ~pc.is_null(group["label"]).to_numpy(zero_copy_only=False)
+        ln, lv = node[is_lab], lab[is_lab]
+        order = np.argsort(ln)
+        ln, lv = ln[order], lv[order]
+        en, ep = node[~is_lab], peer[~is_lab]
+        pos = np.searchsorted(ln, en)
+        pos = np.minimum(pos, max(len(ln) - 1, 0))
+        found = (len(ln) > 0) & (ln[pos] == en)
+        cand_node = ep[found].astype(np.int64)
+        cand_lab = lv[pos[found]].astype(np.int64)
+        n = len(cand_node)
+        return pa.table({"pk": pa.array(_pk(cand_node)), "node": pa.array(cand_node),
+                         "peer": pa.nulls(n, pa.int64()),
+                         "label": pa.array(cand_lab)}, schema=edge_schema)
+
+    def take_min(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = group["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lab, node))
+        node, lab = node[order], lab[order]
+        first = np.r_[True, node[1:] != node[:-1]]
+        node, lab = node[first], lab[first]
+        n = len(node)
+        return pa.table({"pk": pa.array(_pk(node)), "node": pa.array(node),
+                         "peer": pa.nulls(n, pa.int64()),
+                         "label": pa.array(lab)}, schema=edge_schema)
+
+    if edges.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                        "rep_id": pa.array([], pa.int64())}))
+
+    # node set dedup (several edge batches emit the same node): vectorized
+    # per-partition min — initial labels are all the node itself
+    labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    labels = labels.groupby("pk").map_groups(
+        take_min, batch_format="pyarrow"
+    ).materialize()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        cands = edges.union(labels).groupby("pk").map_groups(
+            propagate, batch_format="pyarrow"
+        )
+        labels = cands.union(labels).groupby("pk").map_groups(
+            take_min, batch_format="pyarrow"
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rep_id": t["label"]}),
+        batch_format="pyarrow",
+    )
 
 
 def minhash_dedup(ds, threshold=0.7, **kw):

@@ -132,6 +132,41 @@ def test_minhash_near_dedup():
     }
 
 
+def test_cluster_pairs_distributed_equals_union_find():
+    """The distributed min-label-propagation components must equal the
+    driver union-find on random edge sets (chains, stars, cliques)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dcpray.functions.dedup import cluster_pairs, cluster_pairs_distributed
+
+    rng = np.random.RandomState(3)
+    # one combined edge set: a chain, a star, a clique and a random
+    # bipartite blob as disjoint components (single distributed run —
+    # each propagation round costs a fixed Ray overhead, so testing one
+    # multi-component graph beats four sequential runs)
+    parts = [
+        pd.DataFrame({"a": [0, 1, 2], "b": [1, 2, 3]}),            # chain
+        pd.DataFrame({"a": [10, 10, 10], "b": [11, 12, 13]}),      # star
+        pd.DataFrame({"a": [5, 5, 6], "b": [6, 7, 7]}),            # clique
+        pd.DataFrame({"a": rng.randint(20, 40, 25),
+                      "b": rng.randint(40, 60, 25)}),              # random bipartite
+    ]
+    df = pd.concat(parts, ignore_index=True)
+    df = df[df["a"] != df["b"]]
+    lo, hi = np.minimum(df["a"], df["b"]), np.maximum(df["a"], df["b"])
+    df = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates().reset_index(drop=True)
+    want = cluster_pairs(df)
+    got = cluster_pairs_distributed(rd.from_pandas(df), parts=8).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["rep_id"]))
+    assert got_map == want, (got_map, want)
+
+    # empty edge set
+    empty = rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                         "b": pd.Series(dtype="int64")}))
+    assert len(cluster_pairs_distributed(empty).to_pandas()) == 0
+
+
 def test_simhash_pairs():
     from dcpray.functions.dedup import simhash_dup_pairs
 
@@ -286,6 +321,47 @@ def test_ivf_topk_recall():
         assert set(exact2[exact2["query_id"] == qid]["vec_id"]) == set(
             exact[exact["query_id"] == qid]["vec_id"]
         )
+
+
+def test_ivf_persistent_index(tmp_path):
+    """Build-once/query-many IVF: full-probe queries over the persisted
+    index equal brute force; sub-probe queries read ONLY the probed
+    lists' files (file-level pruning) and keep recall."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dcpray.functions.ann import build_ivf_index, ivf_query, topk_cosine
+
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(rd.read_parquet(f"{SF}/embeddings.parquet"), idx,
+                           nlist=16, concurrency=2)
+    assert meta["num_vectors"] == 500 and meta["nlist"] == 16
+    files = [f for f in os.listdir(idx) if f.startswith("list-")]
+    assert 1 < len(files) <= 16
+    # index is complete: every vector landed in exactly one list
+    assert sum(pq.ParquetFile(os.path.join(idx, f)).metadata.num_rows
+               for f in files) == 500
+
+    full = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.stack(full["embedding"].to_pylist()).astype(np.float64)
+    ids = full["vec_id"].to_numpy()
+    q = mat[:5]
+    exact = topk_cosine(rd.read_parquet(f"{SF}/embeddings.parquet"),
+                        q, ids[:5], k=10, concurrency=2).to_pandas()
+    fullprobe = ivf_query(idx, q, ids[:5], k=10, nprobe=16).to_pandas()
+    for qid in ids[:5]:
+        assert set(fullprobe[fullprobe["query_id"] == qid]["vec_id"]) == set(
+            exact[exact["query_id"] == qid]["vec_id"])
+
+    approx = ivf_query(idx, q, ids[:5], k=10, nprobe=8).to_pandas()
+    recalls = []
+    for qid in ids[:5]:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
 
 
 # ----------------------------------------------------------- multimodal
