@@ -48,10 +48,13 @@ def _keep_min_key(group: pa.Table, key_col: str) -> pa.Table:
     return group.slice(i, 1)
 
 
-def exact_dedup(ds, key_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, key_col: str = "doc_id", text_col: str = "text",
+                partitions: int = 64):
     """Exact dedup: content-hash → per-batch combiner (keep min key per
-    hash locally) → one groupby over the pre-combined rows → keep the
-    min-key row per hash. Returns the surviving full rows."""
+    hash locally) → groupby on a COARSE partition of the hash → keep the
+    min-key row per hash, vectorized inside each partition (one Python
+    call per partition, not per distinct document). Returns the
+    surviving full rows."""
 
     def combine(batch: pa.Table) -> pa.Table:
         batch = add_content_hash(batch, text_col)
@@ -61,12 +64,22 @@ def exact_dedup(ds, key_col: str = "doc_id", text_col: str = "text"):
         t = batch.take(idx)
         h = t["_h"].combine_chunks().to_numpy(zero_copy_only=False)
         first = np.r_[True, h[1:] != h[:-1]]
-        return t.filter(pa.array(first))
+        t = t.filter(pa.array(first))
+        hh = t["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = (hh.view(np.uint64) % np.uint64(partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    def keep_min_per_hash(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("_h", "ascending"), (key_col, "ascending")]
+        )
+        t = group.take(idx)
+        h = t["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.r_[True, h[1:] != h[:-1]]
+        return t.filter(pa.array(first)).drop_columns(["_h", "_pk"])
 
     pre = ds.map_batches(combine, batch_format="pyarrow")
-    return pre.groupby("_h").map_groups(
-        lambda g: _keep_min_key(g, key_col), batch_format="pyarrow"
-    ).drop_columns(["_h"])
+    return pre.groupby("_pk").map_groups(keep_min_per_hash, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- shingles
@@ -806,6 +819,19 @@ class SimHasher:
         )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — replaces a per-value Python
+    ``bin(v).count('1')`` loop."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int64)
+
+
 def simhash_dup_pairs(ds, max_hamming=3, text_col="text", key_col="doc_id",
                       concurrency=4):
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Banding by
@@ -815,30 +841,52 @@ def simhash_dup_pairs(ds, max_hamming=3, text_col="text", key_col="doc_id",
         SimHasher(text_col, key_col), batch_format="pyarrow", concurrency=concurrency
     )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+    def add_part(t: pa.Table, partitions: int = 64) -> pa.Table:
+        cv = t["chunk_val"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ci = t["chunk_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (splitmix64(cv ^ (ci * np.uint64(0x9E3779B97F4A7C15)))
+                  % np.uint64(partitions)).astype(np.int32)
+        return t.append_column("pk", pa.array(pk))
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        """Many whole chunk-buckets per partition: one lexsort + run
+        detection; only multi-doc runs (rare) emit Hamming pairs."""
+        ci = group["chunk_id"].to_numpy(zero_copy_only=False)
+        cv = group["chunk_val"].to_numpy(zero_copy_only=False)
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        uniq = np.r_[True, ids[1:] != ids[:-1]]
-        ids, sh = ids[uniq], sh[uniq]
-        if len(ids) < 2 or len(ids) > 512:
+        order = np.lexsort((ids, cv, ci))
+        ci, cv, ids, sh = ci[order], cv[order], ids[order], sh[order]
+        new = np.r_[True, (ci[1:] != ci[:-1]) | (cv[1:] != cv[:-1])]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(ci)])
+        a_p, b_p, h_p = [], [], []
+        for m in np.flatnonzero(sizes >= 2):
+            s, e = starts[m], starts[m] + sizes[m]
+            gi, gs = ids[s:e], sh[s:e]
+            uniq = np.r_[True, gi[1:] != gi[:-1]]  # ids sorted within run
+            gi, gs = gi[uniq], gs[uniq]
+            if len(gi) < 2 or len(gi) > 512:
+                continue
+            iu = np.triu_indices(len(gi), k=1)
+            x = gs[iu[0]] ^ gs[iu[1]]
+            ham = _popcount64(x)
+            keep = ham <= max_hamming
+            a_p.append(gi[iu[0]][keep])
+            b_p.append(gi[iu[1]][keep])
+            h_p.append(ham[keep].astype(np.int64))
+        if not a_p:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        iu = np.triu_indices(len(ids), k=1)
-        x = sh[iu[0]] ^ sh[iu[1]]
-        ham = np.array([bin(v).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pa.table(
-            {
-                "a": pa.array(ids[iu[0]][keep]),
-                "b": pa.array(ids[iu[1]][keep]),
-                "hamming": pa.array(ham[keep].astype(np.int64)),
-            }
-        )
+        return pa.table({
+            "a": pa.array(np.concatenate(a_p).astype(np.int64)),
+            "b": pa.array(np.concatenate(b_p).astype(np.int64)),
+            "hamming": pa.array(np.concatenate(h_p)),
+        })
 
-    pairs = sig.groupby(["chunk_id", "chunk_val"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    pairs = sig.map_batches(add_part, batch_format="pyarrow").groupby("pk").map_groups(
+        pairs_in_partition, batch_format="pyarrow"
     )
     # duplicate pairs from multiple matching chunks collapse via a
     # vectorized aggregate (hamming is identical across copies), not a
