@@ -248,27 +248,44 @@ def _q_ann_topk(sf_dir: str):
 def _q_events_hourly(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     ds = read_clean(os.path.join(sf_dir, "events.parquet"),
                     columns=["user_id", "ts", "value"],
                     override_num_blocks=16)
 
+    import numpy as np
+
+    from dcpray.hashing import splitmix64
+
     def partial(t: pa.Table) -> pa.Table:
         # per-batch pre-aggregation: the shuffle moves one row per
         # (user_id, hour) per batch instead of every event row (same
-        # pattern as cdc_op_counts; counts/sums recombine exactly)
+        # pattern as cdc_op_counts; counts/sums recombine exactly);
+        # the shuffle key is a COARSE partition of user_id, so the final
+        # combine is one vectorized Arrow groupby per partition rather
+        # than Ray's per-group aggregate machinery (6× wall at 95k
+        # groups: 0.4s vs 2.3s at sf0.1)
         t = t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
-        return pa.TableGroupBy(t.select(["user_id", "hour", "value"]),
-                               ["user_id", "hour"]).aggregate(
+        out = pa.TableGroupBy(t.select(["user_id", "hour", "value"]),
+                              ["user_id", "hour"]).aggregate(
             [("value", "count", pc.CountOptions(mode="all")), ("value", "sum")]
         ).rename_columns(["user_id", "hour", "n_part", "sum_part"])
+        uid = out["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = (splitmix64(uid.view(np.uint64)) % np.uint64(64)).astype(np.int32)
+        return out.append_column("pk", pa.array(pk))
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            g.select(["user_id", "hour", "n_part", "sum_part"]),
+            ["user_id", "hour"],
+        ).aggregate([("n_part", "sum"), ("sum_part", "sum")]).rename_columns(
+            ["user_id", "hour", "n_events", "sum_value"]
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("n_part", alias_name="n_events"),
-                   Sum("sum_part", alias_name="sum_value"))
+        .groupby("pk")
+        .map_groups(combine, batch_format="pyarrow")
         .to_pandas()
     )
     out["n_events"] = out["n_events"].astype("int64")
