@@ -655,13 +655,15 @@ def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50):
     """Distributed connected components over the verified-pair edge set —
     the scale fallback for ``cluster_pairs`` when even O(#dup pairs)
     exceeds driver memory. Iterative min-label propagation: each round
-    joins current labels onto edges (one coarse-partition groupby,
-    vectorized searchsorted inside) and takes the per-node min over
-    {own label} ∪ {neighbors' labels} (second groupby). Converges in
-    O(component diameter) rounds — near-dup clusters are dense, so
-    diameter is tiny in practice; ``max_rounds`` guards adversarial
-    chains. Returns a Dataset of (doc_id, rep_id), rep = component min —
-    the same contract as driver-side ``cluster_pairs``."""
+    joins current labels onto edges AND onto the label links themselves
+    (pointer jumping: node → label acts as an extra edge, so label[u]
+    also contracts toward label[label[u]]) — one coarse-partition
+    groupby with vectorized searchsorted inside — then takes the
+    per-node min over {own label} ∪ {propagated candidates} (second
+    groupby). Pointer jumping makes convergence O(log n) rounds even on
+    path graphs, not O(diameter). Returns a Dataset of
+    (doc_id, rep_id), rep = component min — the same contract as
+    driver-side ``cluster_pairs``."""
     import ray.data as rd
 
     edge_schema = pa.schema([("pk", pa.int32()), ("node", pa.int64()),
@@ -735,14 +737,30 @@ def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50):
         take_min, batch_format="pyarrow"
     ).materialize()
 
+    def label_links(t: pa.Table) -> pa.Table:
+        """Labels as extra edges label→node: propagating over them sets
+        label[u] ← label[label[u]] (pointer jumping)."""
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lab != node  # self-links propagate nothing
+        src, dst = lab[keep], node[keep]
+        return pa.table({"pk": pa.array(_pk(src)), "node": pa.array(src),
+                         "peer": pa.array(dst),
+                         "label": pa.nulls(len(src), pa.int64())}, schema=edge_schema)
+
     prev_sum = None
     for _ in range(max_rounds):
-        cands = edges.union(labels).groupby("pk").map_groups(
+        links = labels.map_batches(label_links, batch_format="pyarrow")
+        cands = edges.union(links).union(labels).groupby("pk").map_groups(
             propagate, batch_format="pyarrow"
         )
+        # bound the block count: each groupby emits as many output
+        # partitions as it has input blocks, and union concatenates
+        # block lists — without the coalesce the per-round block count
+        # (and therefore task count) grows ~3× per round
         labels = cands.union(labels).groupby("pk").map_groups(
             take_min, batch_format="pyarrow"
-        ).materialize()
+        ).repartition(parts).materialize()
         s = labels.sum("label")
         if s == prev_sum:
             break

@@ -153,6 +153,15 @@ class PipelineBuilder:
         self._handler: SinkResponseHandler | None = None
         self._completion: Callable[[RunResult], None] | None = None
         self._logger = logging.getLogger("dcpray")
+        self._store = None
+
+    def set_metadata_store(self, store) -> "PipelineBuilder":
+        """Swap the manifest backend (reference: the Kafka metadata store
+        is swapped in when metadata.type == 'kafka',
+        connector.go:173-175, :226-229) — e.g.
+        ``CasManifestStore(lake_dir)`` for object-store deployments."""
+        self._store = store
+        return self
 
     def set_mapper(self, mapper) -> "PipelineBuilder":
         self._mapper = mapper
@@ -172,6 +181,6 @@ class PipelineBuilder:
 
     def build(self) -> Pipeline:
         return Pipeline(
-            Lake(self._lake_dir), self._config, self._mapper,
+            Lake(self._lake_dir, store=self._store), self._config, self._mapper,
             self._handler, self._completion, self._logger,
         )

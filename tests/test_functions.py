@@ -161,6 +161,14 @@ def test_cluster_pairs_distributed_equals_union_find():
     got_map = dict(zip(got["doc_id"], got["rep_id"]))
     assert got_map == want, (got_map, want)
 
+    # a LONG chain: pointer jumping must converge in O(log n) rounds,
+    # far under max_rounds (plain propagation would need 120 rounds)
+    chain = pd.DataFrame({"a": np.arange(1000, 1120),
+                          "b": np.arange(1001, 1121)})
+    got = cluster_pairs_distributed(rd.from_pandas(chain), parts=8,
+                                    max_rounds=15).to_pandas()
+    assert (got["rep_id"] == 1000).all() and len(got) == 121
+
     # empty edge set
     empty = rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype="int64"),
                                          "b": pd.Series(dtype="int64")}))

@@ -75,6 +75,24 @@ def test_concurrent_commit_loses_cleanly(tmp_path, backend):
     assert s1.load_current().run_id == "r-b"
 
 
+def test_builder_metadata_store_swap(tiny_fixture, tmp_path):
+    """PipelineBuilder.set_metadata_store parity (connector.go:226-229):
+    a pipeline built on the CAS store replays and resumes correctly."""
+    from dcpray import PipelineBuilder, ReplayConfig
+
+    d = str(tmp_path / "lake")
+    pipe = (PipelineBuilder(d, ReplayConfig(num_buckets=16))
+            .set_metadata_store(CasManifestStore(d))
+            .build())
+    wal = os.path.join(tiny_fixture, "wal")
+    res = pipe.run(wal, base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    assert res.committed
+    assert isinstance(pipe.lake.store, CasManifestStore)
+    assert not os.path.exists(os.path.join(d, "CURRENT"))  # CAS layout: no pointer
+    res2 = pipe.run(wal)
+    assert not res2.committed and res2.metrics["note"] == "no new WAL files"
+
+
 def test_clear(tmp_path, backend):
     from dcpray.state.checkpoint import Manifest
 
