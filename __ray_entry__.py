@@ -110,8 +110,17 @@ def _q_cdc_mutations_stream(sf_dir: str):
     from dcpray.stages.mapper import default_kafka_mapper
     from dcpray.stages.reject import make_reject_filter
 
+    from dcpray.sources.io import read_parquet_fast
+
     fx = _fx(sf_dir)
-    ds, infos = walmod.read_wal(os.path.join(fx, "wal"))
+    infos = walmod.scan_wal(os.path.join(fx, "wal"))
+    # prune at the read: the projection + validation need 7 of the 14 WAL
+    # columns — cas/rev_no/collection/event_time/tool/ts/tool_version
+    # never leave storage
+    ds = read_parquet_fast(
+        [i.path for i in infos],
+        columns=["vb", "seqno", "conv_id", "turn_idx", "op", "role", "text"],
+    )
     ds = ds.map_batches(
         make_reject_filter(walmod.watermark_array({}, 1), None), batch_format="pyarrow"
     )

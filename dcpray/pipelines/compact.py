@@ -158,5 +158,16 @@ def gc(lake: Lake, keep_manifests: int = 5, grace_s: float = 3600.0) -> dict[str
             p = os.path.join(tmp_root, d)
             if os.path.getmtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
+    # per-run metrics dumps of runs no retained manifest references
+    live_run_ids = {m.run_id for m in lake.store.history()}
+    metrics_root = os.path.join(lake.lake_dir, "metrics")
+    removed_metrics = 0
+    if os.path.isdir(metrics_root):
+        for f in os.listdir(metrics_root):
+            p = os.path.join(metrics_root, f)
+            if f.removesuffix(".json") not in live_run_ids and os.path.getmtime(p) < cutoff:
+                os.remove(p)
+                removed_metrics += 1
     return {"op": "gc", "removed_run_dirs": removed_dirs,
-            "removed_manifests": removed_manifests}
+            "removed_manifests": removed_manifests,
+            "removed_metrics": removed_metrics}

@@ -144,6 +144,12 @@ def replay(
     only valid when WAL segments are seqno-contiguous per vb.
     """
     cfg = config or ReplayConfig()
+    if not os.path.isdir(wal_dir):
+        # startup validation parity (reference CheckTopics errors on a
+        # missing topic, kafka/client.go:184-200): a mistyped WAL path
+        # must fail loudly, not commit-nothing silently. An EXISTING but
+        # empty directory is a legitimate no-op (a tail polls one).
+        raise FileNotFoundError(f"WAL directory does not exist: {wal_dir}")
     t0 = time.perf_counter()
     phase_t: dict[str, float] = {}
     prev = lake.store.load_current()

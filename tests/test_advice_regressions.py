@@ -160,6 +160,15 @@ def test_fanout_mapper_incremental_aligned(tiny_fixture, tmp_path):
     assert_final_state_equal(incr.to_pandas_sorted(), full.to_pandas_sorted())
 
 
+def test_missing_wal_dir_fails_loudly(tmp_path):
+    """Startup validation (reference CheckTopics parity): a nonexistent
+    WAL path raises instead of silently committing nothing."""
+    lake = Lake(str(tmp_path / "lake"))
+    with pytest.raises(FileNotFoundError, match="WAL directory"):
+        replay(lake, str(tmp_path / "no_such_wal"),
+               config=ReplayConfig(num_buckets=8))
+
+
 def test_aligned_guards_vb_tampering(tiny_fixture, tmp_path):
     """A mapper that rewrites vb breaks the aligned co-location invariant
     and must be refused."""
