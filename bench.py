@@ -155,13 +155,13 @@ def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dic
         # 2/8/32 sweep incl. the bandwidth-bound 8→32 pair is
         # bench.py --scaling, recorded in BASELINE.md.
         try:
-            out["scaling"] = run_scaling(sf_dir, levels=(2, 8))
+            out["scaling"] = run_scaling(levels=(2, 8))
         except Exception as e:  # never fail the bench over the extra block
             out["scaling"] = {"error": str(e)}
     return out
 
 
-def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32),
+def run_scaling(levels: tuple[int, ...] = (2, 8, 32),
                 fixture: str | None = None) -> dict:
     """Same replay at N, 4N (and 16N) CPUs in fresh ray.init processes.
 
@@ -184,6 +184,9 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32),
     # prefer the 43M-event fixture when it is ALREADY cached and current
     # (bigger job → better amortization of fixed costs), but never pay its
     # ~25 min generation inside the scaling run — bench10m generates in ~6
+    # the scaling criterion measures how COMPUTE scales, so the job runs
+    # on a large bench fixture regardless of the bench's --sf-dir (the
+    # headline sf0.1 job is too small to amortize fixed per-run costs)
     if fixture is not None:
         sf_dir = fixture
     else:
@@ -244,7 +247,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir)))
+        print(json.dumps(run_scaling()))
         return
 
     out = run_bench(args.sf_dir, args.num_cpus,

@@ -106,6 +106,19 @@ def train_centroids(sample: np.ndarray, nlist: int, iters: int = 8,
     return cents
 
 
+def _training_sample(ds, sample_size: int) -> np.ndarray:
+    """Deterministic quantizer-training sample: ``take_batch`` returns
+    rows in block-arrival order, which varies between Dataset executions
+    — sorting the sampled rows by vec_id makes the k-means seed picks
+    (and therefore the centroids, list assignment and probe order)
+    reproducible across calls on the same corpus."""
+    bt = ds.select_columns(["vec_id", "embedding"]).take_batch(
+        sample_size, batch_format="pyarrow"
+    )
+    order = np.argsort(bt["vec_id"].to_numpy(zero_copy_only=False), kind="stable")
+    return _stack(bt["embedding"])[order]
+
+
 class ListAssigner:
     def __init__(self, cents_ref):
         import ray
@@ -135,18 +148,34 @@ class ProbedScorer(BatchScorer):
         self.probes = ray.get(probes_ref)  # Q × nprobe list ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lists = np.unique(batch["ivf_list"].to_numpy(zero_copy_only=False))
-        qmask = np.isin(self.probes, lists).any(axis=1)
-        if not qmask.any():
+        # segment by list FIRST: a batch may bundle several small lists
+        # (the persisted-index read coalesces files into blocks), and
+        # each list's rows must be scored only against the queries that
+        # probe THAT list — a union mask would let a query's top-k
+        # include vectors from lists it never probed
+        lv = batch["ivf_list"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lv, kind="stable")
+        t = batch.take(pa.array(order))
+        lv = lv[order]
+        new = np.r_[True, lv[1:] != lv[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(lv)]
+        parts = []
+        for s, e in zip(starts, ends):
+            qmask = np.isin(self.probes, lv[s]).any(axis=1)
+            if not qmask.any():
+                continue
+            sub = BatchScorer.__new__(BatchScorer)
+            sub.qids, sub.qmat, sub.k = self.qids[qmask], self.qmat[qmask], self.k
+            seg = t.slice(int(s), int(e - s))
+            parts += [
+                BatchScorer.__call__(sub, seg.slice(off, self.CHUNK))
+                for off in range(0, seg.num_rows, self.CHUNK)
+            ]
+        if not parts:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        sub = BatchScorer.__new__(BatchScorer)
-        sub.qids, sub.qmat, sub.k = self.qids[qmask], self.qmat[qmask], self.k
-        parts = [
-            BatchScorer.__call__(sub, batch.slice(off, self.CHUNK))
-            for off in range(0, batch.num_rows, self.CHUNK)
-        ]
         return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
@@ -181,9 +210,7 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 32,
     import ray
 
     os.makedirs(index_dir, exist_ok=True)
-    sample = _stack(
-        ds.select_columns(["embedding"]).take_batch(sample_size, batch_format="pyarrow")["embedding"]
-    )
+    sample = _training_sample(ds, sample_size)
     cents = train_centroids(sample, nlist)
     cents_ref = ray.put(cents)
     assigned = ds.map_batches(
@@ -254,9 +281,10 @@ def ivf_query(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
 
 
 def _probed_score_batches(batch: pa.Table, qref, k: int, probes_ref) -> pa.Table:
-    """map_batches form of the probed scorer (index files carry
-    ivf_list as a column; one file = one list, so batches are
-    list-homogeneous)."""
+    """map_batches form of the probed scorer. Batches may BUNDLE several
+    small list files into one block; ProbedScorer segments by ivf_list
+    internally, so per-list probe semantics hold regardless of block
+    packing."""
     return _probed_score(batch, qref, k, probes_ref)
 
 
@@ -269,9 +297,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     reuse the layout."""
     import ray
 
-    sample = _stack(
-        ds.select_columns(["embedding"]).take_batch(sample_size, batch_format="pyarrow")["embedding"]
-    )
+    sample = _training_sample(ds, sample_size)
     cents = train_centroids(sample, nlist)
     cents_ref = ray.put(cents)
     qmat = _normalize(np.asarray(queries, dtype=np.float64))

@@ -170,29 +170,45 @@ def minhash_signatures(col, seeds: np.ndarray, k: int = 5) -> np.ndarray:
     sigs = np.empty((n, P), dtype=np.uint64)
     lens = offs[1:] - offs[:-1]
     ok = lens >= k
+    pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
 
     if ok.any() and len(data) >= k:
-        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-        pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            flat_h = splitmix64(win @ pows)
-        counts = (lens[ok] - k + 1).astype(np.int64)
-        seg_id = np.repeat(np.arange(len(counts)), counts)
-        cum = np.r_[0, np.cumsum(counts)]
-        local = np.arange(counts.sum()) - cum[seg_id]
-        sh = flat_h[offs[:-1][ok][seg_id] + local]
-        doc_starts = cum[:-1]
-        # chunk whole docs so each (shingles × perms) slab stays inside
+        ok_idx = np.flatnonzero(ok)
+        counts_all = (lens[ok] - k + 1).astype(np.int64)
+        out_ok = np.empty((len(ok_idx), P), dtype=np.uint64)
+        # outer chunking by BYTES bounds the rolling-hash temporaries
+        # ((windows × k) uint64 is an ~8k× amplification of the text) —
+        # ~1 MB of text per slab keeps them ≈ 40 MB regardless of batch
+        # size; inner chunking keeps each (shingles × perms) slab inside
         # the CPU cache — 512×128×8B ≈ 512 KB (measured 6× faster than
         # 64k-shingle slabs, which thrash memory bandwidth)
-        out_ok = np.empty((len(counts), P), dtype=np.uint64)
-        i = 0
-        while i < len(counts):
-            j = i + 1
-            while j < len(counts) and cum[j + 1] - cum[i] <= 512:
-                j += 1
-            out_ok[i:j] = _seg_min(sh[cum[i] : cum[j]], doc_starts[i:j] - cum[i], seeds)
-            i = j
+        o = 0
+        while o < len(ok_idx):
+            p = o + 1
+            while (p < len(ok_idx)
+                   and offs[ok_idx[p - 1] + 1] - offs[ok_idx[o]] <= 1_000_000):
+                p += 1
+            lo_b = offs[ok_idx[o]]
+            hi_b = offs[ok_idx[p - 1] + 1]
+            win = np.lib.stride_tricks.sliding_window_view(
+                data[lo_b:hi_b], k).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                flat_h = splitmix64(win @ pows)
+            counts = counts_all[o:p]
+            seg_id = np.repeat(np.arange(len(counts)), counts)
+            cum = np.r_[0, np.cumsum(counts)]
+            local = np.arange(counts.sum()) - cum[seg_id]
+            sh = flat_h[(offs[:-1][ok_idx[o:p]] - lo_b)[seg_id] + local]
+            i = o
+            while i < p:
+                j = i + 1
+                while j < p and cum[j + 1 - o] - cum[i - o] <= 512:
+                    j += 1
+                out_ok[i:j] = _seg_min(
+                    sh[cum[i - o] : cum[j - o]],
+                    cum[i - o : j - o] - cum[i - o], seeds)
+                i = j
+            o = p
         sigs[ok] = out_ok
 
     if (~ok).any():
@@ -402,6 +418,17 @@ class PairVerifier:
         )
 
 
+def _verify_bucket(a: np.ndarray, b: np.ndarray, parts: int) -> np.ndarray:
+    """Verify-bucket id of each (a, b) candidate pair — ONE definition
+    used by request tagging, pair tagging and the broadcast request
+    index: any divergence would route pairs to buckets that never
+    receive their texts."""
+    with np.errstate(over="ignore"):
+        return (splitmix64(a.view(np.uint64)
+                           ^ (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(parts)).astype(np.int32)
+
+
 def _join_schema() -> pa.Schema:
     return pa.schema([
         ("j", pa.int32()), ("g", pa.int32()), ("a", pa.int64()),
@@ -447,8 +474,7 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
     def tag_requests(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = (splitmix64(a.view(np.uint64) ^ (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-             % np.uint64(verify_parts)).astype(np.int32)
+        g = _verify_bucket(a, b, verify_parts)
         doc = np.concatenate([a, b])
         gg = np.concatenate([g, g])
         j = (splitmix64(doc.view(np.uint64)) % np.uint64(join_parts)).astype(np.int32)
@@ -532,9 +558,7 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
         for bt in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
             a = bt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
             b = bt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            g = (splitmix64(a.view(np.uint64)
-                            ^ (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-                 % np.uint64(verify_parts)).astype(np.int32)
+            g = _verify_bucket(a, b, verify_parts)
             doc_parts += [a, b]
             g_parts += [g, g]
         if doc_parts:
@@ -582,8 +606,7 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
     def pairs_tagged(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = (splitmix64(a.view(np.uint64) ^ (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-             % np.uint64(verify_parts)).astype(np.int32)
+        g = _verify_bucket(a, b, verify_parts)
         n = len(a)
         return pa.table({
             "j": pa.array(np.zeros(n, np.int32)), "g": pa.array(g),

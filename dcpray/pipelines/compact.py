@@ -67,10 +67,13 @@ def compact(lake: Lake, wal_dir: str | None = None, *, force: bool = False) -> d
             raise ValueError("pass wal_dir for the safety check, or force=True")
         from dcpray.sources import wal as walmod
 
+        scan = walmod.scan_wal(wal_dir)
+        floor = walmod.effective_floor(
+            scan, prev.processed_floor, prev.processed_floor_counts
+        )
         unprocessed = [
-            i.path for i in walmod.scan_wal(wal_dir)
-            if not walmod.is_processed(i, set(prev.processed_wal),
-                                       prev.processed_floor)
+            i.path for i in scan
+            if not walmod.is_processed(i, set(prev.processed_wal), floor)
         ]
         if unprocessed:
             raise ValueError(
@@ -104,6 +107,7 @@ def compact(lake: Lake, wal_dir: str | None = None, *, force: bool = False) -> d
         metrics=metrics,
         processed_wal=prev.processed_wal,
         processed_floor=prev.processed_floor,
+        processed_floor_counts=prev.processed_floor_counts,
         strategy=prev.strategy,
         num_vbuckets=prev.num_vbuckets,
     )
@@ -126,17 +130,9 @@ def gc(lake: Lake, keep_manifests: int = 5, grace_s: float = 3600.0) -> dict[str
        the subsequent commit publishes intact files.
 
     The DLQ (rejected/) is an audit log — never GC'd."""
-    removed_manifests = 0
-    mdir = lake.store.manifest_dir
-    manifests = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-"))
-    current_name = None
-    if os.path.exists(lake.store.current_path):
-        with open(lake.store.current_path) as f:
-            current_name = f.read().strip()
-    for name in manifests[:-keep_manifests] if keep_manifests else manifests:
-        if name != current_name:
-            os.remove(os.path.join(mdir, name))
-            removed_manifests += 1
+    # manifest pruning goes through the store interface, so gc works
+    # against any backend (POSIX pointer store or a conditional-put KV)
+    removed_manifests = lake.store.prune_manifests(keep_manifests)
 
     live_runs = {
         os.path.basename(os.path.dirname(f["path"]))

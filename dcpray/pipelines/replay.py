@@ -181,6 +181,13 @@ def replay(
     # inferred from the FULL scan — never from a truncated delta — or
     # pinned explicitly via cfg.num_vbuckets
     observed_num_vb = max([i.vb for i in all_infos] + [vb for vb in wm] + [-1]) + 1
+    # void floors whose sub-floor file count grew since commit (a segment
+    # became visible out of order): those vbs replay in full — exact by
+    # LWW idempotence — instead of silently skipping the new segment
+    prev_floor = walmod.effective_floor(
+        all_infos, prev_floor,
+        prev.processed_floor_counts if prev else {},
+    )
     infos = [
         i for i in all_infos if not walmod.is_processed(i, processed, prev_floor)
     ]
@@ -269,7 +276,7 @@ def replay(
         rins = sorted((int(s["rows_in"]) for s in stats), reverse=True)
         metrics["bucket_rows_in_max"] = rins[0]
         metrics["bucket_rows_in_mean"] = int(sum(rins) / len(rins))
-    new_floor, residual = walmod.compact_processed(
+    new_floor, residual, floor_counts = walmod.compact_processed(
         all_infos, processed | {i.path for i in infos}, prev_floor
     )
     manifest = Manifest(
@@ -283,6 +290,7 @@ def replay(
         metrics=metrics,
         processed_wal=residual,
         processed_floor=new_floor,
+        processed_floor_counts=floor_counts,
         strategy=strategy,
         num_vbuckets=num_vbuckets,
     )
@@ -468,13 +476,17 @@ def _run_shuffle(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     from dcpray.stages.mapper import identity_mapper
 
     if prev and prev.files:
-        if mapper is not None and mapper is not identity_mapper:
+        if (mapper is not None and mapper is not identity_mapper
+                and not getattr(mapper, "filter_only", False)):
             # _affected_buckets is computed from the RAW delta's keys, but
             # a mapper is a flat-map that may emit keys absent from the
             # raw delta — those keys' buckets would be simultaneously
             # merged into AND carried forward (duplicate keys, base rows
             # missing from the LWW). Rewriting every bucket is the only
-            # correct choice without running the mapper twice.
+            # correct choice without running the mapper twice. Mappers
+            # declared filter-only (mark_filter_only) keep copy-forward:
+            # a filter's output keys are a subset of the raw delta's, so
+            # the pre-pass bucket set is a safe superset.
             copy_forward = False
         if copy_forward:
             affected = _affected_buckets(paths, num_buckets, salted)

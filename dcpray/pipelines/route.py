@@ -29,7 +29,11 @@ from dcpray.state.checkpoint import Lake
 
 
 def _collection_filter(collections, user_mapper=None):
-    """Vectorized mapper prefix keeping only the given collection(s)."""
+    """Vectorized mapper prefix keeping only the given collection(s).
+    Pure filters keep incremental copy-forward (mark_filter_only);
+    composing a user mapper inherits ITS filter-only declaration."""
+    from dcpray.stages.mapper import mark_filter_only
+
     if isinstance(collections, str):
         collections = [collections]
     value_set = pa.array(sorted(collections), pa.string())
@@ -38,6 +42,8 @@ def _collection_filter(collections, user_mapper=None):
         batch = batch.filter(pc.is_in(batch["collection"], value_set=value_set))
         return user_mapper(batch) if user_mapper is not None else batch
 
+    if user_mapper is None or getattr(user_mapper, "filter_only", False):
+        mark_filter_only(_m)
     return _m
 
 

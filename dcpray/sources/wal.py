@@ -208,11 +208,36 @@ def is_processed(
     )
 
 
+def effective_floor(
+    all_infos: list[WalFileInfo],
+    floor: dict[int, int],
+    floor_counts: dict[int, int],
+) -> dict[int, int]:
+    """Validate committed floors against the CURRENT scan. A floor is
+    only sound if every scanned file at or below it was processed; the
+    manifest records how many files the floor covered at commit time
+    (``floor_counts``), so a vb now showing MORE sub-floor files has a
+    late, out-of-order-visible segment underneath its floor — that vb's
+    floor is VOIDED and all its non-residual files replay (exact by LWW
+    idempotence: re-applied versions lose to equal-or-newer winners and
+    persisted tombstones). Fewer files than recorded (external WAL GC)
+    keeps the floor. This turns the floor's in-order-visibility
+    assumption into a checked property instead of silent data loss."""
+    seen: dict[int, int] = {}
+    for i in all_infos:
+        if i.vb >= 0 and i.max_seqno <= floor.get(i.vb, 0):
+            seen[i.vb] = seen.get(i.vb, 0) + 1
+    return {
+        vb: f for vb, f in floor.items()
+        if seen.get(vb, 0) <= floor_counts.get(vb, 0)
+    }
+
+
 def compact_processed(
     all_infos: list[WalFileInfo],
     processed_paths: set[str],
     prev_floor: dict[int, int],
-) -> tuple[dict[int, int], list[str]]:
+) -> tuple[dict[int, int], list[str], dict[int, int]]:
     """Compact the exact processed-file set into per-vb seqno floors
     plus a residual path list — the manifest stays O(#vb + #straggler
     files) instead of O(#segments) (SURVEY §8: ~10 MB of JSON rewritten
@@ -223,10 +248,13 @@ def compact_processed(
     unprocessed files of vb) − 1, so EVERY file at or below the floor is
     processed by construction; processed files above it stay in the
     exact residual set. When nothing of a vb is unprocessed the floor
-    equals the vb's watermark and every path compacts away. A
-    late-arriving segment with historical seqnos (impossible for real
-    in-order log segments) only lowers the floor — prior coverage moves
-    back into the residual set, never into silent re-skips."""
+    equals the vb's watermark and every path compacts away. Segments
+    that become visible BELOW an existing floor later (impossible for
+    real in-order log segments) are caught by ``effective_floor``'s
+    coverage-count check and trigger a re-replay, not a silent skip.
+
+    ``prev_floor`` must already be validated by ``effective_floor``.
+    Returns (floor, residual paths, floor coverage counts)."""
     by_vb: dict[int, list[WalFileInfo]] = {}
     multi: list[WalFileInfo] = []
     for i in all_infos:
@@ -236,14 +264,16 @@ def compact_processed(
         return is_processed(i, processed_paths, prev_floor)
 
     floor_out: dict[int, int] = {}
+    counts: dict[int, int] = {}
     residual: set[str] = {i.path for i in multi if i.path in processed_paths}
     for vb, fl in by_vb.items():
         unproc = [i.max_seqno for i in fl if not done(i)]
         f = (min(unproc) - 1) if unproc else max(i.max_seqno for i in fl)
         if f > 0:
             floor_out[vb] = f
+            counts[vb] = sum(1 for i in fl if i.max_seqno <= f)
         residual |= {i.path for i in fl if done(i) and i.max_seqno > f}
-    return floor_out, sorted(residual)
+    return floor_out, sorted(residual), counts
 
 
 def read_wal(wal_dir: str, watermarks: dict[int, int] | None = None):

@@ -29,6 +29,18 @@ Mapper = Callable[[pa.Table], pa.Table]
 REQUIRED_CDC_COLUMNS = ("vb", "seqno", "op", "conv_id", "turn_idx")
 
 
+def mark_filter_only(mapper: Mapper) -> Mapper:
+    """Declare that a mapper only FILTERS rows (output keys ⊆ input
+    keys; no fan-out, no key rewrites). Incremental shuffle-strategy
+    runs may then keep copy-forward: the affected-bucket pre-pass —
+    computed from the RAW delta's keys — is a safe superset of the
+    mapper output's buckets. Mappers without this mark disable
+    copy-forward on incremental runs (a flat-map may emit keys absent
+    from the raw delta)."""
+    mapper.filter_only = True
+    return mapper
+
+
 def identity_mapper(batch: pa.Table) -> pa.Table:
     """Default CDC mapper: pass everything through (tombstones included —
     the merge stage needs them to delete keys)."""

@@ -62,6 +62,11 @@ class Manifest:
     # arithmetic; the analogue of the reference committing only per-vb
     # seqno offsets, kafka_metadata.go:26-46)
     processed_floor: dict[int, int] = field(default_factory=dict)
+    # vb → number of files the floor covered at commit time; resume
+    # voids a floor whose coverage count GREW (a segment became visible
+    # out of order below the floor) and replays that vb instead —
+    # wal.effective_floor
+    processed_floor_counts: dict[int, int] = field(default_factory=dict)
     # physical merge strategy the lake was built with ("aligned" buckets
     # are vb % num_buckets; "shuffle" buckets are salted key hashes) —
     # pinned at creation so incremental runs keep the same partitioning
@@ -73,6 +78,9 @@ class Manifest:
         d = dict(self.__dict__)
         d["watermarks"] = {str(k): v for k, v in self.watermarks.items()}
         d["processed_floor"] = {str(k): v for k, v in self.processed_floor.items()}
+        d["processed_floor_counts"] = {
+            str(k): v for k, v in self.processed_floor_counts.items()
+        }
         return json.dumps(d, indent=1)
 
     @staticmethod
@@ -81,6 +89,9 @@ class Manifest:
         d["watermarks"] = {int(k): v for k, v in d["watermarks"].items()}
         d["processed_floor"] = {
             int(k): v for k, v in d.get("processed_floor", {}).items()
+        }
+        d["processed_floor_counts"] = {
+            int(k): v for k, v in d.get("processed_floor_counts", {}).items()
         }
         return Manifest(**d)
 
@@ -168,6 +179,23 @@ class ManifestStore:
                 with open(os.path.join(self.manifest_dir, name)) as f:
                     out.append(Manifest.from_json(f.read()))
         return out
+
+    def prune_manifests(self, keep: int) -> int:
+        """Drop all but the newest ``keep`` manifest files (the CURRENT
+        one is always kept). Part of the store interface so gc() works
+        against any backend."""
+        names = sorted(n for n in os.listdir(self.manifest_dir)
+                       if n.startswith("manifest-"))
+        current_name = None
+        if os.path.exists(self.current_path):
+            with open(self.current_path) as f:
+                current_name = f.read().strip()
+        removed = 0
+        for name in names[:-keep] if keep else names:
+            if name != current_name:
+                os.remove(os.path.join(self.manifest_dir, name))
+                removed += 1
+        return removed
 
 
 class ConditionalKV:
@@ -281,6 +309,18 @@ class CasManifestStore:
             if data is not None:
                 out.append(Manifest.from_json(data.decode()))
         return out
+
+    def prune_manifests(self, keep: int) -> int:
+        """Delete all but the newest ``keep`` manifests THROUGH the KV
+        (gc must not assume a local filesystem under a CAS store). The
+        highest seq — the current manifest — is always retained."""
+        names = self._names()
+        keep = max(keep, 1)  # never drop the current (highest-seq) manifest
+        removed = 0
+        for name in names[:-keep]:
+            self.kv.delete(name)
+            removed += 1
+        return removed
 
 
 class Lake:

@@ -93,6 +93,60 @@ def test_processed_set_compacts_at_many_segments(tmp_path):
     assert r1.metrics["events_in"] + r2.metrics["events_in"] == n_vb * per_vb
 
 
+def _write_seg(wal, vb, name, lo, hi, conv):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dcpray.schema import WAL_SCHEMA
+
+    n = hi - lo + 1
+    d = wal / f"vb_{vb:04d}"
+    os.makedirs(d, exist_ok=True)
+    t = pa.table({
+        "vb": pa.array([vb] * n, "uint16"),
+        "seqno": pa.array(range(lo, hi + 1), "uint64"),
+        "cas": pa.array([0] * n, "uint64"),
+        "rev_no": pa.array([0] * n, "uint64"),
+        "op": pa.array(["mutation"] * n),
+        "collection": pa.array(["_default"] * n),
+        "event_time": pa.array([0] * n, pa.timestamp("us")),
+        "conv_id": pa.array([conv] * n),
+        "turn_idx": pa.array(range(n), "int32"),
+        "role": pa.array(["user"] * n),
+        "text": pa.array([f"{conv}-{s}" for s in range(lo, hi + 1)]),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([0] * n, pa.timestamp("us")),
+    }, schema=WAL_SCHEMA)
+    pq.write_table(t, str(d / name))
+
+
+def test_late_out_of_order_segment_not_skipped(tmp_path):
+    """Floor-compaction soundness: after a partial run leaves a high
+    floor (low files processed, a high-seqno file unprocessed), a
+    segment that becomes VISIBLE later with seqnos under the floor must
+    still be applied — the coverage-count check voids the floor and
+    replays the vb instead of silently skipping the new file."""
+    wal = tmp_path / "wal"
+    _write_seg(wal, 0, "seg-a.parquet", 1, 10, "conv-a")
+    _write_seg(wal, 0, "seg-b.parquet", 60, 100, "conv-b")
+    lake = Lake(str(tmp_path / "lake"))
+    cfg = ReplayConfig(num_buckets=4)
+    replay(lake, str(wal), config=cfg, max_files=1)  # processes seg-a only
+    m1 = lake.store.load_current()
+    assert m1.processed_floor.get(0, 0) >= 50  # high floor over the gap
+
+    # a mid-range segment becomes visible late (out-of-order)
+    _write_seg(wal, 0, "seg-c.parquet", 20, 50, "conv-c")
+    replay(lake, str(wal), config=cfg)
+    df = lake.to_pandas_sorted()
+    assert (df["conv_id"] == "conv-c").sum() == 31  # seg-c fully applied
+    assert (df["conv_id"] == "conv-a").sum() == 10
+    assert (df["conv_id"] == "conv-b").sum() == 41
+    # rerun: clean no-op (floor coverage consistent again)
+    r3 = replay(lake, str(wal), config=cfg)
+    assert not r3.committed and r3.metrics["note"] == "no new WAL files"
+
+
 def test_crash_before_commit_is_invisible_then_resumes(tiny_fixture, tmp_path, monkeypatch):
     lake = Lake(str(tmp_path / "lake"))
     wal = os.path.join(tiny_fixture, "wal")

@@ -371,6 +371,18 @@ def test_ivf_persistent_index(tmp_path):
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6
 
+    # strict probe semantics: the persisted-index sub-probe result equals
+    # the in-memory ivf_topk with identical centroids/nprobe — block
+    # bundling of small list files must not widen any query's candidate
+    # set beyond its probed lists
+    from dcpray.functions.ann import ivf_topk
+
+    mem = ivf_topk(rd.read_parquet(f"{SF}/embeddings.parquet"), q, ids[:5],
+                   k=10, nlist=16, nprobe=8, concurrency=2).to_pandas()
+    for qid in ids[:5]:
+        assert set(approx[approx["query_id"] == qid]["vec_id"]) == set(
+            mem[mem["query_id"] == qid]["vec_id"]), qid
+
 
 # ----------------------------------------------------------- multimodal
 

@@ -100,6 +100,29 @@ def test_unmapped_collections_share_default(two_collection_wal, tmp_path):
     )
 
 
+def test_filter_only_mapper_keeps_copy_forward(two_collection_wal, tmp_path):
+    """A mapper marked filter-only (the routing filter is) must not
+    disable incremental copy-forward: a one-file delta leaves untouched
+    buckets carried, instead of rewriting the whole lake."""
+    from dcpray import replay
+    from dcpray.pipelines.route import _collection_filter
+    from dcpray.sources import wal as walmod
+
+    filt = _collection_filter(["convs_a", "convs_b"])
+    assert getattr(filt, "filter_only", False)
+
+    lake = Lake(str(tmp_path / "lake"))
+    cfg = ReplayConfig(num_buckets=64, strategy="shuffle", salted=False)
+    n = len(walmod.scan_wal(two_collection_wal))
+    replay(lake, two_collection_wal, config=cfg, mapper=filt, max_files=n - 1)
+    r2 = replay(lake, two_collection_wal, config=cfg, mapper=filt)
+    assert r2.committed
+    assert r2.metrics["buckets_carried"] > 0
+    assert_final_state_equal(
+        lake.to_pandas_sorted(), naive_final_state(two_collection_wal, None)
+    )
+
+
 def test_split_wal_by_collection(two_collection_wal, tmp_path):
     """Scale path: one distributed split pass, then per-slice replay
     equals the filtered-replay result."""
