@@ -107,16 +107,33 @@ def train_centroids(sample: np.ndarray, nlist: int, iters: int = 8,
 
 
 def _training_sample(ds, sample_size: int) -> np.ndarray:
-    """Deterministic quantizer-training sample: ``take_batch`` returns
-    rows in block-arrival order, which varies between Dataset executions
-    — sorting the sampled rows by vec_id makes the k-means seed picks
-    (and therefore the centroids, list assignment and probe order)
-    reproducible across calls on the same corpus."""
-    bt = ds.select_columns(["vec_id", "embedding"]).take_batch(
+    """Deterministic quantizer-training sample: the ``sample_size`` rows
+    with the SMALLEST hashed vec_ids — a pseudo-random selection that is
+    a pure function of the corpus CONTENT, independent of block arrival
+    order and corpus size (``take_batch`` returns whichever blocks land
+    first, so both the order AND the set it samples vary between Dataset
+    executions — centroids, list assignment and probe order would all be
+    irreproducible). One narrow pass keeps per-block survivors, then a
+    small sort over ≤ blocks×sample_size candidate rows."""
+    from dcpray.hashing import splitmix64
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64))
+        if len(h) > sample_size:
+            keep = np.argpartition(h, sample_size - 1)[:sample_size]
+            t = t.take(pa.array(keep))
+            h = h[keep]
+        return pa.table({"_h": pa.array(h.view(np.int64)),
+                         "embedding": t["embedding"]})
+
+    cand = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        local, batch_format="pyarrow"
+    )
+    bt = cand.sort("_h").limit(sample_size).take_batch(
         sample_size, batch_format="pyarrow"
     )
-    order = np.argsort(bt["vec_id"].to_numpy(zero_copy_only=False), kind="stable")
-    return _stack(bt["embedding"])[order]
+    return _stack(bt["embedding"])
 
 
 class ListAssigner:
@@ -154,6 +171,10 @@ class ProbedScorer(BatchScorer):
         # probe THAT list — a union mask would let a query's top-k
         # include vectors from lists it never probed
         lv = batch["ivf_list"].to_numpy(zero_copy_only=False)
+        if len(lv) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         order = np.argsort(lv, kind="stable")
         t = batch.take(pa.array(order))
         lv = lv[order]

@@ -186,7 +186,7 @@ def minhash_signatures(col, seeds: np.ndarray, k: int = 5) -> np.ndarray:
         while o < len(ok_idx):
             p = o + 1
             while (p < len(ok_idx)
-                   and offs[ok_idx[p - 1] + 1] - offs[ok_idx[o]] <= 1_000_000):
+                   and offs[ok_idx[p] + 1] - offs[ok_idx[o]] <= 1_000_000):
                 p += 1
             lo_b = offs[ok_idx[o]]
             hi_b = offs[ok_idx[p - 1] + 1]
@@ -215,7 +215,6 @@ def minhash_signatures(col, seeds: np.ndarray, k: int = 5) -> np.ndarray:
         # short docs (len < k, incl. empty): the padded-single-window path
         for i in np.flatnonzero(~ok):
             b = np.pad(data[offs[i] : offs[i + 1]], (0, k - int(lens[i]))).astype(np.uint64)
-            pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
             with np.errstate(over="ignore"):
                 h = splitmix64(np.array([b @ pows], dtype=np.uint64))
             sigs[i] = _perm(h, seeds).min(axis=0)

@@ -69,11 +69,12 @@ def compact(lake: Lake, wal_dir: str | None = None, *, force: bool = False) -> d
 
         scan = walmod.scan_wal(wal_dir)
         floor = walmod.effective_floor(
-            scan, prev.processed_floor, prev.processed_floor_counts
+            scan, prev.processed_floor, prev.processed_floor_ids
         )
+        residual = set(prev.processed_wal)
         unprocessed = [
             i.path for i in scan
-            if not walmod.is_processed(i, set(prev.processed_wal), floor)
+            if not walmod.is_processed(i, residual, floor)
         ]
         if unprocessed:
             raise ValueError(
@@ -107,7 +108,7 @@ def compact(lake: Lake, wal_dir: str | None = None, *, force: bool = False) -> d
         metrics=metrics,
         processed_wal=prev.processed_wal,
         processed_floor=prev.processed_floor,
-        processed_floor_counts=prev.processed_floor_counts,
+        processed_floor_ids=prev.processed_floor_ids,
         strategy=prev.strategy,
         num_vbuckets=prev.num_vbuckets,
     )

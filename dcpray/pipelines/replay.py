@@ -24,12 +24,15 @@ Delivery semantics (upgraded from the reference's at-least-once, SURVEY §3):
 - a crash mid-run leaves the previous manifest current → the rerun
   replays the same delta; LWW by seqno makes the replay idempotent, so
   the observable result is exactly-once;
-- resume skips already-processed WAL files exactly (manifest tracks the
-  processed-file set; per-vb seqno watermarks are also maintained — with
-  seqno-contiguous log segments, as real DCP/binlog segments are, the
-  watermark alone suffices and the file set can be compacted away; the
-  synthetic fixture interleaves seqnos across files on purpose, so exact
-  file tracking is the correct general mechanism);
+- resume skips already-processed WAL files exactly: the manifest keeps
+  per-vb processed FLOORS (every scanned file at or below the floor is
+  applied) plus an exact residual list for stragglers whose seqno range
+  reaches above the floor — O(#vb + #stragglers), not O(#segments)
+  (wal.compact_processed). The floor's in-order-visibility assumption
+  is CHECKED: a per-vb xor-identity of the covered file set voids a
+  floor whose sub-floor files changed in any way (late out-of-order
+  arrival, deletion, swap) and replays that vb, exact by LWW
+  idempotence (wal.effective_floor);
 - incremental runs rewrite only buckets touched by the delta
   (copy-forward of untouched bucket files), so run cost scales with the
   delta, not the table.
@@ -181,12 +184,12 @@ def replay(
     # inferred from the FULL scan — never from a truncated delta — or
     # pinned explicitly via cfg.num_vbuckets
     observed_num_vb = max([i.vb for i in all_infos] + [vb for vb in wm] + [-1]) + 1
-    # void floors whose sub-floor file count grew since commit (a segment
-    # became visible out of order): those vbs replay in full — exact by
-    # LWW idempotence — instead of silently skipping the new segment
+    # void floors whose sub-floor file SET changed since commit (late
+    # out-of-order segment, deletion, or swap): those vbs replay in
+    # full — exact by LWW idempotence — instead of silently skipping
     prev_floor = walmod.effective_floor(
         all_infos, prev_floor,
-        prev.processed_floor_counts if prev else {},
+        prev.processed_floor_ids if prev else {},
     )
     infos = [
         i for i in all_infos if not walmod.is_processed(i, processed, prev_floor)
@@ -276,7 +279,7 @@ def replay(
         rins = sorted((int(s["rows_in"]) for s in stats), reverse=True)
         metrics["bucket_rows_in_max"] = rins[0]
         metrics["bucket_rows_in_mean"] = int(sum(rins) / len(rins))
-    new_floor, residual, floor_counts = walmod.compact_processed(
+    new_floor, residual, floor_ids = walmod.compact_processed(
         all_infos, processed | {i.path for i in infos}, prev_floor
     )
     manifest = Manifest(
@@ -290,7 +293,7 @@ def replay(
         metrics=metrics,
         processed_wal=residual,
         processed_floor=new_floor,
-        processed_floor_counts=floor_counts,
+        processed_floor_ids=floor_ids,
         strategy=strategy,
         num_vbuckets=num_vbuckets,
     )

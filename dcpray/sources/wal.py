@@ -208,28 +208,49 @@ def is_processed(
     )
 
 
+def _path_fingerprint(path: str) -> int:
+    """Stable 63-bit fingerprint of one WAL path (xor-combinable)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.sha1(path.encode()).digest()[:8], "big") >> 1
+
+
+def floor_identity(infos_of_vb) -> int:
+    """Order-independent identity of a floor's covered file SET: xor of
+    per-path fingerprints. Any change of the set — a late out-of-order
+    arrival, an external deletion, or an equal-count SWAP of one file
+    for another — changes the identity (xor cancellation of a swap
+    requires a 63-bit fingerprint collision)."""
+    h = 0
+    for i in infos_of_vb:
+        h ^= _path_fingerprint(i.path)
+    return h
+
+
 def effective_floor(
     all_infos: list[WalFileInfo],
     floor: dict[int, int],
-    floor_counts: dict[int, int],
+    floor_ids: dict[int, int],
 ) -> dict[int, int]:
     """Validate committed floors against the CURRENT scan. A floor is
     only sound if every scanned file at or below it was processed; the
-    manifest records how many files the floor covered at commit time
-    (``floor_counts``), so a vb now showing MORE sub-floor files has a
-    late, out-of-order-visible segment underneath its floor — that vb's
-    floor is VOIDED and all its non-residual files replay (exact by LWW
-    idempotence: re-applied versions lose to equal-or-newer winners and
-    persisted tombstones). Fewer files than recorded (external WAL GC)
-    keeps the floor. This turns the floor's in-order-visibility
-    assumption into a checked property instead of silent data loss."""
+    manifest records the xor-identity of the covered file set at commit
+    time (``floor_ids``), so ANY change in a vb's sub-floor file set —
+    a late out-of-order-visible segment, and even an equal-count swap
+    combined with an external deletion — VOIDS that vb's floor and its
+    non-residual files replay (exact by LWW idempotence: re-applied
+    versions lose to equal-or-newer winners and persisted tombstones).
+    This turns the floor's in-order-visibility assumption into a
+    checked property instead of silent data loss. A vb with NO recorded
+    identity (manifest written by an older format) keeps its floor —
+    those manifests carried exact path sets."""
     seen: dict[int, int] = {}
     for i in all_infos:
         if i.vb >= 0 and i.max_seqno <= floor.get(i.vb, 0):
-            seen[i.vb] = seen.get(i.vb, 0) + 1
+            seen[i.vb] = seen.get(i.vb, 0) ^ _path_fingerprint(i.path)
     return {
         vb: f for vb, f in floor.items()
-        if seen.get(vb, 0) <= floor_counts.get(vb, 0)
+        if vb not in floor_ids or seen.get(vb, 0) == floor_ids[vb]
     }
 
 
@@ -254,7 +275,7 @@ def compact_processed(
     coverage-count check and trigger a re-replay, not a silent skip.
 
     ``prev_floor`` must already be validated by ``effective_floor``.
-    Returns (floor, residual paths, floor coverage counts)."""
+    Returns (floor, residual paths, floor set-identities)."""
     by_vb: dict[int, list[WalFileInfo]] = {}
     multi: list[WalFileInfo] = []
     for i in all_infos:
@@ -264,16 +285,16 @@ def compact_processed(
         return is_processed(i, processed_paths, prev_floor)
 
     floor_out: dict[int, int] = {}
-    counts: dict[int, int] = {}
+    ids: dict[int, int] = {}
     residual: set[str] = {i.path for i in multi if i.path in processed_paths}
     for vb, fl in by_vb.items():
         unproc = [i.max_seqno for i in fl if not done(i)]
         f = (min(unproc) - 1) if unproc else max(i.max_seqno for i in fl)
         if f > 0:
             floor_out[vb] = f
-            counts[vb] = sum(1 for i in fl if i.max_seqno <= f)
+            ids[vb] = floor_identity(i for i in fl if i.max_seqno <= f)
         residual |= {i.path for i in fl if done(i) and i.max_seqno > f}
-    return floor_out, sorted(residual), counts
+    return floor_out, sorted(residual), ids
 
 
 def read_wal(wal_dir: str, watermarks: dict[int, int] | None = None):

@@ -62,11 +62,11 @@ class Manifest:
     # arithmetic; the analogue of the reference committing only per-vb
     # seqno offsets, kafka_metadata.go:26-46)
     processed_floor: dict[int, int] = field(default_factory=dict)
-    # vb → number of files the floor covered at commit time; resume
-    # voids a floor whose coverage count GREW (a segment became visible
-    # out of order below the floor) and replays that vb instead —
-    # wal.effective_floor
-    processed_floor_counts: dict[int, int] = field(default_factory=dict)
+    # vb → xor-identity of the file set the floor covered at commit
+    # time; resume voids a floor whose sub-floor file set CHANGED in any
+    # way (late out-of-order arrival, deletion, or swap) and replays
+    # that vb instead — wal.effective_floor / wal.floor_identity
+    processed_floor_ids: dict[int, int] = field(default_factory=dict)
     # physical merge strategy the lake was built with ("aligned" buckets
     # are vb % num_buckets; "shuffle" buckets are salted key hashes) —
     # pinned at creation so incremental runs keep the same partitioning
@@ -78,8 +78,8 @@ class Manifest:
         d = dict(self.__dict__)
         d["watermarks"] = {str(k): v for k, v in self.watermarks.items()}
         d["processed_floor"] = {str(k): v for k, v in self.processed_floor.items()}
-        d["processed_floor_counts"] = {
-            str(k): v for k, v in self.processed_floor_counts.items()
+        d["processed_floor_ids"] = {
+            str(k): v for k, v in self.processed_floor_ids.items()
         }
         return json.dumps(d, indent=1)
 
@@ -90,8 +90,8 @@ class Manifest:
         d["processed_floor"] = {
             int(k): v for k, v in d.get("processed_floor", {}).items()
         }
-        d["processed_floor_counts"] = {
-            int(k): v for k, v in d.get("processed_floor_counts", {}).items()
+        d["processed_floor_ids"] = {
+            int(k): v for k, v in d.get("processed_floor_ids", {}).items()
         }
         return Manifest(**d)
 
