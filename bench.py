@@ -155,6 +155,13 @@ def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dic
         # 2/8/32 sweep incl. the bandwidth-bound 8→32 pair is
         # bench.py --scaling, recorded in BASELINE.md.
         try:
+            # the parent's 32-CPU Ray session (workers + object store)
+            # must be DOWN while the scaling subprocesses measure, or it
+            # contends with them (measured: 0.75 vs 0.92 efficiency)
+            import ray
+
+            ray.shutdown()
+            time.sleep(2)
             out["scaling"] = run_scaling(levels=(2, 8))
         except Exception as e:  # never fail the bench over the extra block
             out["scaling"] = {"error": str(e)}
