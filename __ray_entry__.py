@@ -222,13 +222,15 @@ def _q_cdc_then_token_count(sf_dir: str):
 def _q_dedup_exact(sf_dir: str):
     from dcpray.functions.dedup import exact_dedup
 
-    return exact_dedup(read_clean(os.path.join(sf_dir, "documents.parquet")))
+    return exact_dedup(read_clean(os.path.join(sf_dir, "documents.parquet"),
+                              override_num_blocks=16))
 
 
 def _q_text_token_count(sf_dir: str):
     from dcpray.functions.textstats import token_count
 
-    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                override_num_blocks=16)
     return ds.map_batches(token_count, batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens"]
     )
@@ -237,7 +239,8 @@ def _q_text_token_count(sf_dir: str):
 def _q_text_stats(sf_dir: str):
     from dcpray.functions.textstats import text_stats
 
-    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                override_num_blocks=16)
     return ds.map_batches(text_stats, batch_format="pyarrow")
 
 
@@ -250,7 +253,7 @@ def _q_ann_topk(sf_dir: str):
     head = pq.read_table(path).slice(0, 5)
     q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
     qids = head["vec_id"].to_numpy()
-    out = topk_cosine(read_clean(path), q, qids, k=10, concurrency=4)
+    out = topk_cosine(read_clean(path, override_num_blocks=16), q, qids, k=10, concurrency=4)
     return out.select_columns(["query_id", "vec_id"])
 
 
@@ -336,7 +339,7 @@ def _q_embedding_neardup_pairs(sf_dir: str):
 
     import pandas as pd
 
-    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"), override_num_blocks=16)
     df = embedding_dup_pairs(ds, threshold=0.9, dim=64).to_pandas()
     if df.empty:
         df = pd.DataFrame({"a": pd.Series(dtype="int64"),
@@ -350,7 +353,7 @@ def _q_embedding_neardup_exact(sf_dir: str):
     LSH variant approximates)."""
     from dcpray.functions.dedup import embedding_exact_pairs
 
-    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"), override_num_blocks=16)
     out = embedding_exact_pairs(ds, threshold=0.4, concurrency=4).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -358,28 +361,32 @@ def _q_embedding_neardup_exact(sf_dir: str):
 def _q_lang_id(sf_dir: str):
     from dcpray.functions.textstats import LangId
 
-    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                override_num_blocks=16)
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=4)
 
 
 def _q_text_fingerprint_md5(sf_dir: str):
     from dcpray.functions.textstats import fingerprint_md5
 
-    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                override_num_blocks=16)
     return ds.map_batches(fingerprint_md5, batch_format="pyarrow")
 
 
 def _q_text_fingerprint(sf_dir: str):
     from dcpray.functions.textstats import fingerprint
 
-    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                override_num_blocks=16)
     return ds.map_batches(fingerprint, batch_format="pyarrow")
 
 
 def _q_quality_score(sf_dir: str):
     from dcpray.functions.textstats import QualityScorer
 
-    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                override_num_blocks=16)
     return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=4)
 
 
@@ -392,7 +399,7 @@ def _q_ann_ivf_topk(sf_dir: str):
     head = pq.read_table(path).slice(0, 5)
     q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
     qids = head["vec_id"].to_numpy()
-    return ivf_topk(read_clean(path), q, qids, k=10, nlist=16, nprobe=8,
+    return ivf_topk(read_clean(path, override_num_blocks=16), q, qids, k=10, nlist=16, nprobe=8,
                     concurrency=4).select_columns(["query_id", "vec_id"])
 
 
@@ -409,7 +416,7 @@ def _q_ann_ivf_full_probe(sf_dir: str):
     head = pq.read_table(path).slice(0, 5)
     q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
     qids = head["vec_id"].to_numpy()
-    return ivf_topk(read_clean(path), q, qids, k=10, nlist=16, nprobe=16,
+    return ivf_topk(read_clean(path, override_num_blocks=16), q, qids, k=10, nlist=16, nprobe=16,
                     concurrency=4).select_columns(["query_id", "vec_id"])
 
 
@@ -427,7 +434,7 @@ def _q_ann_ivf_index_full_probe(sf_dir: str):
     path = os.path.join(sf_dir, "embeddings.parquet")
     idx = os.path.join("/tmp/dcpray_ivf", os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(idx, ignore_errors=True)
-    build_ivf_index(read_clean(path), idx, nlist=16, concurrency=4)
+    build_ivf_index(read_clean(path, override_num_blocks=16), idx, nlist=16, concurrency=4)
     head = pq.read_table(path).slice(0, 5)
     q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
     qids = head["vec_id"].to_numpy()
@@ -441,7 +448,8 @@ def _q_multimodal_features(sf_dir: str):
 
     import pyarrow as pa
 
-    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                override_num_blocks=16)
     media = ds.map_batches(synthesize_media, batch_format="pyarrow")
     feats = media.map_batches(ImageFeatureExtractor, batch_format="pyarrow",
                               concurrency=4, batch_size=256)
