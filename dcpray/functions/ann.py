@@ -21,10 +21,34 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack(col.to_pylist()).astype(np.float64)
+    """(n, dim) float64 matrix from a list/fixed-size-list embedding
+    column — ZERO-COPY view of Arrow's flat values buffer (one vectorized
+    astype when the child is float32), never a per-row ``to_pylist``
+    round-trip. Shared by every vector op (ANN scoring, IVF assignment,
+    hyperplane signing, exact-cosine pairs)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        widths = offs[1:] - offs[:-1]
+        dim = int(widths[0])
+        if (widths != dim).any():
+            raise ValueError("ragged embedding column (rows differ in dim)")
+    flat = pc.list_flatten(col)  # honors offsets/slices; no copy
+    try:
+        vals = flat.to_numpy(zero_copy_only=True)
+    except pa.ArrowInvalid:  # nulls in the child values: rare, fall back
+        vals = flat.to_numpy(zero_copy_only=False)
+    return vals.reshape(n, dim).astype(np.float64, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -119,12 +143,17 @@ def _training_sample(ds, sample_size: int) -> np.ndarray:
 
     def local(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = splitmix64(ids.view(np.uint64))
+        # SIGNED int64 view end-to-end: the local top-k filter must use
+        # the SAME order as the global sort("_h") below (int64) — mixing
+        # unsigned-local with signed-global would make the surviving
+        # sample depend on block boundaries (a top-bit-set hash dropped
+        # in a big block but kept in a small one jumps the signed sort)
+        h = splitmix64(ids.view(np.uint64)).view(np.int64)
         if len(h) > sample_size:
             keep = np.argpartition(h, sample_size - 1)[:sample_size]
             t = t.take(pa.array(keep))
             h = h[keep]
-        return pa.table({"_h": pa.array(h.view(np.int64)),
+        return pa.table({"_h": pa.array(h),
                          "embedding": t["embedding"]})
 
     cand = ds.select_columns(["vec_id", "embedding"]).map_batches(
@@ -146,6 +175,28 @@ class ListAssigner:
         emb = _normalize(_stack(batch["embedding"]))
         lists = (emb @ self.cents.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("ivf_list", pa.array(lists))
+
+
+_ASSIGN_CACHE: dict = {}
+
+
+def _assign_batches(batch: pa.Table, cents_ref) -> pa.Table:
+    """TASK-pool form of ``ListAssigner``: the centroid matrix arrives as
+    an ObjectRef via ``fn_args`` (node-local zero-copy read, memoized per
+    worker process). A task pool never reserves CPUs the way an actor
+    pool does, so this composes with a downstream AllToAll (groupby /
+    aggregate) at ANY cpu count — an actor pool sized to the whole node
+    starves the shuffle tasks and deadlocks the plan."""
+    key = cents_ref.hex()
+    cents = _ASSIGN_CACHE.get(key)
+    if cents is None:
+        import ray
+
+        _ASSIGN_CACHE.clear()
+        cents = _ASSIGN_CACHE[key] = ray.get(cents_ref)
+    emb = _normalize(_stack(batch["embedding"]))
+    lists = (emb @ cents.T).argmax(axis=1).astype(np.int32)
+    return batch.append_column("ivf_list", pa.array(lists))
 
 
 class ProbedScorer(BatchScorer):
@@ -216,43 +267,86 @@ def _probed_score(group: pa.Table, qref, k: int, probes_ref) -> pa.Table:
 
 
 def build_ivf_index(ds, index_dir: str, nlist: int = 32,
-                    sample_size: int = 10_000, concurrency: int = 4) -> dict:
+                    sample_size: int = 10_000, concurrency: int = 4,
+                    part_rows: int = 262_144) -> dict:
     """Materialize a partitioned IVF index: the corpus is assigned to its
-    nearest coarse centroid and written as ONE parquet file per list
-    (``list-NNNNN.parquet``, ivf_list carried as a column) plus the
-    centroid matrix (``centroids.parquet``) and ``meta.json``. Build
+    nearest coarse centroid and written as parquet PART files per list
+    (``list-NNNNN-partKK.parquet``, ivf_list carried as a column) plus
+    the centroid matrix (``centroids.parquet``) and ``meta.json``. Build
     once, query many — ``ivf_query`` then reads ONLY the probed lists'
     files, the ANN analogue of the replay path's watermark file pruning:
-    at cluster scale each list file is the unit of placement and a query
+    at cluster scale each part file is the unit of placement and a query
     touches ~nprobe/nlist of the corpus at the FILE level, not per-row.
+
+    Task memory is bounded STRUCTURALLY, not by nlist choice: a first
+    narrow pass counts rows per list (one tiny aggregate), each list is
+    split into ``ceil(rows / part_rows)`` hash-parts of ``vec_id``, and
+    the write groupby keys on (list, part) — so no task ever holds a
+    whole flooded list, only ~``part_rows`` rows in expectation (hash
+    split; worst-case concentration is binomial around that). The count
+    pass recomputes the cheap centroid matmul instead of materializing
+    the assigned corpus — streaming twice beats spilling 100 TB once.
     """
     import json
 
     import ray
 
+    from dcpray.hashing import splitmix64
+
     os.makedirs(index_dir, exist_ok=True)
     sample = _training_sample(ds, sample_size)
     cents = train_centroids(sample, nlist)
     cents_ref = ray.put(cents)
-    assigned = ds.map_batches(
-        ListAssigner, fn_constructor_args=(cents_ref,),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=8192,
-    )
 
-    def write_list(group: pa.Table) -> pa.Table:
+    def assigned():
+        # task pool, not an actor pool: both passes end in an AllToAll,
+        # and an actor pool sized to the node would starve it (see
+        # _assign_batches); ``concurrency`` is kept for API compat but
+        # no longer pins actors
+        return ds.map_batches(
+            _assign_batches, fn_args=(cents_ref,),
+            batch_format="pyarrow", batch_size=8192,
+        )
+
+    # pass 1: rows per list (per-batch partial counts -> tiny groupby)
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = t["ivf_list"].value_counts()
+        return pa.table({"ivf_list": vc.field("values"),
+                         "n_part": vc.field("counts").cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = (assigned().select_columns(["ivf_list"])
+              .map_batches(count_partial, batch_format="pyarrow")
+              .groupby("ivf_list").aggregate(Sum("n_part", alias_name="rows"))
+              .to_pandas())
+    list_rows = {int(r.ivf_list): int(r.rows) for r in counts.itertuples()}
+    nparts = np.ones(len(cents), dtype=np.int64)
+    for lid, rows in list_rows.items():
+        nparts[lid] = max(1, -(-rows // part_rows))
+
+    # pass 2: key on (list, hash-part of vec_id); one write task per part
+    def add_part_key(t: pa.Table) -> pa.Table:
+        lv = t["ivf_list"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (splitmix64(ids.view(np.uint64))
+                % nparts[lv].astype(np.uint64)).astype(np.int64)
+        return t.append_column("_lp", pa.array(lv * (1 << 20) + part))
+
+    def write_part(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        list_id = int(group["ivf_list"][0].as_py())
-        path = os.path.join(index_dir, f"list-{list_id:05d}.parquet")
+        lp = int(group["_lp"][0].as_py())
+        list_id, part = lp >> 20, lp & ((1 << 20) - 1)
+        path = os.path.join(index_dir, f"list-{list_id:05d}-part{part:03d}.parquet")
         tmp = path + f".tmp-{os.getpid()}"
-        pq.write_table(group, tmp, row_group_size=65536)
+        pq.write_table(group.drop_columns(["_lp"]), tmp, row_group_size=65536)
         os.rename(tmp, path)
         return pa.table({"ivf_list": pa.array([list_id], pa.int32()),
                          "rows": pa.array([group.num_rows], pa.int64())})
 
-    stats = assigned.groupby("ivf_list").map_groups(
-        write_list, batch_format="pyarrow"
-    ).to_pandas()
+    stats = assigned().map_batches(add_part_key, batch_format="pyarrow") \
+        .groupby("_lp").map_groups(write_part, batch_format="pyarrow").to_pandas()
 
     import pyarrow.parquet as pq
 
@@ -264,7 +358,9 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 32,
     )
     meta = {"nlist": int(len(cents)), "dim": int(cents.shape[1]),
             "num_vectors": int(stats["rows"].sum()),
-            "lists": {int(r.ivf_list): int(r.rows) for r in stats.itertuples()}}
+            "part_rows": int(part_rows),
+            "parts": {int(l): int(p) for l, p in enumerate(nparts)},
+            "lists": list_rows}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -280,16 +376,27 @@ def ivf_query(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
     import pyarrow.parquet as pq
     import ray
 
+    import glob as _glob
+
     cent_tab = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
     cents = _normalize(_stack(cent_tab["centroid"]))
     qmat = _normalize(np.asarray(queries, dtype=np.float64))
     order = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
     probed = sorted(set(order.reshape(-1).tolist()))
-    paths = [os.path.join(index_dir, f"list-{l:05d}.parquet") for l in probed]
-    paths = [p for p in paths if os.path.exists(p)]  # empty lists have no file
+    # each probed list may be several part files (flooded lists are split
+    # at build time); legacy single-file lists match the same glob
+    paths = sorted(
+        p for l in probed
+        for p in _glob.glob(os.path.join(index_dir, f"list-{l:05d}*.parquet"))
+    )
+    import ray.data as rd
+
+    if not paths:  # every probed list is empty (tiny/degenerate index)
+        return rd.from_arrow(pa.table({"query_id": pa.array([], pa.int64()),
+                                       "vec_id": pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.float64())}))
     probes_ref = ray.put(order.astype(np.int32))
     qref = ray.put({"qid": np.asarray(query_ids, dtype=np.int64), "mat": qmat})
-    import ray.data as rd
 
     ds = rd.read_parquet(paths)
     cand = ds.map_batches(
@@ -313,9 +420,20 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
              nlist: int = 32, nprobe: int = 8, sample_size: int = 10_000,
              concurrency: int = 4):
     """IVF approximate top-k. Recall depends on nprobe/nlist; exact when
-    nprobe == nlist. The corpus is re-partitioned ONCE by list id (the
-    same bucketing shuffle the merge uses), so repeated query batches
-    reuse the layout."""
+    nprobe == nlist.
+
+    No corpus shuffle at all: scoring a vector in list L against the
+    queries that probe L is a PER-ROW decision, so the probed scorer
+    runs directly in ``map_batches`` on the assignment output —
+    ``ProbedScorer`` segments each batch by ivf_list internally and
+    skips segments no query probes. Task memory is one batch, the only
+    exchange is the tiny per-batch candidate top-k reduce. (The earlier
+    ``groupby("ivf_list")`` co-location was an all-to-all that bought
+    nothing the in-batch segmentation doesn't already give; co-location
+    matters only for the PERSISTED index, where it prunes at the file
+    level — see ``build_ivf_index``.) Broadcast query/probe matrices
+    travel as ObjectRefs via ``fn_args`` (node-local zero-copy reads,
+    memoized per worker), never pickled into task closures."""
     import ray
 
     sample = _training_sample(ds, sample_size)
@@ -327,20 +445,12 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     qref = ray.put({"qid": np.asarray(query_ids, dtype=np.int64), "mat": qmat})
 
     assigned = ds.map_batches(
-        ListAssigner, fn_constructor_args=(cents_ref,),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=8192,
+        _assign_batches, fn_args=(cents_ref,),
+        batch_format="pyarrow", batch_size=8192,
     )
-    # co-locate each IVF list, then score each list against only the
-    # queries that probe it. The scorer runs as TASK-pool map_groups with
-    # the broadcast ObjectRefs passed via fn_args: each task resolves
-    # them from the node-local object store (zero-copy plasma read,
-    # memoized per worker process) — a driver-constructed bound method
-    # would instead pickle the query/probe matrices into every task, and
-    # a second actor pool here can deadlock with ListAssigner's pool on
-    # small clusters (both pools reserve CPUs across the intervening
-    # sort).
-    cand = assigned.groupby("ivf_list").map_groups(
-        _probed_score, fn_args=(qref, k, probes_ref), batch_format="pyarrow"
+    cand = assigned.map_batches(
+        _probed_score_batches, fn_args=(qref, k, probes_ref),
+        batch_format="pyarrow", batch_size=8192,
     )
     return cand.groupby("query_id").map_groups(
         lambda g: _global_topk(g, k), batch_format="pyarrow"

@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from dcpray.functions.ann import _stack as emb_matrix
 from dcpray.hashing import hash_strings, splitmix64
 
 # ---------------------------------------------------------------- exact
@@ -221,15 +222,24 @@ def minhash_signatures(col, seeds: np.ndarray, k: int = 5) -> np.ndarray:
     return sigs
 
 
+#: Python ``str.split()`` whitespace (everything ``str.isspace``) as an
+#: re2 class — re2's ``\s`` is ASCII-only, so the batch tokenizer must
+#: add \v, the information separators, NEL, and the Unicode space/line/
+#: paragraph separators to split identically to the single-doc oracle
+_UNICODE_WS = r"[\s\x0b\x1c-\x1f\x{85}\p{Zs}\x{2028}\x{2029}]+"
+
+
 def simhash_batch(col) -> np.ndarray:
     """64-bit SimHash per document for a whole string column: Arrow
     lowercase + whitespace-split, one vectorized token-hash pass over the
     flattened token list, per-document bit votes via ``add.reduceat``.
     Token hash is the stable pandas siphash (hash_strings) — like the
-    reference implementation's crc32, deterministic across workers."""
+    reference implementation's crc32, deterministic across workers.
+    Splits on the full Unicode whitespace set so batch and single-doc
+    (``SimHasher.simhash``, ``str.split``) paths agree on e.g. \\u00a0."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), r"\s+")
+    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), _UNICODE_WS)
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     flat = toks.flatten()
     n = len(toks)
@@ -505,10 +515,12 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
                              "doc_id": pa.array([], pa.int64()),
                              "text": pa.array([], pa.string())}, schema=schema)
         cd = doc[is_corpus]
+        if len(cd) == 0:  # requests but no corpus rows in this partition
+            return schema.empty_table()
         order = np.argsort(cd, kind="stable")
         pos = np.searchsorted(cd[order], req[:, 0])
-        pos_c = np.minimum(pos, max(len(cd) - 1, 0))
-        found = (len(cd) > 0) & (cd[order][pos_c] == req[:, 0])
+        pos_c = np.minimum(pos, len(cd) - 1)
+        found = cd[order][pos_c] == req[:, 0]
         sel = order[pos_c[found]]
         texts = group["text"].filter(pa.array(is_corpus)).take(pa.array(sel))
         n = int(found.sum())
@@ -520,27 +532,38 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
         }, schema=schema)
 
     def verify(group: pa.Table) -> pa.Table:
-        a_col = group["a"]
-        is_text = pc.is_null(a_col).to_numpy(zero_copy_only=False)
-        a = a_col.to_numpy(zero_copy_only=False)
-        b = group["b"].to_numpy(zero_copy_only=False)
-        doc = group["doc_id"].to_numpy(zero_copy_only=False)
-        texts = group["text"].filter(pa.array(is_text)).to_pylist()
-        text_of = dict(zip(doc[is_text].astype(np.int64), texts))
-        pairs = np.unique(
-            np.stack([a[~is_text].astype(np.int64), b[~is_text].astype(np.int64)], axis=1),
-            axis=0,
-        )
+        # split FIRST, convert null-free columns after: to_numpy on a
+        # nullable int64 column decodes through float64 and silently
+        # corrupts doc ids >= 2^53 (the hashed-64-bit-key scale case)
+        is_text_mask = pc.is_null(group["a"])
+        text_rows = group.filter(is_text_mask)
+        pair_rows = group.filter(pc.invert(is_text_mask))
+        doc = text_rows["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = text_rows["text"].to_pylist()
+        text_of = dict(zip(doc, texts))
+        a = pair_rows["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pair_rows["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([a, b], axis=1), axis=0) if len(a) \
+            else np.empty((0, 2), np.int64)
         cache: dict[int, np.ndarray] = {}
 
-        def sh(i: int) -> np.ndarray:
+        def sh(i: int) -> np.ndarray | None:
+            # a doc id with NO routed text is a verification FAILURE for
+            # its pairs (None), not an empty document — jaccard("","")
+            # is 1.0 and would report a false-positive duplicate
+            if i not in text_of:
+                return None
             s = cache.get(i)
             if s is None:
-                s = char_shingle_hashes(text_of.get(i, "") or "", shingle_k)
+                s = char_shingle_hashes(text_of[i] or "", shingle_k)
                 cache[i] = s
             return s
 
-        jac = np.array([jaccard(sh(int(x)), sh(int(y))) for x, y in pairs],
+        def pair_jac(x: int, y: int) -> float:
+            sx, sy = sh(x), sh(y)
+            return -1.0 if sx is None or sy is None else jaccard(sx, sy)
+
+        jac = np.array([pair_jac(int(x), int(y)) for x, y in pairs],
                        dtype=np.float64) if len(pairs) else np.empty(0)
         keep = jac >= threshold
         return pa.table({
@@ -716,14 +739,18 @@ def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50):
         """One partition: edge rows keyed by node + label rows; emit the
         candidate label for each PEER (label of this node travels over
         its edges)."""
-        node = group["node"].to_numpy(zero_copy_only=False)
-        peer = group["peer"].to_numpy(zero_copy_only=False)
-        lab = group["label"].to_numpy(zero_copy_only=False)
-        is_lab = ~pc.is_null(group["label"]).to_numpy(zero_copy_only=False)
-        ln, lv = node[is_lab], lab[is_lab]
+        # split by row kind FIRST so every converted column is null-free
+        # int64 (nullable to_numpy decodes via float64, corrupting ids
+        # >= 2^53 — same failure mode as the verify join)
+        is_lab_mask = pc.invert(pc.is_null(group["label"]))
+        lab_rows = group.filter(is_lab_mask)
+        edge_rows = group.filter(pc.is_null(group["label"]))
+        ln = lab_rows["node"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        lv = lab_rows["label"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ln)
         ln, lv = ln[order], lv[order]
-        en, ep = node[~is_lab], peer[~is_lab]
+        en = edge_rows["node"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = edge_rows["peer"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(ln, en)
         pos = np.minimum(pos, max(len(ln) - 1, 0))
         found = (len(ln) > 0) & (ln[pos] == en)
@@ -947,7 +974,7 @@ class PlaneSigner:
         self.planes = rng.randn(dim, bits)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        emb = emb_matrix(batch["embedding"])
         sig = ((emb @ self.planes) > 0) @ (1 << np.arange(self.planes.shape[1]))
         return batch.append_column("sig", pa.array(sig.astype(np.int64)))
 
@@ -963,7 +990,7 @@ def embedding_dup_pairs(ds, threshold=0.95, bits=16, dim=64, concurrency=4):
 
     def bucket_cosine(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.stack(group["embedding"].to_pylist()).astype(np.float64)
+        emb = emb_matrix(group["embedding"])
         if len(ids) < 2 or len(ids) > 2048:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
@@ -998,8 +1025,9 @@ class ExactCosinePairs:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        # non-inplace: emb may be a read-only zero-copy view of the block
+        emb = emb_matrix(batch["embedding"])
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         cos = emb @ self.xn.T
         # keep each unordered pair once: a < b
         keep = (cos >= self.threshold) & (ids[:, None] < self.ids[None, :])
@@ -1023,7 +1051,7 @@ def embedding_exact_pairs(ds, threshold=0.4, id_col="vec_id",
         batch_size=65536, batch_format="pyarrow"
     ):
         ids_parts.append(bt[id_col].to_numpy(zero_copy_only=False))
-        emb_parts.append(np.stack(bt[emb_col].to_pylist()).astype(np.float64))
+        emb_parts.append(emb_matrix(bt[emb_col]))
     ids = np.concatenate(ids_parts)
     xn = np.concatenate(emb_parts)
     xn /= np.linalg.norm(xn, axis=1, keepdims=True)

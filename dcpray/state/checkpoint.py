@@ -109,6 +109,21 @@ def _atomic_write(path: str, data: str) -> None:
     os.rename(tmp, path)
 
 
+def _manifest_seq(name: str) -> int:
+    """Numeric seq parsed out of ``manifest-<seq>.json`` — stores must
+    sort by THIS, never lexicographically: once seq outgrows the 6-digit
+    zero padding (1,000,000 commits) lexicographic order diverges and
+    load_current/prune would silently pick the wrong manifest."""
+    try:
+        return int(name.split("-", 1)[1].split(".", 1)[0])
+    except (IndexError, ValueError):
+        return -1
+
+
+def _sorted_manifests(names) -> list[str]:
+    return sorted(names, key=_manifest_seq)
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the same sequence number first. The
     loser's work is untouched on disk but unreferenced; rerun replay —
@@ -174,18 +189,19 @@ class ManifestStore:
         run's metrics — the per-partition lineage the north rule asks
         resumability to carry."""
         out = []
-        for name in sorted(os.listdir(self.manifest_dir)):
-            if name.startswith("manifest-"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    out.append(Manifest.from_json(f.read()))
+        for name in _sorted_manifests(
+            n for n in os.listdir(self.manifest_dir) if n.startswith("manifest-")
+        ):
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                out.append(Manifest.from_json(f.read()))
         return out
 
     def prune_manifests(self, keep: int) -> int:
         """Drop all but the newest ``keep`` manifest files (the CURRENT
         one is always kept). Part of the store interface so gc() works
         against any backend."""
-        names = sorted(n for n in os.listdir(self.manifest_dir)
-                       if n.startswith("manifest-"))
+        names = _sorted_manifests(n for n in os.listdir(self.manifest_dir)
+                                  if n.startswith("manifest-"))
         current_name = None
         if os.path.exists(self.current_path):
             with open(self.current_path) as f:
@@ -280,7 +296,12 @@ class CasManifestStore:
         self.kv = kv or LocalFSKV(self.manifest_dir)
 
     def _names(self) -> list[str]:
-        return [n for n in self.kv.list() if n.startswith("manifest-") and n.endswith(".json")]
+        """Committed manifest names in NUMERIC seq order (the current
+        manifest is the last entry)."""
+        return _sorted_manifests(
+            n for n in self.kv.list()
+            if n.startswith("manifest-") and n.endswith(".json")
+        )
 
     def load_current(self) -> Manifest | None:
         names = self._names()
