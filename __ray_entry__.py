@@ -258,48 +258,29 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
+    """High-cardinality (~100k groups) hourly rollup on the library
+    ``coarse_groupby``: per-batch Arrow pre-aggregation (the shuffle
+    moves one row per distinct key per batch), coarse-partition
+    exchange, vectorized Arrow merge per partition — one Python call
+    per partition, not per group (6× faster than Ray's per-group
+    aggregate at this cardinality)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    from dcpray.functions.agg import coarse_groupby
 
     ds = read_clean(os.path.join(sf_dir, "events.parquet"),
                     columns=["user_id", "ts", "value"],
                     override_num_blocks=16)
 
-    import numpy as np
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
 
-    from dcpray.hashing import splitmix64
-
-    def partial(t: pa.Table) -> pa.Table:
-        # per-batch pre-aggregation: the shuffle moves one row per
-        # (user_id, hour) per batch instead of every event row (same
-        # pattern as cdc_op_counts; counts/sums recombine exactly);
-        # the shuffle key is a COARSE partition of user_id, so the final
-        # combine is one vectorized Arrow groupby per partition rather
-        # than Ray's per-group aggregate machinery (6× wall at 95k
-        # groups: 0.4s vs 2.3s at sf0.1)
-        t = t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
-        out = pa.TableGroupBy(t.select(["user_id", "hour", "value"]),
-                              ["user_id", "hour"]).aggregate(
-            [("value", "count", pc.CountOptions(mode="all")), ("value", "sum")]
-        ).rename_columns(["user_id", "hour", "n_part", "sum_part"])
-        uid = out["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = (splitmix64(uid.view(np.uint64)) % np.uint64(64)).astype(np.int32)
-        return out.append_column("pk", pa.array(pk))
-
-    def combine(g: pa.Table) -> pa.Table:
-        return pa.TableGroupBy(
-            g.select(["user_id", "hour", "n_part", "sum_part"]),
-            ["user_id", "hour"],
-        ).aggregate([("n_part", "sum"), ("sum_part", "sum")]).rename_columns(
-            ["user_id", "hour", "n_events", "sum_value"]
-        )
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(combine, batch_format="pyarrow")
-        .to_pandas()
-    )
+    out = coarse_groupby(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        keys=["user_id", "hour"],
+        aggs=[("value", "count", "n_events"), ("value", "sum", "sum_value")],
+    ).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(4)
     return out
@@ -470,6 +451,22 @@ def _q_multimodal_features(sf_dir: str):
     return feats.map_batches(fold, batch_format="pyarrow")
 
 
+def _q_multimodal_decode_bmp(sf_dir: str):
+    """REAL multimodal decode, SQL-verifiable: synthesize a valid 8×8
+    BMP per document (pixels a closed-form function of the text length),
+    then actually PARSE the BMP back (header, bottom-up rows, BGR,
+    padding) and report decoded dims + mean pixel. The oracle computes
+    the closed form — any decode error (stride, channel order, row
+    flip) breaks the hash match."""
+    from dcpray.functions.multimodal import bmp_pixel_stats, synthesize_bmp_media
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    media = ds.map_batches(synthesize_bmp_media, batch_format="pyarrow")
+    return media.map_batches(bmp_pixel_stats, batch_format="pyarrow",
+                             batch_size=256)
+
+
 def entry() -> Any:
     """Flagship pipeline: full CDC replay of the sf0.001 transcript WAL
     into a fresh lake; returns the final transcripts table."""
@@ -510,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full_probe": _q_ann_ivf_full_probe,
         "ann_ivf_index_full_probe": _q_ann_ivf_index_full_probe,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_decode_bmp": _q_multimodal_decode_bmp,
     }
 
 
@@ -658,4 +656,11 @@ SELECT query_id, vec_id FROM (
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) n_events, round(sum(value), 4) sum_value
 FROM events GROUP BY 1, 2""",
+        "multimodal_decode_bmp": """
+SELECT d.doc_id AS media_id,
+       CAST(8 AS INTEGER) width, CAST(8 AS INTEGER) height,
+       round(avg(CAST((length(coalesce(d.text, ''))*7 + g.i*13) % 256
+                      AS DOUBLE)), 6) pixel_mean
+FROM documents d, generate_series(0, 191) g(i)
+GROUP BY d.doc_id""",
     }

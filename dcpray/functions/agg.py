@@ -1,0 +1,126 @@
+"""Distributed aggregation helpers.
+
+``coarse_groupby`` is the library form of the pattern that made
+``events_hourly`` 6× faster than Ray's per-group aggregate machinery at
+~100k groups: pre-aggregate each batch with one vectorized Arrow
+groupby (the shuffle then moves ONE row per distinct key per batch, not
+every input row), exchange on a COARSE partition of the key hash, and
+merge each partition with a second vectorized Arrow groupby — so Python
+is called once per partition, never once per group.
+
+Scale shape: the all-to-all moves only partial-aggregate rows; skewed
+keys cannot concentrate a partition beyond their distinct-key count
+(the partial combine already collapsed multiplicity); ``partitions``
+bounds the number of merge tasks independently of group cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dcpray.hashing import _GOLDEN, hash_strings, splitmix64
+
+#: op -> (arrow partial fn, arrow merge fn). ``mean`` decomposes into
+#: sum+count partials and a final divide; ``count`` merges by sum.
+_OPS = {
+    "count": ("count", "sum"),
+    "sum": ("sum", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+    "mean": (None, None),  # handled via sum + count
+}
+
+
+def _hash_key_columns(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """uint64 hash combining the key columns (string / int / bool /
+    timestamp / date), order-sensitive, stable across workers."""
+    acc = np.zeros(t.num_rows, np.uint64)
+    for k in keys:
+        col = t[k]
+        ty = col.type
+        if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+            h = hash_strings(col)
+        elif (pa.types.is_integer(ty) or pa.types.is_boolean(ty)
+              or pa.types.is_temporal(ty)):
+            v = pc.cast(col, pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            h = np.where(np.isnan(v), -1, v).astype(np.int64).view(np.uint64) \
+                if v.dtype.kind == "f" else v.view(np.uint64)
+        else:
+            raise TypeError(f"unhashable groupby key type for {k!r}: {ty}")
+        with np.errstate(over="ignore"):
+            acc = splitmix64(acc ^ (h * _GOLDEN))
+    return acc
+
+
+def coarse_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+                   partitions: int = 64):
+    """Groupby-aggregate for HIGH-cardinality keys.
+
+    ``aggs`` is a list of ``(column, op, alias)`` with op in
+    ``{"count", "sum", "min", "max", "mean"}``. Returns a Dataset with
+    the key columns plus one column per alias. ``count`` counts all rows
+    of the group (including nulls in ``column``), matching SQL
+    ``count(*)``.
+
+    Use Ray's native ``groupby().aggregate()`` when groups are few; use
+    this when group count is large enough that per-group Python overhead
+    dominates (≳10⁴ groups)."""
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    for _, op, _ in aggs:
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}; one of {sorted(_OPS)}")
+
+    # distinct partial specs: mean -> sum + count of the same column
+    partial_needed: dict[tuple[str, str], str] = {}  # (col, fn) -> partial name
+    for col, op, _ in aggs:
+        fns = ("sum", "count") if op == "mean" else (_OPS[op][0],)
+        for fn in fns:
+            partial_needed.setdefault((col, fn), f"__p_{col}_{fn}")
+    spec = sorted(partial_needed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(
+            t.select(keys + sorted({c for c, _ in spec})), keys
+        ).aggregate([
+            (c, f, pc.CountOptions(mode="all")) if f == "count" else (c, f)
+            for c, f in spec
+        ])
+        # arrow output order: key columns first, then "<col>_<fn>" in
+        # spec order — rename the latter to the stable partial names
+        out = out.rename_columns(keys + [partial_needed[cf] for cf in spec])
+        pk = (_hash_key_columns(out, keys)
+              % np.uint64(partitions)).astype(np.int32)
+        return out.append_column("_pk", pa.array(pk))
+
+    def combine(g: pa.Table) -> pa.Table:
+        merge_aggs = []
+        for col, fn in spec:
+            pname = partial_needed[(col, fn)]
+            merge_fn = "sum" if fn in ("sum", "count") else fn
+            merge_aggs.append((pname, merge_fn))
+        merged = pa.TableGroupBy(
+            g.select(keys + [partial_needed[cf] for cf in spec]), keys
+        ).aggregate(merge_aggs)
+        merged = merged.rename_columns(
+            keys + [partial_needed[cf] for cf in spec]
+        )
+        cols = {k: merged[k] for k in keys}
+        for col, op, alias in aggs:
+            if op == "mean":
+                s = merged[partial_needed[(col, "sum")]]
+                c = merged[partial_needed[(col, "count")]]
+                cols[alias] = pc.divide(pc.cast(s, pa.float64()),
+                                        pc.cast(c, pa.float64()))
+            else:
+                v = merged[partial_needed[(col, _OPS[op][0])]]
+                cols[alias] = pc.cast(v, pa.int64()) if op == "count" else v
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(combine, batch_format="pyarrow"))

@@ -48,13 +48,14 @@ class Pipeline:
     """A configured CDC replay pipeline bound to one lake."""
 
     def __init__(self, lake: Lake, config: ReplayConfig, mapper, handler,
-                 completion, logger):
+                 completion, logger, metrics_handler=None):
         self.lake = lake
         self.config = config
         self.mapper = mapper
         self.handler = handler
         self.completion = completion
         self.log = logger
+        self.metrics_handler = metrics_handler
         self._pool = None
 
     def _merge_pool(self):
@@ -137,6 +138,14 @@ class Pipeline:
                 res.run_id, res.metrics.get("events_in"),
                 res.metrics.get("rows_out"), res.metrics.get("rejected_rows"),
             )
+            # live metrics (X2 full parity): append one line per commit
+            # to <lake>/metrics/stream.jsonl so a tail-mode scraper sees
+            # gauges move DURING the stream (reference: Prometheus
+            # collector, /root/reference/metric/collector.go:9-56), and
+            # fan out to the optional callback
+            self.lake.append_stream_metrics(res.run_id, res.metrics)
+            if self.metrics_handler:
+                self.metrics_handler(res)
             if self.handler:
                 for f in res.manifest.files:
                     self.handler.on_success(f)
@@ -154,6 +163,7 @@ class PipelineBuilder:
         self._completion: Callable[[RunResult], None] | None = None
         self._logger = logging.getLogger("dcpray")
         self._store = None
+        self._metrics_handler: Callable[[RunResult], None] | None = None
 
     def set_metadata_store(self, store) -> "PipelineBuilder":
         """Swap the manifest backend (reference: the Kafka metadata store
@@ -179,8 +189,16 @@ class PipelineBuilder:
         self._logger = logger
         return self
 
+    def set_metrics_handler(self, fn: Callable[[RunResult], None]) -> "PipelineBuilder":
+        """Per-commit metrics callback — the live-gauge hook for
+        deployments that scrape a collector instead of tailing
+        ``metrics/stream.jsonl``."""
+        self._metrics_handler = fn
+        return self
+
     def build(self) -> Pipeline:
         return Pipeline(
             Lake(self._lake_dir, store=self._store), self._config, self._mapper,
             self._handler, self._completion, self._logger,
+            metrics_handler=self._metrics_handler,
         )

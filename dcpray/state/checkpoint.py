@@ -459,6 +459,25 @@ class Lake:
         _atomic_write(path, json.dumps(metrics, indent=1, default=str))
         return path
 
+    def append_stream_metrics(self, run_id: str, metrics: dict[str, Any]) -> str:
+        """LIVE metrics surface for tail mode: one JSON line appended per
+        committed run to ``<lake>/metrics/stream.jsonl`` — the bounded-
+        replay analogue of the reference's Prometheus gauges updating
+        DURING the stream (/root/reference/metric/collector.go:9-56),
+        where ``write_metrics`` is the post-hoc per-run dump. A scraper
+        tails one file instead of listing per-run JSONs. Single-writer
+        append (the tail loop); object-store deployments should scrape
+        via the pipeline's metrics callback instead."""
+        d = os.path.join(self.lake_dir, "metrics")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "stream.jsonl")
+        line = json.dumps({"run_id": run_id, **metrics}, default=str)
+        with open(path, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return path
+
     def rejected_count(self, run_id: str | None = None) -> int:
         """Rows landed in the DLQ (footer metadata only)."""
         import glob

@@ -417,5 +417,8 @@ def test_multimodal_pipeline(docs_ds):
     ).count()
     assert len(frames) == 4 * n_videos  # flat-map 1→N
 
-    with pytest.raises(NotImplementedError):
-        ImageFeatureExtractor(fake=False)
+    # image feature-extraction and resize have REAL BMP decode paths now
+    # (tests/test_multimodal_codec.py); only video frame-seek remains an
+    # honest stub naming the library it needs
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        FrameSampler(fake=False)

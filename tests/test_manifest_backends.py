@@ -93,6 +93,77 @@ def test_builder_metadata_store_swap(tiny_fixture, tmp_path):
     assert not res2.committed and res2.metrics["note"] == "no new WAL files"
 
 
+class FaultyKV:
+    """ConditionalKV wrapper that injects object-store failure modes:
+    ``fail_next`` raises AFTER the put landed (commit-then-crash: the
+    writer sees an error but the manifest is durable — the classic
+    ambiguous-PUT), ``dup_next`` re-issues the put (client retry of a
+    succeeded request)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.fail_next = False
+        self.dup_next = False
+
+    def put_if_absent(self, key, data):
+        ok = self.inner.put_if_absent(key, data)
+        if self.dup_next:
+            self.dup_next = False
+            self.inner.put_if_absent(key, data)  # retry: must be a no-op
+        if self.fail_next:
+            self.fail_next = False
+            raise ConnectionError("injected: response lost after durable put")
+        return ok
+
+    def get(self, key):
+        return self.inner.get(key)
+
+    def list(self):
+        return self.inner.list()
+
+    def delete(self, key):
+        self.inner.delete(key)
+
+
+def test_cas_store_under_faulty_kv(tmp_path):
+    """Reader-visible state never regresses under injected faults: an
+    ambiguous (durable-but-errored) commit is visible and a writer retry
+    collides with ConcurrentCommitError instead of double-publishing;
+    duplicated puts change nothing."""
+    from dcpray.state.checkpoint import LocalFSKV, Manifest
+
+    d = str(tmp_path / "lake")
+    kv = FaultyKV(LocalFSKV(os.path.join(d, "manifests")))
+    store = CasManifestStore(d, kv=kv)
+
+    def m(run, seq):
+        return Manifest(run_id=run, seq=seq, parent=None, num_buckets=4,
+                        salted=True, watermarks={}, files=[])
+
+    store.commit(m("r-1", 1))
+    assert store.load_current().run_id == "r-1"
+
+    # ambiguous commit: put lands, response lost
+    kv.fail_next = True
+    with pytest.raises(ConnectionError):
+        store.commit(m("r-2", 2))
+    # the manifest IS durable — readers already see it
+    assert store.load_current().run_id == "r-2"
+    # the writer's blind retry must NOT double-publish or regress
+    with pytest.raises(ConcurrentCommitError):
+        store.commit(m("r-2-retry", 2))
+    assert store.load_current().run_id == "r-2"
+
+    # duplicated put (client-level retry of a success): no state change
+    kv.dup_next = True
+    store.commit(m("r-3", 3))
+    assert store.load_current().run_id == "r-3"
+    assert [x.seq for x in store.history()] == [1, 2, 3]
+
+    # reader-visible seq is monotonic across every probe above
+    assert store.load_current().seq == 3
+
+
 def test_clear(tmp_path, backend):
     from dcpray.state.checkpoint import Manifest
 

@@ -50,11 +50,33 @@ def test_tail_picks_up_arrivals(tiny_fixture, tmp_path):
     hist = Lake(str(tmp_path / "lake")).store.history()
     assert [m.seq for m in hist] == [1, 2]
     assert hist[1].parent == hist[0].run_id
+    # live metrics (X2): one stream.jsonl line per committed run, in
+    # commit order, each carrying that run's gauges
+    import json
+
+    stream = tmp_path / "lake" / "metrics" / "stream.jsonl"
+    lines = [json.loads(ln) for ln in stream.read_text().splitlines()]
+    assert [ln["run_id"] for ln in lines] == [r1[0].run_id, r2[0].run_id]
+    assert lines[0]["rows_out"] == r1[0].metrics["rows_out"]
     # processed coverage strictly grows (floors never regress, and the
     # new segment advanced at least one vb's floor)
     f0, f1 = hist[0].processed_floor, hist[1].processed_floor
     assert all(f1.get(vb, 0) >= s for vb, s in f0.items())
     assert sum(f1.values()) > sum(f0.values())
+
+
+def test_metrics_handler_fires_per_commit(tiny_fixture, tmp_path):
+    """The builder's metrics callback (live-gauge hook) fires once per
+    committed run with that run's RunResult — and not for no-op polls."""
+    seen = []
+    pipe = (PipelineBuilder(str(tmp_path / "lake"), ReplayConfig(num_buckets=16))
+            .set_metrics_handler(lambda res: seen.append(res.run_id))
+            .build())
+    r = pipe.run(os.path.join(tiny_fixture, "wal"),
+                 base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    noop = pipe.run(os.path.join(tiny_fixture, "wal"))
+    assert not noop.committed
+    assert seen == [r.run_id]
 
 
 def test_wrong_vb_modulus_detected(tiny_fixture, tmp_path):
