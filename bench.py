@@ -41,6 +41,7 @@ SECONDARY = [
     "dedup_minhash_pairs",
     "text_stats",
     "quality_score",
+    "lang_id",
     "ann_topk",
     "events_hourly",
 ]

@@ -170,23 +170,35 @@ class LangId:
         toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
         flat = toks.flatten()
         if len(flat):
-            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            counts = offs[1:] - offs[:-1]
-            nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
-            if nonempty.any():
-                seg = np.repeat(np.arange(n), counts)[nonempty]
-                codes, uniques = pd.factorize(
-                    flat.filter(pa.array(nonempty)).to_numpy(zero_copy_only=False)
+            # Arrow dictionary-encode instead of pandas factorize: no
+            # object-array round-trip, and profile membership resolves
+            # against the (tiny) dictionary, not per token
+            de = pc.dictionary_encode(flat)
+            codes = de.indices.to_numpy(zero_copy_only=False)
+            dictionary = de.dictionary
+            hits = {
+                lang: pc.is_in(dictionary, value_set=stop_set).to_numpy(
+                    zero_copy_only=False
                 )
-                ncodes = max(len(uniques), 1)
-                pairs = np.unique(seg.astype(np.int64) * ncodes + codes)
+                for lang, stop_set in self.stop_sets.items()
+            }
+            any_hit = np.zeros(len(dictionary), bool)
+            for h in hits.values():
+                any_hit |= h
+            mi = np.flatnonzero(any_hit[codes])  # "" is never a profile
+            if len(mi):                          # word — auto-excluded
+                # doc of each MATCHED token via searchsorted on the list
+                # offsets — never materializes the full-width doc-index
+                # vector (np.repeat over every token was the hotspot)
+                offs = toks.offsets.to_numpy(zero_copy_only=False)
+                seg = (np.searchsorted(offs, mi, side="right") - 1).astype(np.int64)
+                ncodes = len(dictionary)
+                # distinct (doc, profile word): dedup only the MATCHED
+                # token occurrences (a small fraction of the batch)
+                pairs = np.unique(seg * ncodes + codes[mi].astype(np.int64))
                 pair_doc = pairs // ncodes
                 pair_code = pairs % ncodes
-                uarr = pa.array(np.asarray(uniques, dtype=object), pa.string())
-                for lang, stop_set in self.stop_sets.items():
-                    code_hit = pc.is_in(uarr, value_set=stop_set).to_numpy(
-                        zero_copy_only=False
-                    )
+                for lang, code_hit in hits.items():
                     hit = code_hit[pair_code]
                     scores[lang] = np.bincount(
                         pair_doc[hit], minlength=n
