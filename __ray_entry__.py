@@ -236,6 +236,16 @@ def _q_text_token_count(sf_dir: str):
     )
 
 
+def _q_text_token_count_bpe(sf_dir: str):
+    """BPE-pre-tokenizer token count — the engine and the DuckDB oracle
+    run the IDENTICAL RE2 pattern, so counts are exact-checkable."""
+    from dcpray.functions.textstats import token_count_bpe
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                override_num_blocks=16)
+    return ds.map_batches(token_count_bpe, batch_format="pyarrow")
+
+
 def _q_text_stats(sf_dir: str):
     from dcpray.functions.textstats import text_stats
 
@@ -492,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_then_token_count": _q_cdc_then_token_count,
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_text_token_count,
+        "text_token_count_bpe": _q_text_token_count_bpe,
         "text_stats": _q_text_stats,
         "ann_topk": _q_ann_topk,
         "events_hourly": _q_events_hourly,
@@ -564,6 +575,12 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
         "text_token_count": r"""
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens
+FROM documents""",
+        "text_token_count_bpe": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+       )) AS BIGINT) n_tokens_bpe
 FROM documents""",
         "text_stats": r"""
 SELECT doc_id,

@@ -28,6 +28,7 @@ owns the session.
 """
 
 from dcpray.config import ReplayConfig
+from dcpray.functions.agg import coarse_groupby
 from dcpray.pipelines.builder import Pipeline, PipelineBuilder, SinkResponseHandler
 from dcpray.pipelines.compact import compact, gc
 from dcpray.pipelines.replay import replay
@@ -36,5 +37,6 @@ from dcpray.state.checkpoint import CasManifestStore, Lake, ManifestStore
 __all__ = [
     "ReplayConfig", "replay", "Lake", "ManifestStore", "CasManifestStore",
     "PipelineBuilder", "Pipeline", "SinkResponseHandler", "compact", "gc",
+    "coarse_groupby",
 ]
 __version__ = "0.1.0"

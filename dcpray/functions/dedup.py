@@ -1043,7 +1043,14 @@ class ExactCosinePairs:
 
 def embedding_exact_pairs(ds, threshold=0.4, id_col="vec_id",
                           emb_col="embedding", concurrency=4):
-    """All (a < b) pairs with exact cosine ≥ threshold."""
+    """All (a < b) pairs with exact cosine ≥ threshold.
+
+    DRIVER-BOUNDED: materializes the full (N, dim) corpus matrix on the
+    driver before broadcasting it once — O(N·dim·8) driver bytes, so
+    ~10⁷ × 64-dim is the practical ceiling (≈5 GB). This is intentional:
+    it is the O(n·N) SQL-verifiable baseline that anchors the oracle;
+    ``embedding_dup_pairs`` (hyperplane LSH) is the scale path with no
+    driver materialization."""
     import ray
 
     ids_parts, emb_parts = [], []

@@ -36,6 +36,26 @@ def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(toks, pa.int64()))
 
 
+#: BPE-style pre-tokenizer (GPT-2 family), RE2-compatible: contraction
+#: suffixes, space-prefixed letter/digit/punct runs, whitespace runs.
+#: RE2 has no lookahead, so the original pattern's trailing-space
+#: refinement (\s+(?!\S)) is dropped — both the engine (Arrow) and the
+#: oracle (DuckDB) run THIS exact pattern on the same RE2 semantics.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Subword-style token count: matches of the BPE pre-tokenizer
+    regex — the cheap proxy for 'how many BPE tokens will this document
+    cost' that large-scale training pipelines budget with (whitespace
+    count underestimates code/punctuation-heavy text)."""
+    toks = pc.count_substring_regex(batch[text_col], BPE_PRETOKEN_RE)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens_bpe": pc.cast(toks, pa.int64()),
+    })
+
+
 def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """doc_id + length/punctuation/case stats (quality-signal features)."""
     text = batch[text_col]

@@ -76,6 +76,61 @@ def apply_mapper(ds, mapper: Mapper | None, batch_size: int | None = 65536):
     return ds.map_batches(_run, batch_format="pyarrow", batch_size=batch_size)
 
 
+# ---- message headers (reference kafka/message/message.go:5-10) ----
+
+HEADERS_COL = "headers"
+
+
+def with_headers(batch: pa.Table, headers: dict) -> pa.Table:
+    """Attach an explicit message-headers column — parity with
+    ``KafkaMessage.Headers`` (``[]kafka.Header{Key, Value}``,
+    /root/reference/kafka/message/message.go:5-10). The column is
+    ``map<string, string>``; values may be Python-string constants or
+    per-row string arrays. Headers ride the schema like any payload
+    column: through the merge, schema unification, and into the lake
+    (Parquet maps), so a consumer reads them back per row.
+
+    Built vectorized: one tiled key array + one interleave-take over the
+    value columns — no per-row Python."""
+    import numpy as np
+
+    n = batch.num_rows
+    keys = sorted(headers)
+    k = len(keys)
+    if k == 0 or n == 0:
+        return batch.append_column(
+            HEADERS_COL,
+            pa.array([[]] * n, pa.map_(pa.string(), pa.string())),
+        )
+    key_flat = pa.array(np.tile(np.array(keys, dtype=object), n), pa.string())
+    cols = []
+    for key in keys:
+        v = headers[key]
+        if isinstance(v, str):
+            cols.append(pa.nulls(n, pa.string()).fill_null(v))
+        else:
+            arr = v if isinstance(v, pa.Array) else pa.array(v, pa.string())
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols.append(arr.cast(pa.string()))
+    stacked = pa.concat_arrays(cols)  # column-major, length k*n
+    idx = (np.arange(n * k) % k) * n + (np.arange(n * k) // k)  # row-major
+    items = stacked.take(pa.array(idx))
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * k, pa.int32())
+    return batch.append_column(
+        HEADERS_COL, pa.MapArray.from_arrays(offsets, key_flat, items)
+    )
+
+
+def header_value(batch: pa.Table, key: str) -> pa.Array:
+    """Per-row value of one header key (null where absent) — the
+    consumer-side accessor."""
+    col = batch[HEADERS_COL]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.map_lookup(col, query_key=key, occurrence="first")
+
+
 # ---- routing (reference topic router, connector.go:125-140) ----
 
 

@@ -129,3 +129,38 @@ def test_aligned_mapper_column_guard(tiny_fixture, tmp_path):
     with pytest.raises(Exception, match="required CDC columns"):
         replay(Lake(str(tmp_path / "lake")), os.path.join(tiny_fixture, "wal"),
                config=ReplayConfig(num_buckets=16), mapper=bad)
+
+
+def test_headers_roundtrip_through_replay(tiny_fixture, tmp_path):
+    """Explicit message headers (KafkaMessage.Headers parity,
+    message.go:5-10): a mapper attaches a map<string,string> headers
+    column; it survives merge + schema unification into the lake and
+    reads back per row."""
+    import pyarrow.parquet as pq
+
+    from dcpray import Lake, ReplayConfig, replay
+    from dcpray.stages.mapper import HEADERS_COL, header_value, with_headers
+
+    def add_hdrs(batch):
+        return with_headers(batch, {
+            "origin": "wal",
+            "conv": batch["conv_id"],
+        })
+
+    lake = Lake(str(tmp_path / "lake"))
+    res = replay(lake, os.path.join(tiny_fixture, "wal"),
+                 base_snapshot_dir=os.path.join(tiny_fixture, "base"),
+                 config=ReplayConfig(num_buckets=16), mapper=add_hdrs)
+    assert res.committed
+    files = [lake.abspath(f["path"]) for f in lake.current_files()]
+    tabs = [pq.read_table(f) for f in files if HEADERS_COL in pq.read_schema(f).names]
+    assert tabs, "headers column did not reach the lake"
+    import pyarrow as pa
+
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    delta_rows = t.filter(pa.compute.is_valid(t[HEADERS_COL]))
+    assert delta_rows.num_rows > 0
+    origin = header_value(delta_rows, "origin").to_pylist()
+    assert set(origin) == {"wal"}
+    conv = header_value(delta_rows, "conv").to_pylist()
+    assert conv == delta_rows["conv_id"].to_pylist()
