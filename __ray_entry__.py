@@ -350,11 +350,13 @@ def _q_embedding_neardup_exact(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
-    from dcpray.functions.textstats import LangId
+    # task-pool form: LangId's per-actor state is microseconds to build,
+    # so a process-level singleton beats actor-pool spin-up (~1 s wall)
+    from dcpray.functions.textstats import lang_id_batch
 
     ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
                 override_num_blocks=16)
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=4)
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
 def _q_text_fingerprint_md5(sf_dir: str):
@@ -374,11 +376,11 @@ def _q_text_fingerprint(sf_dir: str):
 
 
 def _q_quality_score(sf_dir: str):
-    from dcpray.functions.textstats import QualityScorer
+    from dcpray.functions.textstats import quality_score_batch
 
     ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
                 override_num_blocks=16)
-    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=4)
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
 def _q_ann_ivf_topk(sf_dir: str):

@@ -93,15 +93,32 @@ def _global_topk(group: pa.Table, k: int) -> pa.Table:
     return t.slice(0, k)
 
 
+_SCORER_CACHE: dict = {}
+
+
+def _score_batches(batch: pa.Table, qref, k: int) -> pa.Table:
+    """TASK-pool form of ``BatchScorer``: broadcast queries arrive as an
+    ObjectRef via ``fn_args`` (node-local zero-copy read, memoized per
+    worker process) — no actor-pool spin-up cost, and it composes with
+    the downstream groupby at any CPU count."""
+    key = (qref.hex(), k)
+    sc = _SCORER_CACHE.get(key)
+    if sc is None:
+        _SCORER_CACHE.clear()
+        sc = _SCORER_CACHE[key] = BatchScorer(qref, k)
+    return sc(batch)
+
+
 def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                 concurrency: int = 4):
-    """Exact cosine top-k for each query vector. ``queries`` is (Q, d)."""
+    """Exact cosine top-k for each query vector. ``queries`` is (Q, d).
+    ``concurrency`` kept for API compat; the scorer is a task pool."""
     import ray
 
     ref = ray.put({"qid": np.asarray(query_ids, dtype=np.int64), "mat": np.asarray(queries)})
     cand = ds.map_batches(
-        BatchScorer, fn_constructor_args=(ref, k),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=8192,
+        _score_batches, fn_args=(ref, k),
+        batch_format="pyarrow", batch_size=8192,
     )
     return cand.groupby("query_id").map_groups(
         lambda g: _global_topk(g, k), batch_format="pyarrow"

@@ -247,6 +247,31 @@ class LangId:
         )
 
 
+# Task-pool forms of the scorer stages: their per-actor state (stopword
+# value-sets, profile tables) costs microseconds to build, so a TASK
+# pool with a process-level singleton beats paying actor-pool spin-up
+# (~1 s wall on a 32-CPU box) for every short job. Use the classes with
+# map_batches(cls, concurrency=N) only when the state is genuinely
+# expensive (models); use these functions otherwise.
+
+_SINGLETONS: dict = {}
+
+
+def _singleton(cls):
+    inst = _SINGLETONS.get(cls)
+    if inst is None:
+        inst = _SINGLETONS[cls] = cls()
+    return inst
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    return _singleton(QualityScorer)(batch)
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    return _singleton(LangId)(batch)
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic 64-bit document fingerprint: rolling polynomial hash
     of the whitespace-normalized text (stable content identity for dedup
