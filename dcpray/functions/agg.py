@@ -84,9 +84,11 @@ def coarse_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     spec = sorted(partial_needed)
 
     def partial(t: pa.Table) -> pa.Table:
-        out = pa.TableGroupBy(
-            t.select(keys + sorted({c for c, _ in spec})), keys
-        ).aggregate([
+        # dedupe the selection: an aggregated column that is ALSO a key
+        # (e.g. count of the key itself) must appear once, or Acero
+        # fails with an ambiguous FieldRef deep inside the task
+        sel = keys + sorted({c for c, _ in spec} - set(keys))
+        out = pa.TableGroupBy(t.select(sel), keys).aggregate([
             (c, f, pc.CountOptions(mode="all")) if f == "count" else (c, f)
             for c, f in spec
         ])

@@ -93,19 +93,15 @@ def _global_topk(group: pa.Table, k: int) -> pa.Table:
     return t.slice(0, k)
 
 
-_SCORER_CACHE: dict = {}
-
-
 def _score_batches(batch: pa.Table, qref, k: int) -> pa.Table:
     """TASK-pool form of ``BatchScorer``: broadcast queries arrive as an
     ObjectRef via ``fn_args`` (node-local zero-copy read, memoized per
     worker process) — no actor-pool spin-up cost, and it composes with
     the downstream groupby at any CPU count."""
-    key = (qref.hex(), k)
-    sc = _SCORER_CACHE.get(key)
-    if sc is None:
-        _SCORER_CACHE.clear()
-        sc = _SCORER_CACHE[key] = BatchScorer(qref, k)
+    from dcpray.rayutil import worker_memo
+
+    sc = worker_memo(("batch_scorer", qref.hex(), k),
+                     lambda: BatchScorer(qref, k))
     return sc(batch)
 
 
@@ -194,23 +190,22 @@ class ListAssigner:
         return batch.append_column("ivf_list", pa.array(lists))
 
 
-_ASSIGN_CACHE: dict = {}
-
-
 def _assign_batches(batch: pa.Table, cents_ref) -> pa.Table:
     """TASK-pool form of ``ListAssigner``: the centroid matrix arrives as
     an ObjectRef via ``fn_args`` (node-local zero-copy read, memoized per
-    worker process). A task pool never reserves CPUs the way an actor
-    pool does, so this composes with a downstream AllToAll (groupby /
-    aggregate) at ANY cpu count — an actor pool sized to the whole node
-    starves the shuffle tasks and deadlocks the plan."""
-    key = cents_ref.hex()
-    cents = _ASSIGN_CACHE.get(key)
-    if cents is None:
+    worker process via ``worker_memo``). A task pool never reserves CPUs
+    the way an actor pool does, so this composes with a downstream
+    AllToAll (groupby / aggregate) at ANY cpu count — an actor pool
+    sized to the whole node starves the shuffle tasks and deadlocks the
+    plan."""
+    from dcpray.rayutil import worker_memo
+
+    def fetch():
         import ray
 
-        _ASSIGN_CACHE.clear()
-        cents = _ASSIGN_CACHE[key] = ray.get(cents_ref)
+        return ray.get(cents_ref)
+
+    cents = worker_memo(("ivf_cents", cents_ref.hex()), fetch)
     emb = _normalize(_stack(batch["embedding"]))
     lists = (emb @ cents.T).argmax(axis=1).astype(np.int32)
     return batch.append_column("ivf_list", pa.array(lists))
@@ -268,18 +263,15 @@ class ProbedScorer(BatchScorer):
         return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
-_PROBED_CACHE: dict = {}
-
-
 def _probed_score(group: pa.Table, qref, k: int, probes_ref) -> pa.Table:
     """Worker-side entry for the probed scorer: memoizes the constructed
-    scorer per (qref, k) so repeated tasks in one worker process skip
-    the (already zero-copy) ref resolution and query re-normalization."""
-    key = (qref.hex(), k, probes_ref.hex())
-    sc = _PROBED_CACHE.get(key)
-    if sc is None:
-        _PROBED_CACHE.clear()
-        sc = _PROBED_CACHE[key] = ProbedScorer(qref, k, probes_ref)
+    scorer per (qref, k, probes) so repeated tasks in one worker process
+    skip the (already zero-copy) ref resolution and query
+    re-normalization."""
+    from dcpray.rayutil import worker_memo
+
+    sc = worker_memo(("probed_scorer", qref.hex(), k, probes_ref.hex()),
+                     lambda: ProbedScorer(qref, k, probes_ref))
     return sc(group)
 
 
@@ -310,7 +302,15 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 32,
 
     from dcpray.hashing import splitmix64
 
+    import glob as _glob
+
     os.makedirs(index_dir, exist_ok=True)
+    # clear any prior build: part counts are data-dependent, so a
+    # rebuild-in-place can produce FEWER part files than before and
+    # stale parts (or a legacy single-file list) would silently feed
+    # phantom vectors into every query probing that list
+    for old in _glob.glob(os.path.join(_glob.escape(index_dir), "list-*.parquet")):
+        os.remove(old)
     sample = _training_sample(ds, sample_size)
     cents = train_centroids(sample, nlist)
     cents_ref = ray.put(cents)
@@ -404,7 +404,9 @@ def ivf_query(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
     # at build time); legacy single-file lists match the same glob
     paths = sorted(
         p for l in probed
-        for p in _glob.glob(os.path.join(index_dir, f"list-{l:05d}*.parquet"))
+        for p in _glob.glob(
+            os.path.join(_glob.escape(index_dir), f"list-{l:05d}*.parquet")
+        )
     )
     import ray.data as rd
 

@@ -254,22 +254,16 @@ class LangId:
 # map_batches(cls, concurrency=N) only when the state is genuinely
 # expensive (models); use these functions otherwise.
 
-_SINGLETONS: dict = {}
-
-
-def _singleton(cls):
-    inst = _SINGLETONS.get(cls)
-    if inst is None:
-        inst = _SINGLETONS[cls] = cls()
-    return inst
-
-
 def quality_score_batch(batch: pa.Table) -> pa.Table:
-    return _singleton(QualityScorer)(batch)
+    from dcpray.rayutil import worker_memo
+
+    return worker_memo("quality_scorer", QualityScorer)(batch)
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    return _singleton(LangId)(batch)
+    from dcpray.rayutil import worker_memo
+
+    return worker_memo("lang_id", LangId)(batch)
 
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:

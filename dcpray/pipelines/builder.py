@@ -142,8 +142,14 @@ class Pipeline:
             # to <lake>/metrics/stream.jsonl so a tail-mode scraper sees
             # gauges move DURING the stream (reference: Prometheus
             # collector, /root/reference/metric/collector.go:9-56), and
-            # fan out to the optional callback
-            self.lake.append_stream_metrics(res.run_id, res.metrics)
+            # fan out to the optional callback. BEST-EFFORT: the commit
+            # is already durable — an observability write must not turn
+            # a committed run into an apparent failure or suppress sink
+            # acks
+            try:
+                self.lake.append_stream_metrics(res.run_id, res.metrics)
+            except OSError as e:
+                self.log.warning("stream metrics append failed: %s", e)
             if self.metrics_handler:
                 self.metrics_handler(res)
             if self.handler:

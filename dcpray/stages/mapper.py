@@ -109,9 +109,12 @@ def with_headers(batch: pa.Table, headers: dict) -> pa.Table:
         if isinstance(v, str):
             cols.append(pa.nulls(n, pa.string()).fill_null(v))
         else:
-            arr = v if isinstance(v, pa.Array) else pa.array(v, pa.string())
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
+            # normalize FIRST (map_batches columns are ChunkedArrays),
+            # cast after — so non-string per-row values (ints,
+            # timestamps) stringify instead of failing the build
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            arr = v if isinstance(v, pa.Array) else pa.array(v)
             cols.append(arr.cast(pa.string()))
     stacked = pa.concat_arrays(cols)  # column-major, length k*n
     idx = (np.arange(n * k) % k) * n + (np.arange(n * k) // k)  # row-major

@@ -472,10 +472,11 @@ class Lake:
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, "stream.jsonl")
         line = json.dumps({"run_id": run_id, **metrics}, default=str)
+        # no fsync: this is a best-effort scrape surface (the durable
+        # record is the manifest + per-run metrics file), and a sync per
+        # commit would tax the tail loop's latency for nothing
         with open(path, "a") as f:
             f.write(line + "\n")
-            f.flush()
-            os.fsync(f.fileno())
         return path
 
     def rejected_count(self, run_id: str | None = None) -> int:

@@ -178,6 +178,22 @@ def test_ivf_build_part_cap(tmp_path):
     key = lambda df: sorted(zip(df["query_id"], df["vec_id"]))
     assert key(approx) == key(exact)
 
+    # rebuild IN PLACE on a smaller corpus: stale part files from the
+    # first build must not survive to feed phantom vectors into queries
+    small = tab.slice(0, 40)
+    meta2 = build_ivf_index(rd.from_arrow(small), idx, nlist=2, part_rows=cap)
+    assert meta2["num_vectors"] == 40
+    total_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(idx, "list-*.parquet"))
+    )
+    assert total_rows == 40
+    approx2 = ivf_query(idx, q, np.array([0, 1]), k=5,
+                        nprobe=meta2["nlist"]).to_pandas()
+    exact2 = topk_cosine(rd.from_arrow(small), q, np.array([0, 1]),
+                         k=5).to_pandas()
+    assert key(approx2) == key(exact2)
+
 
 @pytest.mark.parametrize("store_kind", ["posix", "cas"])
 def test_manifest_seq_numeric_order(tmp_path, store_kind):

@@ -45,6 +45,15 @@ def test_coarse_groupby_matches_pandas(blocks):
                                    rtol=1e-9, atol=1e-9)
 
 
+def test_coarse_groupby_agg_on_key_column():
+    """count-rows-per-key expressed as an aggregate OF the key column —
+    the selection must not duplicate the column."""
+    ds = rd.from_arrow(pa.table({"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]}))
+    out = coarse_groupby(ds, ["k"], [("k", "count", "n")], partitions=4) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["n"].tolist() == [2, 1]
+
+
 def test_coarse_groupby_rejects_bad_op():
     ds = rd.from_arrow(pa.table({"k": [1], "v": [1.0]}))
     with pytest.raises(ValueError, match="unsupported op"):

@@ -164,3 +164,16 @@ def test_headers_roundtrip_through_replay(tiny_fixture, tmp_path):
     assert set(origin) == {"wal"}
     conv = header_value(delta_rows, "conv").to_pylist()
     assert conv == delta_rows["conv_id"].to_pylist()
+
+
+def test_with_headers_nonstring_column():
+    """Per-row header values from a non-string (int) column stringify —
+    and ChunkedArray input (the normal map_batches case) works."""
+    import pyarrow as pa
+
+    from dcpray.stages.mapper import header_value, with_headers
+
+    t = pa.table({"conv_id": ["a", "b"], "turn_idx": pa.array([5, 7], pa.int64())})
+    out = with_headers(t, {"turn": t["turn_idx"], "tag": "x"})
+    assert header_value(out, "turn").to_pylist() == ["5", "7"]
+    assert header_value(out, "tag").to_pylist() == ["x", "x"]
