@@ -463,6 +463,39 @@ def _q_multimodal_features(sf_dir: str):
     return feats.map_batches(fold, batch_format="pyarrow")
 
 
+def _q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (the streaming-window operator): one
+    coarse-partition exchange, session assignment + per-session
+    aggregate vectorized inside each partition task."""
+    from dcpray.functions.window import session_stats
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "ts", "value"],
+                    override_num_blocks=16)
+    out = session_stats(ds, gap_s=1800.0).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def _q_sample_docs_hash(sf_dir: str):
+    """Deterministic content-hash 1-in-10 sample — bit-compatible with
+    DuckDB's md5_number_lower, so the oracle checks the exact row set."""
+    from dcpray.functions.sample import hash_sample
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    override_num_blocks=16)
+    return hash_sample(ds, col="text", mod=10, keep=3)
+
+
+def _q_docs_hash_split(sf_dir: str):
+    """Deterministic 8/1/1 train/val/test assignment by content hash."""
+    from dcpray.functions.sample import hash_split
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    return hash_split(ds, col="text").select_columns(["doc_id", "split"])
+
+
 def _q_multimodal_decode_bmp(sf_dir: str):
     """REAL multimodal decode, SQL-verifiable: synthesize a valid 8×8
     BMP per document (pixels a closed-form function of the text length),
@@ -508,6 +541,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "ann_topk": _q_ann_topk,
         "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "sample_docs_hash": _q_sample_docs_hash,
+        "docs_hash_split": _q_docs_hash_split,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
@@ -675,6 +711,37 @@ SELECT query_id, vec_id FROM (
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) n_events, round(sum(value), 4) sum_value
 FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+WITH lagged AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) session_id,
+       CAST(count(*) AS BIGINT) n_events,
+       min(ts) session_start, max(ts) session_end,
+       round(sum(value), 4) sum_value
+FROM s GROUP BY 1, 2""",
+        "sample_docs_hash": """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE md5_number_lower(text) % 10 = 3""",
+        "docs_hash_split": """
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL
+       WHEN md5_number_lower(text) % 10 < 8 THEN 'train'
+       WHEN md5_number_lower(text) % 10 < 9 THEN 'val'
+       ELSE 'test' END split
+FROM documents""",
         "multimodal_decode_bmp": """
 SELECT d.doc_id AS media_id,
        CAST(8 AS INTEGER) width, CAST(8 AS INTEGER) height,

@@ -1,0 +1,144 @@
+"""Windowed / session operators over event streams.
+
+Sessionization is the canonical "streaming window" a training-data or
+analytics pipeline needs that Ray Data lacks natively: assign each
+event to a per-key session, where a new session starts when the gap to
+the previous event of the same key exceeds a threshold.
+
+Scale shape: ONE coarse-partition exchange on the session key
+(``hash(key) % partitions`` — the same pattern as ``coarse_groupby``),
+then fully vectorized work inside each partition: one lexsort over
+(key, ts, tiebreak), a diff, and a cumsum. Python runs once per
+partition, never per key or per session. The partitioning assumption is
+the usual one: all events of one key fit in one partition's task (keys
+are users/devices — bounded); a key so hot it overflows a partition
+needs the same hot-split treatment as the merge path's hot buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dcpray.hashing import splitmix64
+
+_UNIT_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _gap_threshold(ts_type: pa.DataType, gap_s: float) -> np.int64:
+    """gap_s in the COLUMN'S native integer unit — a timestamp column's
+    int64 view is in its own unit (us, ns, ...), and comparing against a
+    microsecond constant would silently mis-sessionize ns data."""
+    if pa.types.is_timestamp(ts_type):
+        return np.int64(round(gap_s * _UNIT_PER_S[ts_type.unit]))
+    # numeric ts columns are taken to be seconds
+    return np.int64(round(gap_s))
+
+
+def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
+               gap_s: float = 1800.0, tiebreak_col: str | None = "event_id",
+               partitions: int = 64):
+    """Append a ``session_id`` column: per-key session ordinal (0-based,
+    in time order). A new session starts when the gap to the key's
+    previous event exceeds ``gap_s`` seconds (strictly greater — equal
+    gaps stay in-session, matching SQL ``> INTERVAL``). Ties on ts are
+    ordered by ``tiebreak_col`` so the assignment is deterministic.
+
+    Returns the input rows (all columns) + ``session_id`` (int64)."""
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    def assign(group: pa.Table) -> pa.Table:
+        k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(group[ts_col], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        gap_thr = _gap_threshold(group.schema.field(ts_col).type, gap_s)
+        if tiebreak_col is not None:
+            tb = group[tiebreak_col].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            order = np.lexsort((tb, ts, k))
+        else:
+            order = np.lexsort((ts, k))
+        ks, tss = k[order], ts[order]
+        first_of_key = np.r_[True, ks[1:] != ks[:-1]]
+        gap = np.r_[np.int64(0), tss[1:] - tss[:-1]]
+        new_session = first_of_key | (gap > gap_thr)
+        # session ordinal within key: cumsum of new-session flags minus
+        # the cumsum value at the key's first row
+        cs = np.cumsum(new_session.astype(np.int64))
+        key_base = cs[np.flatnonzero(first_of_key)]
+        sid = cs - np.repeat(key_base, np.diff(
+            np.r_[np.flatnonzero(first_of_key), len(ks)]
+        ))
+        out = group.drop_columns(["_pk"]).take(pa.array(order))
+        return out.append_column("session_id", pa.array(sid, pa.int64()))
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign, batch_format="pyarrow"))
+
+
+def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  gap_s: float = 1800.0, value_col: str | None = "value",
+                  tiebreak_col: str | None = "event_id",
+                  partitions: int = 64):
+    """Per-(key, session) aggregate: n_events, session_start,
+    session_end (+ sum of ``value_col`` when given). ONE exchange:
+    session assignment AND the per-session aggregate run inside the
+    same partition task (sessions never span partitions, because a
+    key's rows are co-located)."""
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    def assign_and_agg(group: pa.Table) -> pa.Table:
+        k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(group[ts_col], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        gap_thr = _gap_threshold(group.schema.field(ts_col).type, gap_s)
+        if tiebreak_col is not None:
+            tb = group[tiebreak_col].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            order = np.lexsort((tb, ts, k))
+        else:
+            order = np.lexsort((ts, k))
+        ks, tss = k[order], ts[order]
+        first_of_key = np.r_[True, ks[1:] != ks[:-1]]
+        gap = np.r_[np.int64(0), tss[1:] - tss[:-1]]
+        new_session = first_of_key | (gap > gap_thr)
+        starts = np.flatnonzero(new_session)
+        ends = np.r_[starts[1:], len(ks)]
+        cs = np.cumsum(new_session.astype(np.int64))
+        key_base = cs[np.flatnonzero(first_of_key)]
+        sid_all = cs - np.repeat(key_base, np.diff(
+            np.r_[np.flatnonzero(first_of_key), len(ks)]
+        ))
+        cols = {
+            key_col: pa.array(ks[starts], pa.int64()),
+            "session_id": pa.array(sid_all[starts], pa.int64()),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "session_start": pc.cast(pa.array(tss[starts]),
+                                     group[ts_col].type),
+            "session_end": pc.cast(pa.array(tss[ends - 1]),
+                                   group[ts_col].type),
+        }
+        if value_col:
+            v = group[value_col].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)[order]
+            cols["sum_value"] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(cols)
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign_and_agg, batch_format="pyarrow"))

@@ -1,0 +1,113 @@
+"""Sessionization and deterministic hash sampling."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dcpray.functions.sample import hash_sample, hash_split, md5_lower64
+from dcpray.functions.window import session_stats, sessionize
+
+
+def _events(n=2000, users=40, seed=5):
+    rng = np.random.RandomState(seed)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 7 * 86400, n)), unit="s"
+    )
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, users, n).astype(np.int64),
+        "ts": ts,
+        "value": rng.randn(n).round(3),
+    })
+
+
+def _naive_sessions(df, gap_s):
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    sid = []
+    for _, g in df.groupby("user_id", sort=True):
+        gaps = g["ts"].diff().dt.total_seconds()
+        new = (gaps > gap_s) | gaps.isna()
+        sid.append(new.cumsum() - 1)
+    df["session_id"] = pd.concat(sid).astype(np.int64)
+    return df
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_sessionize_matches_naive(blocks):
+    df = _events()
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    if blocks > 1:
+        ds = ds.repartition(blocks)
+    out = sessionize(ds, gap_s=3600.0).to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    exp = _naive_sessions(df, 3600.0)
+    assert (out["session_id"].to_numpy()
+            == exp["session_id"].to_numpy()).all()
+    # all original columns survive
+    assert set(df.columns) <= set(out.columns)
+
+
+def test_sessionize_exact_gap_stays_in_session():
+    """Gap EXACTLY equal to the threshold does not start a new session
+    (strict >, matching SQL '> INTERVAL')."""
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:30:00",
+                         "2024-01-01 01:00:01"])
+    df = pd.DataFrame({"event_id": [0, 1, 2], "user_id": [1, 1, 1],
+                       "ts": ts, "value": [1.0, 1.0, 1.0]})
+    out = sessionize(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+                     gap_s=1800.0).to_pandas().sort_values("event_id")
+    assert out["session_id"].tolist() == [0, 0, 1]
+
+
+def test_session_stats_matches_naive():
+    df = _events()
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    out = session_stats(ds, gap_s=3600.0).to_pandas() \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    exp_rows = _naive_sessions(df, 3600.0).groupby(
+        ["user_id", "session_id"], as_index=False
+    ).agg(n_events=("ts", "size"), session_start=("ts", "min"),
+          session_end=("ts", "max"), sum_value=("value", "sum"))
+    assert len(out) == len(exp_rows)
+    assert (out["n_events"].to_numpy() == exp_rows["n_events"].to_numpy()).all()
+    assert (out["session_start"].to_numpy()
+            == exp_rows["session_start"].to_numpy()).all()
+    np.testing.assert_allclose(out["sum_value"], exp_rows["sum_value"],
+                               atol=1e-9)
+
+
+def test_md5_lower64_duckdb_parity():
+    texts = ["hello", "", "ümlaut ß", "a" * 1000]
+    ours = md5_lower64(pa.array(texts))
+    theirs = [duckdb.sql(f"select md5_number_lower(?)", params=[t]).fetchone()[0]
+              for t in texts]
+    assert ours.tolist() == theirs
+
+
+def test_hash_sample_deterministic_and_null_safe():
+    tab = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["aa", None, "bb", "cc"])})
+    a = hash_sample(rd.from_arrow(tab), mod=2, keep=0).to_pandas()
+    b = hash_sample(rd.from_arrow(tab), mod=2, keep=1).to_pandas()
+    # null row appears in NEITHER slice; others in exactly one
+    assert len(a) + len(b) == 3
+    assert 2 not in set(a["doc_id"]) | set(b["doc_id"])
+
+
+def test_hash_split_partitions_and_weights():
+    n = 3000
+    tab = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array([f"doc number {i}" for i in range(n)])})
+    out = hash_split(rd.from_arrow(tab), weights=(8, 1, 1)).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
+    # stable under re-execution / different blocks
+    out2 = hash_split(rd.from_arrow(tab).repartition(6),
+                      weights=(8, 1, 1)).to_pandas().sort_values("doc_id")
+    assert (out.sort_values("doc_id")["split"].to_numpy()
+            == out2["split"].to_numpy()).all()
