@@ -477,6 +477,29 @@ def _q_events_sessions(sf_dir: str):
     return out
 
 
+def _q_events_asof_click(sf_dir: str):
+    """Backward as-of join: each event attached to the same user's most
+    recent prior-or-equal 'click' event timestamp (null when none) —
+    the temporal-join custom operator, verified against DuckDB's native
+    ASOF LEFT JOIN."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.join import asof_join
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "ts", "event_type"],
+                    override_num_blocks=16)
+    left = ds.select_columns(["event_id", "user_id", "ts"])
+    right = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    return asof_join(left, right, key_col="user_id", ts_col="ts",
+                     right_cols={"ts": "click_ts"})
+
+
 def _q_sample_docs_hash(sf_dir: str):
     """Deterministic content-hash 1-in-10 sample — bit-compatible with
     DuckDB's md5_number_lower, so the oracle checks the exact row set."""
@@ -542,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_asof_click": _q_events_asof_click,
         "sample_docs_hash": _q_sample_docs_hash,
         "docs_hash_split": _q_docs_hash_split,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -732,6 +756,11 @@ SELECT user_id, CAST(session_id AS BIGINT) session_id,
        min(ts) session_start, max(ts) session_end,
        round(sum(value), 4) sum_value
 FROM s GROUP BY 1, 2""",
+        "events_asof_click": """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "sample_docs_hash": """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE md5_number_lower(text) % 10 = 3""",

@@ -111,3 +111,66 @@ def test_hash_split_partitions_and_weights():
                       weights=(8, 1, 1)).to_pandas().sort_values("doc_id")
     assert (out.sort_values("doc_id")["split"].to_numpy()
             == out2["split"].to_numpy()).all()
+
+
+# ------------------------------------------------------------ as-of join
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_asof_join_matches_pandas(blocks):
+    from dcpray.functions.join import asof_join
+
+    rng = np.random.RandomState(11)
+    nl, nr = 800, 200
+    left = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64),
+        "user_id": rng.randint(0, 20, nl).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, nl), unit="s"),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.randint(0, 20, nr).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, nr), unit="s"),
+        "mark": rng.randint(0, 1000, nr).astype(np.int64),
+    })
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    if blocks > 1:
+        lds, rds = lds.repartition(blocks), rds.repartition(3)
+    out = asof_join(lds, rds, key_col="user_id", ts_col="ts",
+                    right_cols={"ts": "right_ts"}).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right[["user_id", "ts"]].sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"),
+    )
+    # merge_asof reports the LEFT ts; recompute the matched right ts
+    exp2 = pd.merge_asof(
+        left.sort_values("ts"),
+        right[["user_id", "ts"]].assign(right_ts=lambda d: d["ts"]).sort_values("ts"),
+        on="ts", by="user_id", direction="backward", allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(out) == nl
+    got = out["right_ts"]
+    want = exp2["right_ts"]
+    assert got.isna().equals(want.isna())
+    assert (got.dropna().to_numpy() == want.dropna().to_numpy()).all()
+
+
+def test_asof_join_exact_tie_and_no_match():
+    from dcpray.functions.join import asof_join
+
+    ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00"])
+    left = pd.DataFrame({"event_id": [0, 1], "user_id": [1, 2], "ts": ts})
+    right = pd.DataFrame({"user_id": [1], "ts": [ts[0]],
+                          "mark": np.array([7], np.int64)})
+    out = asof_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        key_col="user_id", ts_col="ts", right_cols={"mark": "mark"},
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert out["mark"].tolist()[0] == 7      # equal ts matches (>=)
+    assert pd.isna(out["mark"].tolist()[1])  # other user: no match
