@@ -477,6 +477,19 @@ def _q_events_sessions(sf_dir: str):
     return out
 
 
+def _q_events_top3_by_value(sf_dir: str):
+    """Heavy hitters: top-3 events by value per user (event_id
+    tiebreak). Per-batch local top-k combiner, then one coarse
+    exchange."""
+    from dcpray.functions.agg import topk_per_group
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "value"],
+                    override_num_blocks=16)
+    return topk_per_group(ds, group_col="user_id", order_col="value",
+                          k=3, tiebreak_col="event_id")
+
+
 def _q_events_asof_click(sf_dir: str):
     """Backward as-of join: each event attached to the same user's most
     recent prior-or-equal 'click' event timestamp (null when none) —
@@ -566,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_asof_click": _q_events_asof_click,
+        "events_top3_by_value": _q_events_top3_by_value,
         "sample_docs_hash": _q_sample_docs_hash,
         "docs_hash_split": _q_docs_hash_split,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -756,6 +770,13 @@ SELECT user_id, CAST(session_id AS BIGINT) session_id,
        min(ts) session_start, max(ts) session_end,
        round(sum(value), 4) sum_value
 FROM s GROUP BY 1, 2""",
+        "events_top3_by_value": """
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) rn
+  FROM events
+) WHERE rn <= 3""",
         "events_asof_click": """
 SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
 FROM events l

@@ -126,3 +126,47 @@ def coarse_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(combine, batch_format="pyarrow"))
+
+
+def topk_per_group(ds, group_col: str, order_col: str, k: int,
+                   tiebreak_col: str, descending: bool = True,
+                   partitions: int = 64):
+    """Top-k rows per group (heavy hitters): rows ranked by
+    ``order_col`` (desc by default) with ``tiebreak_col`` ascending for
+    determinism.
+
+    Scale shape: a per-batch LOCAL top-k combiner first (each batch
+    contributes at most k rows per group it contains — the shuffle
+    moves O(k · groups-per-batch), not every row), then one
+    coarse-partition exchange and a final vectorized top-k per
+    partition. Python runs once per batch/partition, never per group."""
+    import numpy as np
+
+    def _local_topk(t: pa.Table, with_pk: bool) -> pa.Table:
+        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = t[tiebreak_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        vkey = -v if descending else v
+        order = np.lexsort((tb, vkey, g))
+        gs = g[order]
+        first = np.r_[True, gs[1:] != gs[:-1]]
+        # rank within group = position - position of group's first row
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, len(gs)])
+        rank = np.arange(len(gs)) - np.repeat(starts, sizes)
+        keep = order[rank < k]
+        out = t.take(pa.array(np.sort(keep)))
+        if with_pk:
+            gk = out[group_col].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            pk = (splitmix64(gk.view(np.uint64))
+                  % np.uint64(partitions)).astype(np.int32)
+            out = out.append_column("_pk", pa.array(pk))
+        return out
+
+    pre = ds.map_batches(lambda t: _local_topk(t, True), batch_format="pyarrow")
+    return pre.groupby("_pk").map_groups(
+        lambda gr: _local_topk(gr.drop_columns(["_pk"]), False),
+        batch_format="pyarrow",
+    )

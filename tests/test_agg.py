@@ -68,3 +68,42 @@ def test_coarse_groupby_timestamp_key():
     out = coarse_groupby(ds, ["h"], [("v", "sum", "s")], partitions=4) \
         .to_pandas().sort_values("h").reset_index(drop=True)
     assert out["s"].tolist() == [3.0, 5.0]
+
+
+@pytest.mark.parametrize("blocks", [1, 8])
+def test_topk_per_group_matches_pandas(blocks):
+    from dcpray.functions.agg import topk_per_group
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 50, n).astype(np.int64),
+        "value": rng.randn(n).round(3),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    if blocks > 1:
+        ds = ds.repartition(blocks)
+    out = topk_per_group(ds, "user_id", "value", k=3,
+                         tiebreak_col="event_id").to_pandas() \
+        .sort_values(["user_id", "value", "event_id"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    exp = df.sort_values(["user_id", "value", "event_id"],
+                         ascending=[True, False, True]) \
+        .groupby("user_id").head(3) \
+        .sort_values(["user_id", "value", "event_id"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    assert (out["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+
+
+def test_topk_per_group_duplicate_values_deterministic():
+    from dcpray.functions.agg import topk_per_group
+
+    df = pd.DataFrame({"event_id": np.arange(5, dtype=np.int64),
+                       "user_id": np.zeros(5, np.int64),
+                       "value": np.array([1.0, 1.0, 1.0, 1.0, 2.0])})
+    out = topk_per_group(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+                         "user_id", "value", k=3, tiebreak_col="event_id") \
+        .to_pandas().sort_values("event_id")
+    # 2.0 first, then the two smallest event_ids among the 1.0 ties
+    assert sorted(out["event_id"].tolist()) == [0, 1, 4]
