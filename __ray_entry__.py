@@ -500,11 +500,14 @@ def _q_events_asof_click(sf_dir: str):
 
     from dcpray.functions.join import asof_join
 
-    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
-                    columns=["event_id", "user_id", "ts", "event_type"],
-                    override_num_blocks=16)
-    left = ds.select_columns(["event_id", "user_id", "ts"])
-    right = ds.map_batches(
+    # two column-pruned reads (left never needs event_type) — one shared
+    # read would re-execute its lineage for each branch anyway, scanning
+    # the wide projection twice
+    path = os.path.join(sf_dir, "events.parquet")
+    left = read_clean(path, columns=["event_id", "user_id", "ts"],
+                      override_num_blocks=16)
+    right = read_clean(path, columns=["user_id", "ts", "event_type"],
+                       override_num_blocks=16).map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "click"))
                    .select(["user_id", "ts"]),
         batch_format="pyarrow",

@@ -33,6 +33,19 @@ _OPS = {
 }
 
 
+def add_coarse_pk(t: pa.Table, key_col: str, partitions: int,
+                  pk_col: str = "_pk") -> pa.Table:
+    """Append the coarse partition key ``hash(key) % partitions`` — the
+    ONE exchange key every coarse-partition operator (groupby, window,
+    top-k, as-of join) shares. Null keys hash from a filled sentinel;
+    callers that need SQL null semantics must handle null rows
+    themselves (see asof_join)."""
+    k = pc.fill_null(pc.cast(t[key_col], pa.int64()), 0) \
+        .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
+    return t.append_column(pk_col, pa.array(pk))
+
+
 def _hash_key_columns(t: pa.Table, keys: list[str]) -> np.ndarray:
     """uint64 hash combining the key columns (string / int / bool /
     timestamp / date), order-sensitive, stable across workers."""
@@ -140,7 +153,6 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
     moves O(k · groups-per-batch), not every row), then one
     coarse-partition exchange and a final vectorized top-k per
     partition. Python runs once per batch/partition, never per group."""
-    import numpy as np
 
     def _local_topk(t: pa.Table, with_pk: bool) -> pa.Table:
         g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -157,12 +169,7 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
         keep = order[rank < k]
         out = t.take(pa.array(np.sort(keep)))
         if with_pk:
-            gk = out[group_col].combine_chunks().to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            pk = (splitmix64(gk.view(np.uint64))
-                  % np.uint64(partitions)).astype(np.int32)
-            out = out.append_column("_pk", pa.array(pk))
+            out = add_coarse_pk(out, group_col, partitions)
         return out
 
     pre = ds.map_batches(lambda t: _local_topk(t, True), batch_format="pyarrow")

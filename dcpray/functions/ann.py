@@ -302,15 +302,17 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 32,
 
     from dcpray.hashing import splitmix64
 
-    import glob as _glob
+    import shutil
 
-    os.makedirs(index_dir, exist_ok=True)
-    # clear any prior build: part counts are data-dependent, so a
-    # rebuild-in-place can produce FEWER part files than before and
-    # stale parts (or a legacy single-file list) would silently feed
-    # phantom vectors into every query probing that list
-    for old in _glob.glob(os.path.join(_glob.escape(index_dir), "list-*.parquet")):
-        os.remove(old)
+    # build into a sibling temp dir and swap at the END: part counts
+    # are data-dependent, so a rebuild-in-place could leave stale part
+    # files (phantom vectors) — and a delete-first rebuild that crashes
+    # mid-build would leave a silently partial index. With the swap, a
+    # failure at any point leaves the previous index fully intact.
+    final_dir = index_dir
+    index_dir = f"{final_dir}.building-{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir)
     sample = _training_sample(ds, sample_size)
     cents = train_centroids(sample, nlist)
     cents_ref = ray.put(cents)
@@ -380,6 +382,15 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 32,
             "lists": list_rows}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
+    # swap: old index (if any) moves aside, new one takes its place.
+    # A crash between the two renames leaves final_dir absent and the
+    # previous build recoverable under .old (queries fail LOUDLY on the
+    # missing centroids file — never silently partial).
+    old_dir = f"{final_dir}.old-{os.getpid()}"
+    if os.path.exists(final_dir):
+        os.rename(final_dir, old_dir)
+    os.rename(index_dir, final_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
     return meta
 
 

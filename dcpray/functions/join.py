@@ -13,6 +13,10 @@ match is a fully vectorized merge: one lexsort of the union by
 cummax that forward-fills the last-seen right row index within each
 key. No per-row Python, no per-key Python. Partitioning assumption:
 one key's rows fit in a partition task (salt hot keys upstream if not).
+
+SQL null semantics: right rows with a null key or ts are dropped (they
+can never match); left rows with a null key or ts are emitted with null
+right columns (LEFT join) but never match anything.
 """
 
 from __future__ import annotations
@@ -22,6 +26,25 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from dcpray.hashing import splitmix64
+
+_UNIT_RANK = {"s": 0, "ms": 1, "us": 2, "ns": 3}
+_TS_SENTINEL = np.int64(np.iinfo(np.int64).min)
+
+
+def _common_ts_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType | None:
+    """The type both ts columns are cast to before the int64 compare —
+    comparing raw int64 views of DIFFERENT timestamp units would
+    silently mis-join (ns values dwarf us values). Returns None for
+    numeric (non-timestamp) columns, which compare directly."""
+    lts, rts = pa.types.is_timestamp(lt), pa.types.is_timestamp(rt)
+    if lts != rts:
+        raise TypeError(f"as-of ts columns disagree: {lt} vs {rt}")
+    if not lts:
+        return None
+    if getattr(lt, "tz", None) != getattr(rt, "tz", None):
+        raise TypeError(f"as-of ts timezones disagree: {lt} vs {rt}")
+    finer = lt if _UNIT_RANK[lt.unit] >= _UNIT_RANK[rt.unit] else rt
+    return finer
 
 
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
@@ -40,10 +63,11 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
     right_schema = right_ds.schema()
     right_types = dict(zip(right_schema.names, right_schema.types))
     out_right = [(rc, name, right_types[rc]) for rc, name in right_cols.items()]
+    ts_common = _common_ts_type(left_types[ts_col], right_types[ts_col])
 
     union_fields = (
         [("_k", pa.int64()), ("_ts", pa.int64()), ("_side", pa.int8()),
-         ("_pk", pa.int32())]
+         ("_ok", pa.int8()), ("_pk", pa.int32())]
         + [(n, left_types[n]) for n in left_names]
         + [(f"_r_{name}", t) for _, name, t in out_right]
     )
@@ -52,14 +76,28 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
     def _pk_of(k: np.ndarray) -> np.ndarray:
         return (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
 
+    def _key_ts(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(key, ts, valid) — null-free int64 arrays plus the validity
+        mask. Nulls are FILLED before to_numpy (a nullable int64 decodes
+        through float64 and corrupts large ids) and handled via the
+        mask, never via sentinel collisions."""
+        valid = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])) \
+            .to_numpy(zero_copy_only=False)
+        k = pc.fill_null(pc.cast(t[key_col], pa.int64()), 0) \
+            .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_col_v = t[ts_col]
+        if ts_common is not None:
+            ts_col_v = pc.cast(ts_col_v, ts_common)
+        ts = pc.fill_null(pc.cast(ts_col_v, pa.int64()), int(_TS_SENTINEL)) \
+            .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return k, ts, valid
+
     def tag_left(t: pa.Table) -> pa.Table:
-        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = pc.cast(t[ts_col], pa.int64()).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
+        k, ts, valid = _key_ts(t)
         n = t.num_rows
         cols = {"_k": pa.array(k), "_ts": pa.array(ts),
                 "_side": pa.array(np.ones(n, np.int8)),
+                "_ok": pa.array(valid.astype(np.int8)),
                 "_pk": pa.array(_pk_of(k))}
         for name in left_names:
             cols[name] = t[name]
@@ -68,13 +106,14 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         return pa.table(cols, schema=union_schema)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = pc.cast(t[ts_col], pa.int64()).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
+        k, ts, valid = _key_ts(t)
+        # null key/ts right rows can never match: drop them here
+        t = t.filter(pa.array(valid))
+        k, ts = k[valid], ts[valid]
         n = t.num_rows
         cols = {"_k": pa.array(k), "_ts": pa.array(ts),
                 "_side": pa.array(np.zeros(n, np.int8)),
+                "_ok": pa.array(np.ones(n, np.int8)),
                 "_pk": pa.array(_pk_of(k))}
         for name in left_names:
             cols[name] = pa.nulls(n, left_types[name])
@@ -86,6 +125,7 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         k = group["_k"].combine_chunks().to_numpy(zero_copy_only=False)
         ts = group["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
         side = group["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = group["_ok"].combine_chunks().to_numpy(zero_copy_only=False) != 0
         # right (side 0) BEFORE left (side 1) at equal (key, ts): the
         # join is inclusive (l.ts >= r.ts)
         order = np.lexsort((side, ts, k))
@@ -106,7 +146,8 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
 
         left_mask = ~is_right
         left_orig = order[left_mask]                  # rows in group order
-        match_valid = valid[left_mask]
+        # a null-key/ts left row is emitted but never matches
+        match_valid = valid[left_mask] & ok[left_orig]
         match_pos = right_sorted_pos[left_mask]       # position in sorted order
         right_orig = order[match_pos]                 # group-order row of the match
 

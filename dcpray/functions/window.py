@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from dcpray.hashing import splitmix64
+from dcpray.functions.agg import add_coarse_pk
 
 _UNIT_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
@@ -36,6 +36,40 @@ def _gap_threshold(ts_type: pa.DataType, gap_s: float) -> np.int64:
     return np.int64(round(gap_s))
 
 
+def _session_bounds(group: pa.Table, key_col: str, ts_col: str,
+                    gap_s: float, tiebreak_col: str | None):
+    """The shared session-assignment core: sort one partition by
+    (key, ts, tiebreak), flag session starts (first-of-key or gap >
+    threshold in the column's native unit), and derive per-row session
+    ordinals. Returns (order, sorted_ts, session_starts, session_ends,
+    sid_per_sorted_row)."""
+    k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = pc.cast(group[ts_col], pa.int64()).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    gap_thr = _gap_threshold(group.schema.field(ts_col).type, gap_s)
+    if tiebreak_col is not None:
+        tb = group[tiebreak_col].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort((tb, ts, k))
+    else:
+        order = np.lexsort((ts, k))
+    ks, tss = k[order], ts[order]
+    first_of_key = np.r_[True, ks[1:] != ks[:-1]]
+    gap = np.r_[np.int64(0), tss[1:] - tss[:-1]]
+    new_session = first_of_key | (gap > gap_thr)
+    starts = np.flatnonzero(new_session)
+    ends = np.r_[starts[1:], len(ks)]
+    # session ordinal within key: cumsum of new-session flags minus the
+    # cumsum value at the key's first row
+    cs = np.cumsum(new_session.astype(np.int64))
+    key_starts = np.flatnonzero(first_of_key)
+    key_base = cs[key_starts]
+    sid = cs - np.repeat(key_base, np.diff(np.r_[key_starts, len(ks)]))
+    return order, tss, starts, ends, sid
+
+
 def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
                gap_s: float = 1800.0, tiebreak_col: str | None = "event_id",
                partitions: int = 64):
@@ -47,39 +81,15 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     Returns the input rows (all columns) + ``session_id`` (int64)."""
 
-    def add_pk(t: pa.Table) -> pa.Table:
-        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
-        return t.append_column("_pk", pa.array(pk))
-
     def assign(group: pa.Table) -> pa.Table:
-        k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = pc.cast(group[ts_col], pa.int64()).combine_chunks().to_numpy(
-            zero_copy_only=False
+        order, _, _, _, sid = _session_bounds(
+            group, key_col, ts_col, gap_s, tiebreak_col
         )
-        gap_thr = _gap_threshold(group.schema.field(ts_col).type, gap_s)
-        if tiebreak_col is not None:
-            tb = group[tiebreak_col].combine_chunks().to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            order = np.lexsort((tb, ts, k))
-        else:
-            order = np.lexsort((ts, k))
-        ks, tss = k[order], ts[order]
-        first_of_key = np.r_[True, ks[1:] != ks[:-1]]
-        gap = np.r_[np.int64(0), tss[1:] - tss[:-1]]
-        new_session = first_of_key | (gap > gap_thr)
-        # session ordinal within key: cumsum of new-session flags minus
-        # the cumsum value at the key's first row
-        cs = np.cumsum(new_session.astype(np.int64))
-        key_base = cs[np.flatnonzero(first_of_key)]
-        sid = cs - np.repeat(key_base, np.diff(
-            np.r_[np.flatnonzero(first_of_key), len(ks)]
-        ))
         out = group.drop_columns(["_pk"]).take(pa.array(order))
         return out.append_column("session_id", pa.array(sid, pa.int64()))
 
-    return (ds.map_batches(add_pk, batch_format="pyarrow")
+    return (ds.map_batches(add_coarse_pk, fn_args=(key_col, partitions),
+                           batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign, batch_format="pyarrow"))
 
@@ -92,40 +102,17 @@ def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
     session_end (+ sum of ``value_col`` when given). ONE exchange:
     session assignment AND the per-session aggregate run inside the
     same partition task (sessions never span partitions, because a
-    key's rows are co-located)."""
-
-    def add_pk(t: pa.Table) -> pa.Table:
-        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
-        return t.append_column("_pk", pa.array(pk))
+    key's rows are co-located). Key dtype is preserved from the
+    input."""
 
     def assign_and_agg(group: pa.Table) -> pa.Table:
-        k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = pc.cast(group[ts_col], pa.int64()).combine_chunks().to_numpy(
-            zero_copy_only=False
+        order, tss, starts, ends, sid = _session_bounds(
+            group, key_col, ts_col, gap_s, tiebreak_col
         )
-        gap_thr = _gap_threshold(group.schema.field(ts_col).type, gap_s)
-        if tiebreak_col is not None:
-            tb = group[tiebreak_col].combine_chunks().to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            order = np.lexsort((tb, ts, k))
-        else:
-            order = np.lexsort((ts, k))
-        ks, tss = k[order], ts[order]
-        first_of_key = np.r_[True, ks[1:] != ks[:-1]]
-        gap = np.r_[np.int64(0), tss[1:] - tss[:-1]]
-        new_session = first_of_key | (gap > gap_thr)
-        starts = np.flatnonzero(new_session)
-        ends = np.r_[starts[1:], len(ks)]
-        cs = np.cumsum(new_session.astype(np.int64))
-        key_base = cs[np.flatnonzero(first_of_key)]
-        sid_all = cs - np.repeat(key_base, np.diff(
-            np.r_[np.flatnonzero(first_of_key), len(ks)]
-        ))
+        start_rows = pa.array(order[starts])
         cols = {
-            key_col: pa.array(ks[starts], pa.int64()),
-            "session_id": pa.array(sid_all[starts], pa.int64()),
+            key_col: group[key_col].take(start_rows),  # dtype-preserving
+            "session_id": pa.array(sid[starts], pa.int64()),
             "n_events": pa.array((ends - starts).astype(np.int64)),
             "session_start": pc.cast(pa.array(tss[starts]),
                                      group[ts_col].type),
@@ -139,6 +126,7 @@ def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
             cols["sum_value"] = pa.array(np.add.reduceat(v, starts))
         return pa.table(cols)
 
-    return (ds.map_batches(add_pk, batch_format="pyarrow")
+    return (ds.map_batches(add_coarse_pk, fn_args=(key_col, partitions),
+                           batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign_and_agg, batch_format="pyarrow"))

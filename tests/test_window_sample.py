@@ -1,5 +1,7 @@
 """Sessionization and deterministic hash sampling."""
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -142,12 +144,7 @@ def test_asof_join_matches_pandas(blocks):
                     right_cols={"ts": "right_ts"}).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
 
-    exp = pd.merge_asof(
-        left.sort_values("ts"), right[["user_id", "ts"]].sort_values("ts"),
-        on="ts", by="user_id", direction="backward",
-        allow_exact_matches=True, suffixes=("", "_r"),
-    )
-    # merge_asof reports the LEFT ts; recompute the matched right ts
+    # merge_asof reports the LEFT ts; carry the right ts as a payload col
     exp2 = pd.merge_asof(
         left.sort_values("ts"),
         right[["user_id", "ts"]].assign(right_ts=lambda d: d["ts"]).sort_values("ts"),
@@ -174,3 +171,79 @@ def test_asof_join_exact_tie_and_no_match():
     ).to_pandas().sort_values("event_id").reset_index(drop=True)
     assert out["mark"].tolist()[0] == 7      # equal ts matches (>=)
     assert pd.isna(out["mark"].tolist()[1])  # other user: no match
+
+
+def test_asof_join_mixed_units_and_nulls():
+    """Different timestamp units must normalize before comparing (a ns
+    left vs us right would otherwise match FUTURE right rows), and SQL
+    null semantics hold: null-key/ts left rows are emitted unmatched,
+    null right rows never match."""
+    from dcpray.functions.join import asof_join
+
+    left = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "user_id": pa.array([1, 1, None], pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01 10:00").value,
+                        None,
+                        pd.Timestamp("2024-01-01 12:00").value],
+                       pa.timestamp("ns")),
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 1, None], pa.int64()),
+        "ts": pa.array([int(pd.Timestamp("2024-01-01 10:30").value // 1000),
+                        int(pd.Timestamp("2024-01-01 09:00").value // 1000),
+                        int(pd.Timestamp("2024-01-01 08:00").value // 1000)],
+                       pa.timestamp("us")),
+        "mark": pa.array([7, 8, 9], pa.int64()),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key_col="user_id", ts_col="ts",
+                    right_cols={"mark": "mark"}).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # event 0 at 10:00 matches the 09:00 row (8), NOT the future 10:30
+    assert out["mark"].tolist()[0] == 8
+    # null left ts and null left key: emitted, unmatched
+    assert pd.isna(out["mark"].tolist()[1])
+    assert pd.isna(out["mark"].tolist()[2])
+
+
+def test_asof_join_rejects_mismatched_ts_kinds():
+    from dcpray.functions.join import asof_join
+
+    left = rd.from_arrow(pa.table({"user_id": pa.array([1], pa.int64()),
+                                   "ts": pa.array([1], pa.int64())}))
+    right = rd.from_arrow(pa.table({"user_id": pa.array([1], pa.int64()),
+                                    "ts": pa.array([pd.Timestamp("2024-01-01").value],
+                                                   pa.timestamp("ns"))}))
+    with pytest.raises(TypeError, match="disagree"):
+        asof_join(left, right, key_col="user_id", ts_col="ts",
+                  right_cols={"ts": "r_ts"})
+
+
+def test_ivf_rebuild_failure_leaves_old_index_intact(tmp_path):
+    """A rebuild that crashes mid-build must leave the previous index
+    fully usable (tmp-dir build + swap, not delete-first)."""
+    import glob as _g
+
+    from dcpray.functions.ann import build_ivf_index, ivf_query
+
+    rng = np.random.RandomState(1)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(100), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rng.randn(100, 8)],
+                              pa.list_(pa.float64())),
+    })
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(tab), idx, nlist=2)
+    before = sorted(os.path.basename(p) for p in _g.glob(os.path.join(idx, "*")))
+
+    bad = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                    "embedding": pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]],
+                                          pa.list_(pa.float64()))})  # ragged
+    with pytest.raises(Exception):
+        build_ivf_index(rd.from_arrow(bad), idx, nlist=2)
+    after = sorted(os.path.basename(p) for p in _g.glob(os.path.join(idx, "*"))
+                   if not os.path.basename(p).startswith("ivf.building"))
+    assert after == before
+    out = ivf_query(idx, rng.randn(1, 8), np.array([0]), k=3, nprobe=2)
+    assert out.count() == 3
