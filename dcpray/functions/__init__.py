@@ -1,0 +1,52 @@
+"""Training-data operator library.
+
+Each module documents its 100-TB scale shape (what shuffles, what
+broadcasts, where the partitioning assumption lives). Everything here
+is a composition of ``map_batches`` / coarse-partition ``groupby`` over
+Arrow batches — no driver-side loops, no per-row Python in hot paths.
+"""
+
+from dcpray.functions.agg import add_coarse_pk, coarse_groupby, topk_per_group
+from dcpray.functions.ann import (
+    build_ivf_index,
+    ivf_query,
+    ivf_topk,
+    topk_cosine,
+)
+from dcpray.functions.dedup import (
+    cluster_pairs,
+    cluster_pairs_distributed,
+    embedding_dup_pairs,
+    embedding_exact_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_dup_pairs,
+    simhash_dup_pairs,
+)
+from dcpray.functions.join import asof_join
+from dcpray.functions.sample import hash_sample, hash_split
+from dcpray.functions.textstats import (
+    LangId,
+    QualityScorer,
+    fingerprint,
+    fingerprint_md5,
+    lang_id_batch,
+    quality_score_batch,
+    text_stats,
+    token_count,
+    token_count_bpe,
+)
+from dcpray.functions.window import session_stats, sessionize
+
+__all__ = [
+    "add_coarse_pk", "coarse_groupby", "topk_per_group",
+    "build_ivf_index", "ivf_query", "ivf_topk", "topk_cosine",
+    "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
+    "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
+    "minhash_dup_pairs", "simhash_dup_pairs",
+    "asof_join", "hash_sample", "hash_split",
+    "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
+    "lang_id_batch", "quality_score_batch", "text_stats",
+    "token_count", "token_count_bpe",
+    "session_stats", "sessionize",
+]
