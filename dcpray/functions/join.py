@@ -47,6 +47,55 @@ def _common_ts_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType | None:
     return finer
 
 
+def _key_ts_arrays(t: pa.Table, key_col: str, ts_col: str,
+                   ts_common) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(key, ts, valid) — null-free int64 arrays plus the validity
+    mask. Nulls are FILLED before to_numpy (a nullable int64 decodes
+    through float64 and corrupts large ids) and handled via the mask,
+    never via sentinel collisions."""
+    valid = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])) \
+        .to_numpy(zero_copy_only=False)
+    k = pc.fill_null(pc.cast(t[key_col], pa.int64()), 0) \
+        .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    ts_col_v = t[ts_col]
+    if ts_common is not None:
+        ts_col_v = pc.cast(ts_col_v, ts_common)
+    ts = pc.fill_null(pc.cast(ts_col_v, pa.int64()), int(_TS_SENTINEL)) \
+        .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    return k, ts, valid
+
+
+def _asof_merge_arrays(k: np.ndarray, ts: np.ndarray, side: np.ndarray,
+                       ok: np.ndarray):
+    """The vectorized as-of merge core over a tagged union of rows
+    (side 0 = right, 1 = left): one lexsort by (key, ts, side) with
+    right-before-left at ties (inclusive ``>=``), then a segment-reset
+    cummax forward-fill of the last-seen right row position — marker =
+    seg_id * (n+1) + sorted_pos for right rows, -1 otherwise, so a
+    cummax can never leak across key segments (validity check:
+    marker // (n+1) == seg_id). Returns (left_row_indices,
+    matched_right_row_indices, match_valid) in the INPUT arrays' row
+    numbering."""
+    order = np.lexsort((side, ts, k))
+    ks, ss = k[order], side[order]
+    is_right = ss == 0
+    n = len(ks)
+    seg_start = np.r_[True, ks[1:] != ks[:-1]]
+    seg_id = np.cumsum(seg_start.astype(np.int64)) - 1
+    base = np.int64(n + 1)
+    marker = np.where(is_right, seg_id * base + np.arange(n, dtype=np.int64), -1)
+    filled = np.maximum.accumulate(marker)
+    valid = (filled >= 0) & (filled // base == seg_id)
+    right_sorted_pos = np.where(valid, filled % base, 0)
+
+    left_mask = ~is_right
+    left_orig = order[left_mask]
+    # a null-key/ts left row is emitted but never matches
+    match_valid = valid[left_mask] & ok[left_orig]
+    right_orig = order[right_sorted_pos[left_mask]]
+    return left_orig, right_orig, match_valid
+
+
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
               right_cols: dict[str, str], partitions: int = 64):
     """Backward as-of left join.
@@ -77,20 +126,7 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         return (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
 
     def _key_ts(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(key, ts, valid) — null-free int64 arrays plus the validity
-        mask. Nulls are FILLED before to_numpy (a nullable int64 decodes
-        through float64 and corrupts large ids) and handled via the
-        mask, never via sentinel collisions."""
-        valid = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])) \
-            .to_numpy(zero_copy_only=False)
-        k = pc.fill_null(pc.cast(t[key_col], pa.int64()), 0) \
-            .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        ts_col_v = t[ts_col]
-        if ts_common is not None:
-            ts_col_v = pc.cast(ts_col_v, ts_common)
-        ts = pc.fill_null(pc.cast(ts_col_v, pa.int64()), int(_TS_SENTINEL)) \
-            .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        return k, ts, valid
+        return _key_ts_arrays(t, key_col, ts_col, ts_common)
 
     def tag_left(t: pa.Table) -> pa.Table:
         k, ts, valid = _key_ts(t)
@@ -126,30 +162,7 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         ts = group["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
         side = group["_side"].combine_chunks().to_numpy(zero_copy_only=False)
         ok = group["_ok"].combine_chunks().to_numpy(zero_copy_only=False) != 0
-        # right (side 0) BEFORE left (side 1) at equal (key, ts): the
-        # join is inclusive (l.ts >= r.ts)
-        order = np.lexsort((side, ts, k))
-        ks, ss = k[order], side[order]
-        is_right = ss == 0
-        n = len(ks)
-        # segment-reset cummax forward-fill of the last right row's
-        # position: marker = seg_id * (n+1) + sorted_pos for right rows,
-        # -1 otherwise; a cummax can then never leak across keys
-        # (validity check: marker // (n+1) == seg_id)
-        seg_start = np.r_[True, ks[1:] != ks[:-1]]
-        seg_id = np.cumsum(seg_start.astype(np.int64)) - 1
-        base = np.int64(n + 1)
-        marker = np.where(is_right, seg_id * base + np.arange(n, dtype=np.int64), -1)
-        filled = np.maximum.accumulate(marker)
-        valid = (filled >= 0) & (filled // base == seg_id)
-        right_sorted_pos = np.where(valid, filled % base, 0)
-
-        left_mask = ~is_right
-        left_orig = order[left_mask]                  # rows in group order
-        # a null-key/ts left row is emitted but never matches
-        match_valid = valid[left_mask] & ok[left_orig]
-        match_pos = right_sorted_pos[left_mask]       # position in sorted order
-        right_orig = order[match_pos]                 # group-order row of the match
+        left_orig, right_orig, match_valid = _asof_merge_arrays(k, ts, side, ok)
 
         out_cols = {}
         lt = group.select(left_names).take(pa.array(left_orig))
@@ -165,3 +178,60 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
     return tagged.groupby("_pk").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join_broadcast(left_ds, right, key_col: str, ts_col: str,
+                        right_cols: dict[str, str]):
+    """Backward as-of left join against a SMALL right side with ZERO
+    exchange: the right table (a ``pa.Table`` or a small Dataset) is
+    key/ts-sorted once on the driver and broadcast via ``ray.put``;
+    every left batch then merges locally — the left side streams
+    straight through ``map_batches``, nothing shuffles, and output rows
+    keep their batch order. This is the dimension-lookup scale path
+    (prices, configs, snapshots as-of an event time); right-side bound
+    is the worker heap (O(rows × cols) once per node, zero-copy reads).
+    Same semantics as ``asof_join`` (inclusive ``>=``, SQL null
+    handling)."""
+    import ray
+
+    if not isinstance(right, pa.Table):
+        right = pa.concat_tables(
+            list(right.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+    left_schema = left_ds.schema()
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right.schema.names, right.schema.types))
+    out_right = [(rc, name, right_types[rc]) for rc, name in right_cols.items()]
+    ts_common = _common_ts_type(left_types[ts_col], right_types[ts_col])
+
+    rk, rts, rvalid = _key_ts_arrays(right, key_col, ts_col, ts_common)
+    keep = np.flatnonzero(rvalid)           # null right rows never match
+    order = np.lexsort((rts[keep], rk[keep]))
+    sel = keep[order]
+    r_payload = right.select([rc for rc, _, _ in out_right]) \
+        .take(pa.array(sel)).rename_columns([name for _, name, _ in out_right])
+    ref = ray.put({"k": np.ascontiguousarray(rk[sel]),
+                   "ts": np.ascontiguousarray(rts[sel]),
+                   "payload": r_payload})
+
+    def match(batch: pa.Table, rref) -> pa.Table:
+        from dcpray.rayutil import worker_memo
+
+        r = worker_memo(("asof_right", rref.hex()), lambda: __import__("ray").get(rref))
+        nr = len(r["k"])
+        lk, lts, lok = _key_ts_arrays(batch, key_col, ts_col, ts_common)
+        nb = len(lk)
+        k = np.concatenate([r["k"], lk])
+        ts = np.concatenate([r["ts"], lts])
+        side = np.r_[np.zeros(nr, np.int8), np.ones(nb, np.int8)]
+        ok = np.r_[np.ones(nr, bool), lok]
+        left_orig, right_orig, valid = _asof_merge_arrays(k, ts, side, ok)
+        batch_idx = left_orig - nr              # positions within the batch
+        inv = np.argsort(batch_idx)             # restore batch row order
+        idx_arr = pa.array(right_orig[inv].astype(np.int64), mask=~valid[inv])
+        out_cols = {name: batch[name] for name in batch.schema.names}
+        for _, name, _t in out_right:
+            out_cols[name] = r["payload"][name].take(idx_arr)
+        return pa.table(out_cols)
+
+    return left_ds.map_batches(match, fn_args=(ref,), batch_format="pyarrow")

@@ -247,3 +247,39 @@ def test_ivf_rebuild_failure_leaves_old_index_intact(tmp_path):
     assert after == before
     out = ivf_query(idx, rng.randn(1, 8), np.array([0]), k=3, nprobe=2)
     assert out.count() == 3
+
+
+def test_asof_join_broadcast_equals_distributed():
+    """The zero-exchange broadcast variant must produce the identical
+    join as the distributed one (including null left rows), with output
+    preserving batch row order."""
+    from dcpray.functions.join import asof_join, asof_join_broadcast
+
+    rng = np.random.RandomState(21)
+    nl, nr = 500, 60
+    left = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64),
+        "user_id": rng.randint(0, 12, nl).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, nl), unit="s"),
+    })
+    left.loc[3, "user_id"] = None
+    right = pa.Table.from_pandas(pd.DataFrame({
+        "user_id": rng.randint(0, 12, nr).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, nr), unit="s"),
+        "mark": rng.randint(0, 100, nr).astype(np.int64),
+    }), preserve_index=False)
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)) \
+        .repartition(4)
+
+    bc = asof_join_broadcast(lds, right, key_col="user_id", ts_col="ts",
+                             right_cols={"ts": "r_ts", "mark": "mark"}) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    dist = asof_join(lds, rd.from_arrow(right), key_col="user_id",
+                     ts_col="ts", right_cols={"ts": "r_ts", "mark": "mark"}) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(bc) == len(dist) == nl
+    for c in ("r_ts", "mark"):
+        assert bc[c].isna().equals(dist[c].isna())
+        assert (bc[c].dropna().to_numpy() == dist[c].dropna().to_numpy()).all()
