@@ -551,6 +551,20 @@ def _q_multimodal_decode_bmp(sf_dir: str):
                              batch_size=256)
 
 
+def _q_multimodal_decode_wav(sf_dir: str):
+    """REAL audio decode, SQL-verifiable: synthesize a valid PCM16 WAV
+    per document (samples a closed-form function of the text length),
+    actually PARSE the RIFF container back, and report sample count,
+    rate, and RMS amplitude; the oracle computes the closed form."""
+    from dcpray.functions.multimodal import synthesize_wav_media, wav_audio_stats
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    media = ds.map_batches(synthesize_wav_media, batch_format="pyarrow")
+    return media.map_batches(wav_audio_stats, batch_format="pyarrow",
+                             batch_size=256)
+
+
 def entry() -> Any:
     """Flagship pipeline: full CDC replay of the sf0.001 transcript WAL
     into a fresh lake; returns the final transcripts table."""
@@ -598,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_index_full_probe": _q_ann_ivf_index_full_probe,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode_bmp": _q_multimodal_decode_bmp,
+        "multimodal_decode_wav": _q_multimodal_decode_wav,
     }
 
 
@@ -801,5 +816,13 @@ SELECT d.doc_id AS media_id,
        round(avg(CAST((length(coalesce(d.text, ''))*7 + g.i*13) % 256
                       AS DOUBLE)), 6) pixel_mean
 FROM documents d, generate_series(0, 191) g(i)
+GROUP BY d.doc_id""",
+        "multimodal_decode_wav": """
+SELECT d.doc_id AS media_id,
+       CAST(256 AS INTEGER) n_samples, CAST(16000 AS INTEGER) rate,
+       round(sqrt(avg(CAST(
+         ((length(coalesce(d.text, ''))*11 + g.i*17) % 512) - 256
+         AS DOUBLE) ** 2)), 6) rms
+FROM documents d, generate_series(0, 255) g(i)
 GROUP BY d.doc_id""",
     }

@@ -196,6 +196,57 @@ def bmp_pixel_stats(batch: pa.Table) -> pa.Table:
     })
 
 
+#: deterministic sample formula shared with the SQL oracle: sample i of
+#: a doc with n_chars characters is ((n_chars*11 + i*17) % 512) - 256
+WAV_N_SAMPLES = 256
+WAV_RATE = 16000
+
+
+def synthesize_wav_media(batch: pa.Table, text_col: str = "text",
+                         key_col: str = "doc_id") -> pa.Table:
+    """Real, decodable PCM16 WAV payload per document, samples derived
+    deterministically from the text length (see formula above)."""
+    import pyarrow.compute as pc
+
+    ids = batch[key_col].to_numpy(zero_copy_only=False)
+    n_chars = pc.utf8_length(
+        pc.fill_null(batch[text_col], "")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.arange(WAV_N_SAMPLES, dtype=np.int64)
+    flat = ((n_chars[:, None] * 11 + idx[None, :] * 17) % 512) - 256  # (n, 256)
+    payloads = [encode_wav(row.astype(np.int16), WAV_RATE) for row in flat]
+    n = batch.num_rows
+    dur = int(round(WAV_N_SAMPLES / WAV_RATE * 1000))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["audio"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array([0] * n, pa.int32()),
+        "height": pa.array([0] * n, pa.int32()),
+        "duration_ms": pa.array([dur] * n, pa.int32()),
+    })
+
+
+def wav_audio_stats(batch: pa.Table) -> pa.Table:
+    """REAL audio decode stage: parse each WAV payload (RIFF chunk walk)
+    and report sample count, rate, and RMS amplitude (6dp half-up,
+    matching DuckDB round) — the audio sibling of ``bmp_pixel_stats``."""
+    ns, rates, rms = [], [], []
+    for payload in batch["payload"].to_pylist():
+        samples, rate = decode_wav(payload)
+        x = samples[:, 0].astype(np.float64)
+        ns.append(samples.shape[0])
+        rates.append(rate)
+        rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+    rms = np.floor(np.asarray(rms, np.float64) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "media_id": batch["media_id"],
+        "n_samples": pa.array(ns, pa.int32()),
+        "rate": pa.array(rates, pa.int32()),
+        "rms": pa.array(rms, pa.float64()),
+    })
+
+
 class ImageFeatureExtractor:
     """Actor-pool stage: binary image payload → feature vector.
 

@@ -97,3 +97,22 @@ def test_resizer_real_mode():
     # nearest-neighbor of the source at stride 2
     src = decode_bmp(media["payload"][0].as_py())
     np.testing.assert_array_equal(pix, src[::2, ::2])
+
+
+def test_wav_audio_stats_matches_closed_form():
+    from dcpray.functions.multimodal import synthesize_wav_media, wav_audio_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["hello world", "", "x" * 100]),
+    })
+    media = synthesize_wav_media(docs)
+    out = wav_audio_stats(media)
+    n_chars = np.array([11, 0, 100])
+    idx = np.arange(256)
+    s = ((n_chars[:, None] * 11 + idx[None, :] * 17) % 512) - 256
+    expect = np.sqrt((s.astype(float) ** 2).mean(axis=1))
+    expect = np.floor(expect * 1e6 + 0.5) / 1e6
+    np.testing.assert_allclose(out["rms"].to_numpy(), expect)
+    assert out["n_samples"].to_pylist() == [256, 256, 256]
+    assert out["rate"].to_pylist() == [16000, 16000, 16000]
