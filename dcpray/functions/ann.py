@@ -296,23 +296,37 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 32,
     pass recomputes the cheap centroid matmul instead of materializing
     the assigned corpus — streaming twice beats spilling 100 TB once.
     """
+    import shutil
+
+    # build into a SIBLING temp dir and swap at the END: part counts
+    # are data-dependent, so a rebuild-in-place could leave stale part
+    # files (phantom vectors) — and a delete-first rebuild that crashes
+    # mid-build would leave a silently partial index. With the swap, a
+    # failure at any point leaves the previous index fully intact (and
+    # the temp dir is cleaned up on failure). normpath: a trailing
+    # slash would otherwise derive the temp dir INSIDE the final dir.
+    final_dir = os.path.normpath(index_dir)
+    index_dir = f"{final_dir}.building-{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir)
+    try:
+        return _build_ivf_into(ds, index_dir, final_dir, nlist, sample_size,
+                               concurrency, part_rows)
+    except BaseException:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        raise
+
+
+def _build_ivf_into(ds, index_dir: str, final_dir: str, nlist: int,
+                    sample_size: int, concurrency: int,
+                    part_rows: int) -> dict:
     import json
+    import shutil
 
     import ray
 
     from dcpray.hashing import splitmix64
 
-    import shutil
-
-    # build into a sibling temp dir and swap at the END: part counts
-    # are data-dependent, so a rebuild-in-place could leave stale part
-    # files (phantom vectors) — and a delete-first rebuild that crashes
-    # mid-build would leave a silently partial index. With the swap, a
-    # failure at any point leaves the previous index fully intact.
-    final_dir = index_dir
-    index_dir = f"{final_dir}.building-{os.getpid()}"
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir)
     sample = _training_sample(ds, sample_size)
     cents = train_centroids(sample, nlist)
     cents_ref = ray.put(cents)

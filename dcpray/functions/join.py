@@ -218,17 +218,44 @@ def asof_join_broadcast(left_ds, right, key_col: str, ts_col: str,
         from dcpray.rayutil import worker_memo
 
         r = worker_memo(("asof_right", rref.hex()), lambda: __import__("ray").get(rref))
-        nr = len(r["k"])
+        rk, rts = r["k"], r["ts"]
         lk, lts, lok = _key_ts_arrays(batch, key_col, ts_col, ts_common)
         nb = len(lk)
-        k = np.concatenate([r["k"], lk])
-        ts = np.concatenate([r["ts"], lts])
-        side = np.r_[np.zeros(nr, np.int8), np.ones(nb, np.int8)]
-        ok = np.r_[np.ones(nr, bool), lok]
-        left_orig, right_orig, valid = _asof_merge_arrays(k, ts, side, ok)
-        batch_idx = left_orig - nr              # positions within the batch
-        inv = np.argsort(batch_idx)             # restore batch row order
-        idx_arr = pa.array(right_orig[inv].astype(np.int64), mask=~valid[inv])
+        if nb == 0:
+            out_cols = {name: batch[name] for name in batch.schema.names}
+            for _, name, typ in out_right:
+                out_cols[name] = pa.nulls(0, typ)
+            return pa.table(out_cols)
+        # restrict the merge to right rows under keys PRESENT in this
+        # batch: per-batch cost is O((T + B) log) with T = touched right
+        # rows, INDEPENDENT of the total right size — never a re-sort of
+        # the whole broadcast side per batch
+        bo = np.lexsort((lts, lk))
+        lk_s = lk[bo]
+        run_start = np.r_[True, lk_s[1:] != lk_s[:-1]] if nb else \
+            np.empty(0, bool)
+        uk = lk_s[np.flatnonzero(run_start)] if nb else np.empty(0, np.int64)
+        lo = np.searchsorted(rk, uk, "left")
+        hi = np.searchsorted(rk, uk, "right")
+        sizes = (hi - lo).astype(np.int64)
+        T = int(sizes.sum())
+        roff = np.cumsum(sizes) - sizes
+        touched = (np.repeat(lo - roff, sizes)
+                   + np.arange(T, dtype=np.int64)) if T else np.empty(0, np.int64)
+        # dense run ids replace the key in the merge (both sides sorted)
+        rid_right = np.repeat(np.arange(len(uk), dtype=np.int64), sizes)
+        rid_left = (np.cumsum(run_start.astype(np.int64)) - 1) if nb else \
+            np.empty(0, np.int64)
+        k2 = np.concatenate([rid_right, rid_left])
+        ts2 = np.concatenate([rts[touched], lts[bo]])
+        side2 = np.r_[np.zeros(T, np.int8), np.ones(nb, np.int8)]
+        ok2 = np.r_[np.ones(T, bool), lok[bo]]
+        left_pos, right_pos, valid = _asof_merge_arrays(k2, ts2, side2, ok2)
+        batch_rows = bo[left_pos - T]           # original batch row ids
+        right_rows = touched[np.where(valid, right_pos, 0)] if T else \
+            np.zeros(nb, np.int64)
+        inv = np.argsort(batch_rows)            # restore batch row order
+        idx_arr = pa.array(right_rows[inv].astype(np.int64), mask=~valid[inv])
         out_cols = {name: batch[name] for name in batch.schema.names}
         for _, name, _t in out_right:
             out_cols[name] = r["payload"][name].take(idx_arr)

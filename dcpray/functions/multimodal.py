@@ -181,13 +181,15 @@ def bmp_pixel_stats(batch: pa.Table) -> pa.Table:
     dimensions + mean pixel value (6dp half-up, matching DuckDB round).
     The per-item decode loop is inherent to decode work; everything
     around it (schema, batch flow) is the production shape."""
+    from dcpray.functions.textstats import round6_half_up
+
     dims_w, dims_h, means = [], [], []
     for payload in batch["payload"].to_pylist():
         pix = decode_bmp(payload)
         dims_h.append(pix.shape[0])
         dims_w.append(pix.shape[1])
         means.append(float(pix.mean()))
-    means = np.floor(np.asarray(means, np.float64) * 1e6 + 0.5) / 1e6
+    means = round6_half_up(means)
     return pa.table({
         "media_id": batch["media_id"],
         "width": pa.array(dims_w, pa.int32()),
@@ -231,6 +233,8 @@ def wav_audio_stats(batch: pa.Table) -> pa.Table:
     """REAL audio decode stage: parse each WAV payload (RIFF chunk walk)
     and report sample count, rate, and RMS amplitude (6dp half-up,
     matching DuckDB round) — the audio sibling of ``bmp_pixel_stats``."""
+    from dcpray.functions.textstats import round6_half_up
+
     ns, rates, rms = [], [], []
     for payload in batch["payload"].to_pylist():
         samples, rate = decode_wav(payload)
@@ -238,7 +242,7 @@ def wav_audio_stats(batch: pa.Table) -> pa.Table:
         ns.append(samples.shape[0])
         rates.append(rate)
         rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
-    rms = np.floor(np.asarray(rms, np.float64) * 1e6 + 0.5) / 1e6
+    rms = round6_half_up(rms)
     return pa.table({
         "media_id": batch["media_id"],
         "n_samples": pa.array(ns, pa.int32()),

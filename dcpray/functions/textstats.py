@@ -26,9 +26,15 @@ from dcpray.hashing import splitmix64
 # which flips exact .5e-6 ties and hash-mismatches the oracle
 
 
-def _round6(x):
-    """Half-up 6dp round matching DuckDB's round() on non-negatives."""
+def round6_half_up(x):
+    """Half-up 6dp round matching DuckDB's round() on non-negatives —
+    THE rounding convention every oracle-hashed float column uses
+    (numpy/arrow default to half-even, which flips exact .5e-6 ties).
+    Shared by textstats and the multimodal decode stats."""
     return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+_round6 = round6_half_up  # internal alias
 
 
 def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:

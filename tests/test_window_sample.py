@@ -283,3 +283,31 @@ def test_asof_join_broadcast_equals_distributed():
     for c in ("r_ts", "mark"):
         assert bc[c].isna().equals(dist[c].isna())
         assert (bc[c].dropna().to_numpy() == dist[c].dropna().to_numpy()).all()
+
+
+def test_ivf_build_trailing_slash_and_tmp_cleanup(tmp_path):
+    """index_dir with a trailing slash must still swap correctly, and a
+    failed build must not leak its .building temp dir."""
+    import glob as _g
+
+    from dcpray.functions.ann import build_ivf_index
+
+    rng = np.random.RandomState(2)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(50), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rng.randn(50, 4)],
+                              pa.list_(pa.float64())),
+    })
+    idx = str(tmp_path / "ivf") + "/"  # trailing slash
+    meta = build_ivf_index(rd.from_arrow(tab), idx, nlist=2)
+    assert meta["num_vectors"] == 50
+    assert os.path.exists(os.path.join(str(tmp_path / "ivf"), "meta.json"))
+
+    bad = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                    "embedding": pa.array([[1.0], [1.0, 2.0]],
+                                          pa.list_(pa.float64()))})
+    with pytest.raises(Exception):
+        build_ivf_index(rd.from_arrow(bad), str(tmp_path / "ivf"), nlist=2)
+    leaks = _g.glob(str(tmp_path / "ivf.building-*")) \
+        + _g.glob(str(tmp_path / "ivf" / "*.building-*"))
+    assert leaks == []
