@@ -477,6 +477,27 @@ def _q_events_sessions(sf_dir: str):
     return out
 
 
+def _q_events_range_click(sf_dir: str):
+    """Trailing-window range join: every (event, click) pair of the
+    same user with the click inside the event's preceding hour —
+    verified against DuckDB's native range join."""
+    import pyarrow.compute as pc
+
+    from dcpray.functions.join import range_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    left = read_clean(path, columns=["event_id", "user_id", "ts"],
+                      override_num_blocks=16)
+    right = read_clean(path, columns=["user_id", "ts", "event_type"],
+                       override_num_blocks=16).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    return range_join(left, right, key_col="user_id", ts_col="ts",
+                      right_cols={"ts": "click_ts"}, window_s=3600.0)
+
+
 def _q_events_top3_by_value(sf_dir: str):
     """Heavy hitters: top-3 events by value per user (event_id
     tiebreak). Per-batch local top-k combiner, then one coarse
@@ -597,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_asof_click": _q_events_asof_click,
         "events_top3_by_value": _q_events_top3_by_value,
+        "events_range_click": _q_events_range_click,
         "sample_docs_hash": _q_sample_docs_hash,
         "docs_hash_split": _q_docs_hash_split,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -788,6 +810,13 @@ SELECT user_id, CAST(session_id AS BIGINT) session_id,
        min(ts) session_start, max(ts) session_end,
        round(sum(value), 4) sum_value
 FROM s GROUP BY 1, 2""",
+        "events_range_click": """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
+FROM events l
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts - INTERVAL 60 MINUTE
+ AND r.ts <= l.ts""",
         "events_top3_by_value": """
 SELECT event_id, user_id, value FROM (
   SELECT event_id, user_id, value,

@@ -23,7 +23,7 @@ from dcpray.functions.dedup import (
     minhash_dup_pairs,
     simhash_dup_pairs,
 )
-from dcpray.functions.join import asof_join, asof_join_broadcast
+from dcpray.functions.join import asof_join, asof_join_broadcast, range_join
 from dcpray.functions.sample import hash_sample, hash_split
 from dcpray.functions.textstats import (
     LangId,
@@ -44,7 +44,8 @@ __all__ = [
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "simhash_dup_pairs",
-    "asof_join", "asof_join_broadcast", "hash_sample", "hash_split",
+    "asof_join", "asof_join_broadcast", "range_join",
+    "hash_sample", "hash_split",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",

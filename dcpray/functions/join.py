@@ -262,3 +262,131 @@ def asof_join_broadcast(left_ds, right, key_col: str, ts_col: str,
         return pa.table(out_cols)
 
     return left_ds.map_batches(match, fn_args=(ref,), batch_format="pyarrow")
+
+
+def range_join(left_ds, right_ds, key_col: str, ts_col: str,
+               right_cols: dict[str, str], window_s: float,
+               partitions: int = 64):
+    """Trailing-window range join (inner): for each left row (key, ts),
+    emit ONE OUTPUT ROW PER right row of the same key with
+    ``ts - window < right.ts <= ts`` (SQL: ``JOIN r ON l.key = r.key
+    AND r.ts > l.ts - INTERVAL w AND r.ts <= l.ts``). Output
+    cardinality is the true match count — budget for fan-out on dense
+    windows.
+
+    Scale shape: the same single coarse-partition exchange as
+    ``asof_join``; inside each partition the window bounds resolve with
+    ONE lexsort over rights + two bound-markers per left row — the
+    cumulative right count at each marker IS the row's 0-based range in
+    the partition's (key, ts)-sorted right array (rows between a left
+    row's two markers share its key by construction), and the pair list
+    is a vectorized ragged expansion of those ranges. Null keys/ts on
+    either side produce no matches (inner-join SQL semantics)."""
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right_ds.schema()
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    out_right = [(rc, name, right_types[rc]) for rc, name in right_cols.items()]
+    ts_common = _common_ts_type(left_types[ts_col], right_types[ts_col])
+    if ts_common is not None:
+        unit_per_s = {"s": 1, "ms": 1_000, "us": 1_000_000,
+                      "ns": 1_000_000_000}[ts_common.unit]
+        window = np.int64(round(window_s * unit_per_s))
+    else:
+        window = np.int64(round(window_s))
+
+    union_fields = (
+        [("_k", pa.int64()), ("_ts", pa.int64()), ("_side", pa.int8()),
+         ("_ok", pa.int8()), ("_pk", pa.int32())]
+        + [(n, left_types[n]) for n in left_names]
+        + [(f"_r_{name}", t) for _, name, t in out_right]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _pk_of(k: np.ndarray) -> np.ndarray:
+        return (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k, ts, valid = _key_ts_arrays(t, key_col, ts_col, ts_common)
+        # inner join: null-key/ts left rows can never match — drop here
+        t = t.filter(pa.array(valid))
+        k, ts = k[valid], ts[valid]
+        n = t.num_rows
+        cols = {"_k": pa.array(k), "_ts": pa.array(ts),
+                "_side": pa.array(np.ones(n, np.int8)),
+                "_ok": pa.array(np.ones(n, np.int8)),
+                "_pk": pa.array(_pk_of(k))}
+        for name in left_names:
+            cols[name] = t[name]
+        for _, name, typ in out_right:
+            cols[f"_r_{name}"] = pa.nulls(n, typ)
+        return pa.table(cols, schema=union_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k, ts, valid = _key_ts_arrays(t, key_col, ts_col, ts_common)
+        t = t.filter(pa.array(valid))
+        k, ts = k[valid], ts[valid]
+        n = t.num_rows
+        cols = {"_k": pa.array(k), "_ts": pa.array(ts),
+                "_side": pa.array(np.zeros(n, np.int8)),
+                "_ok": pa.array(np.ones(n, np.int8)),
+                "_pk": pa.array(_pk_of(k))}
+        for name in left_names:
+            cols[name] = pa.nulls(n, left_types[name])
+        for rc, name, typ in out_right:
+            cols[f"_r_{name}"] = t[rc].cast(typ)
+        return pa.table(cols, schema=union_schema)
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = group["_k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = group["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_right = side == 0
+        r_rows = np.flatnonzero(is_right)
+        l_rows = np.flatnonzero(~is_right)
+        nr, nl = len(r_rows), len(l_rows)
+        empty = {**{n: group[n].take(pa.array(np.empty(0, np.int64)))
+                    for n in left_names},
+                 **{name: group[f"_r_{name}"].take(pa.array(np.empty(0, np.int64)))
+                    for _, name, _t in out_right}}
+        if nr == 0 or nl == 0:
+            return pa.table(empty)
+        rk, rt = k[r_rows], ts[r_rows]
+        r_order = np.lexsort((rt, rk))
+        rk_s, rt_s = rk[r_order], rt[r_order]
+        lk, lt = k[l_rows], ts[l_rows]
+        # union of sorted rights + two markers per left, markers AFTER
+        # rights at equal (key, ts): cumcount(right) at marker position
+        # = # rights with (k, ts) <= marker — exclusive lower bound
+        # (> t-w) and inclusive upper (<= t) both want ties counted
+        uk = np.concatenate([rk_s, lk, lk])
+        with np.errstate(over="ignore"):
+            uts = np.concatenate([rt_s, lt - window, lt])
+        uside = np.r_[np.zeros(nr, np.int8), np.ones(2 * nl, np.int8)]
+        order = np.lexsort((uside, uts, uk))
+        cum = np.cumsum((uside[order] == 0).astype(np.int64))
+        pos_of = np.empty(len(order), np.int64)
+        pos_of[order] = np.arange(len(order))
+        lo = cum[pos_of[nr : nr + nl]]          # rights <= (k, t-w)
+        hi = cum[pos_of[nr + nl :]]             # rights <= (k, t)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(empty)
+        coff = np.cumsum(counts) - counts
+        ridx_sorted = np.repeat(lo - coff, counts) + np.arange(total, dtype=np.int64)
+        pair_left = np.repeat(l_rows, counts)
+        pair_right = r_rows[r_order[ridx_sorted]]
+        out_cols = {}
+        lt_tab = group.select(left_names).take(pa.array(pair_left))
+        for name in left_names:
+            out_cols[name] = lt_tab[name]
+        for _, name, _t in out_right:
+            out_cols[name] = group[f"_r_{name}"].take(pa.array(pair_right))
+        return pa.table(out_cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("_pk").map_groups(merge, batch_format="pyarrow")

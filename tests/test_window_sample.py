@@ -311,3 +311,62 @@ def test_ivf_build_trailing_slash_and_tmp_cleanup(tmp_path):
     leaks = _g.glob(str(tmp_path / "ivf.building-*")) \
         + _g.glob(str(tmp_path / "ivf" / "*.building-*"))
     assert leaks == []
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_range_join_matches_pandas(blocks):
+    """Trailing-window range join vs a naive pandas cross-merge filter."""
+    from dcpray.functions.join import range_join
+
+    rng = np.random.RandomState(17)
+    nl, nr = 400, 150
+    left = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64),
+        "user_id": rng.randint(0, 10, nl).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, nl), unit="s"),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.randint(0, 10, nr).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, nr), unit="s"),
+        "mark": np.arange(nr, dtype=np.int64),
+    })
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    if blocks > 1:
+        lds, rds = lds.repartition(blocks), rds.repartition(3)
+    w = 3600.0
+    out = range_join(lds, rds, key_col="user_id", ts_col="ts",
+                     right_cols={"mark": "mark"}, window_s=w).to_pandas()
+    got = sorted(zip(out["event_id"], out["mark"]))
+
+    naive = left.merge(right, on="user_id", suffixes=("", "_r"))
+    naive = naive[(naive["ts_r"] > naive["ts"] - pd.Timedelta(seconds=w))
+                  & (naive["ts_r"] <= naive["ts"])]
+    want = sorted(zip(naive["event_id"], naive["mark"]))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_range_join_bounds_exclusive_inclusive():
+    """Lower bound strict (> t-w), upper inclusive (<= t)."""
+    from dcpray.functions.join import range_join
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    left = pd.DataFrame({"event_id": [0], "user_id": [1], "ts": [base]})
+    right = pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "ts": [base - pd.Timedelta(seconds=60),   # == t-w: EXCLUDED
+               base - pd.Timedelta(seconds=59),   # inside
+               base,                              # == t: INCLUDED
+               base + pd.Timedelta(seconds=1)],   # future: excluded
+        "mark": np.array([0, 1, 2, 3], np.int64),
+    })
+    out = range_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        key_col="user_id", ts_col="ts", right_cols={"mark": "mark"},
+        window_s=60.0,
+    ).to_pandas()
+    assert sorted(out["mark"].tolist()) == [1, 2]
