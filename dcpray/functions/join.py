@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from dcpray.hashing import splitmix64
 
 _UNIT_RANK = {"s": 0, "ms": 1, "us": 2, "ns": 3}
+_UNIT_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 _TS_SENTINEL = np.int64(np.iinfo(np.int64).min)
 
 
@@ -96,6 +97,76 @@ def _asof_merge_arrays(k: np.ndarray, ts: np.ndarray, side: np.ndarray,
     return left_orig, right_orig, match_valid
 
 
+def _plan_temporal_join(left_ds, right_ds, key_col: str, ts_col: str,
+                        right_cols: dict[str, str], partitions: int,
+                        drop_invalid_left: bool):
+    """Shared front half of the temporal joins: resolve schemas and the
+    common ts type, and build the tagged union Dataset both sides feed
+    into one coarse-partition exchange. ``drop_invalid_left`` picks the
+    null semantics — inner joins drop null-key/ts left rows up front
+    (and carry no ``_ok`` column at all); left joins keep them with
+    ``_ok`` = 0 so the merge emits them unmatched. Returns
+    (tagged_ds, left_names, out_right, ts_common)."""
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    out_right = [(rc, name, right_types[rc]) for rc, name in right_cols.items()]
+    ts_common = _common_ts_type(left_types[ts_col], right_types[ts_col])
+
+    with_ok = not drop_invalid_left
+    union_fields = (
+        [("_k", pa.int64()), ("_ts", pa.int64()), ("_side", pa.int8())]
+        + ([("_ok", pa.int8())] if with_ok else [])
+        + [("_pk", pa.int32())]
+        + [(n, left_types[n]) for n in left_names]
+        + [(f"_r_{name}", t) for _, name, t in out_right]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _pk_of(k: np.ndarray) -> np.ndarray:
+        return (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k, ts, valid = _key_ts_arrays(t, key_col, ts_col, ts_common)
+        if drop_invalid_left:
+            t = t.filter(pa.array(valid))
+            k, ts = k[valid], ts[valid]
+        n = t.num_rows
+        cols = {"_k": pa.array(k), "_ts": pa.array(ts),
+                "_side": pa.array(np.ones(n, np.int8))}
+        if with_ok:
+            cols["_ok"] = pa.array(valid.astype(np.int8))
+        cols["_pk"] = pa.array(_pk_of(k))
+        for name in left_names:
+            cols[name] = t[name]
+        for _, name, typ in out_right:
+            cols[f"_r_{name}"] = pa.nulls(n, typ)
+        return pa.table(cols, schema=union_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k, ts, valid = _key_ts_arrays(t, key_col, ts_col, ts_common)
+        # null key/ts right rows can never match: drop them here
+        t = t.filter(pa.array(valid))
+        k, ts = k[valid], ts[valid]
+        n = t.num_rows
+        cols = {"_k": pa.array(k), "_ts": pa.array(ts),
+                "_side": pa.array(np.zeros(n, np.int8))}
+        if with_ok:
+            cols["_ok"] = pa.array(np.ones(n, np.int8))
+        cols["_pk"] = pa.array(_pk_of(k))
+        for name in left_names:
+            cols[name] = pa.nulls(n, left_types[name])
+        for rc, name, typ in out_right:
+            cols[f"_r_{name}"] = t[rc].cast(typ)
+        return pa.table(cols, schema=union_schema)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged, left_names, out_right, ts_common
+
+
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
               right_cols: dict[str, str], partitions: int = 64):
     """Backward as-of left join.
@@ -106,56 +177,10 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
     the same key has ts ≤ the left row's ts). Equal timestamps match
     (``>=``); among equal-ts right rows the last in (key, ts) order
     wins — emit only tie-invariant right columns if that matters."""
-    left_schema = left_ds.schema()
-    left_names = list(left_schema.names)
-    left_types = dict(zip(left_schema.names, left_schema.types))
-    right_schema = right_ds.schema()
-    right_types = dict(zip(right_schema.names, right_schema.types))
-    out_right = [(rc, name, right_types[rc]) for rc, name in right_cols.items()]
-    ts_common = _common_ts_type(left_types[ts_col], right_types[ts_col])
-
-    union_fields = (
-        [("_k", pa.int64()), ("_ts", pa.int64()), ("_side", pa.int8()),
-         ("_ok", pa.int8()), ("_pk", pa.int32())]
-        + [(n, left_types[n]) for n in left_names]
-        + [(f"_r_{name}", t) for _, name, t in out_right]
+    tagged, left_names, out_right, _ = _plan_temporal_join(
+        left_ds, right_ds, key_col, ts_col, right_cols, partitions,
+        drop_invalid_left=False,
     )
-    union_schema = pa.schema(union_fields)
-
-    def _pk_of(k: np.ndarray) -> np.ndarray:
-        return (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
-
-    def _key_ts(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        return _key_ts_arrays(t, key_col, ts_col, ts_common)
-
-    def tag_left(t: pa.Table) -> pa.Table:
-        k, ts, valid = _key_ts(t)
-        n = t.num_rows
-        cols = {"_k": pa.array(k), "_ts": pa.array(ts),
-                "_side": pa.array(np.ones(n, np.int8)),
-                "_ok": pa.array(valid.astype(np.int8)),
-                "_pk": pa.array(_pk_of(k))}
-        for name in left_names:
-            cols[name] = t[name]
-        for _, name, typ in out_right:
-            cols[f"_r_{name}"] = pa.nulls(n, typ)
-        return pa.table(cols, schema=union_schema)
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        k, ts, valid = _key_ts(t)
-        # null key/ts right rows can never match: drop them here
-        t = t.filter(pa.array(valid))
-        k, ts = k[valid], ts[valid]
-        n = t.num_rows
-        cols = {"_k": pa.array(k), "_ts": pa.array(ts),
-                "_side": pa.array(np.zeros(n, np.int8)),
-                "_ok": pa.array(np.ones(n, np.int8)),
-                "_pk": pa.array(_pk_of(k))}
-        for name in left_names:
-            cols[name] = pa.nulls(n, left_types[name])
-        for rc, name, typ in out_right:
-            cols[f"_r_{name}"] = t[rc].cast(typ)
-        return pa.table(cols, schema=union_schema)
 
     def merge(group: pa.Table) -> pa.Table:
         k = group["_k"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -174,9 +199,6 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
             out_cols[name] = group[f"_r_{name}"].take(idx_arr)
         return pa.table(out_cols)
 
-    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
-        right_ds.map_batches(tag_right, batch_format="pyarrow")
-    )
     return tagged.groupby("_pk").map_groups(merge, batch_format="pyarrow")
 
 
@@ -281,62 +303,19 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str,
     the partition's (key, ts)-sorted right array (rows between a left
     row's two markers share its key by construction), and the pair list
     is a vectorized ragged expansion of those ranges. Null keys/ts on
-    either side produce no matches (inner-join SQL semantics)."""
-    left_schema = left_ds.schema()
-    left_names = list(left_schema.names)
-    left_types = dict(zip(left_schema.names, left_schema.types))
-    right_schema = right_ds.schema()
-    right_types = dict(zip(right_schema.names, right_schema.types))
-    out_right = [(rc, name, right_types[rc]) for rc, name in right_cols.items()]
-    ts_common = _common_ts_type(left_types[ts_col], right_types[ts_col])
+    either side produce no matches (inner-join SQL semantics: invalid
+    rows are dropped up front, so no ``_ok`` column rides the
+    exchange)."""
+    if not window_s > 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    tagged, left_names, out_right, ts_common = _plan_temporal_join(
+        left_ds, right_ds, key_col, ts_col, right_cols, partitions,
+        drop_invalid_left=True,
+    )
     if ts_common is not None:
-        unit_per_s = {"s": 1, "ms": 1_000, "us": 1_000_000,
-                      "ns": 1_000_000_000}[ts_common.unit]
-        window = np.int64(round(window_s * unit_per_s))
+        window = np.int64(round(window_s * _UNIT_PER_S[ts_common.unit]))
     else:
         window = np.int64(round(window_s))
-
-    union_fields = (
-        [("_k", pa.int64()), ("_ts", pa.int64()), ("_side", pa.int8()),
-         ("_ok", pa.int8()), ("_pk", pa.int32())]
-        + [(n, left_types[n]) for n in left_names]
-        + [(f"_r_{name}", t) for _, name, t in out_right]
-    )
-    union_schema = pa.schema(union_fields)
-
-    def _pk_of(k: np.ndarray) -> np.ndarray:
-        return (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
-
-    def tag_left(t: pa.Table) -> pa.Table:
-        k, ts, valid = _key_ts_arrays(t, key_col, ts_col, ts_common)
-        # inner join: null-key/ts left rows can never match — drop here
-        t = t.filter(pa.array(valid))
-        k, ts = k[valid], ts[valid]
-        n = t.num_rows
-        cols = {"_k": pa.array(k), "_ts": pa.array(ts),
-                "_side": pa.array(np.ones(n, np.int8)),
-                "_ok": pa.array(np.ones(n, np.int8)),
-                "_pk": pa.array(_pk_of(k))}
-        for name in left_names:
-            cols[name] = t[name]
-        for _, name, typ in out_right:
-            cols[f"_r_{name}"] = pa.nulls(n, typ)
-        return pa.table(cols, schema=union_schema)
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        k, ts, valid = _key_ts_arrays(t, key_col, ts_col, ts_common)
-        t = t.filter(pa.array(valid))
-        k, ts = k[valid], ts[valid]
-        n = t.num_rows
-        cols = {"_k": pa.array(k), "_ts": pa.array(ts),
-                "_side": pa.array(np.zeros(n, np.int8)),
-                "_ok": pa.array(np.ones(n, np.int8)),
-                "_pk": pa.array(_pk_of(k))}
-        for name in left_names:
-            cols[name] = pa.nulls(n, left_types[name])
-        for rc, name, typ in out_right:
-            cols[f"_r_{name}"] = t[rc].cast(typ)
-        return pa.table(cols, schema=union_schema)
 
     def merge(group: pa.Table) -> pa.Table:
         k = group["_k"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -361,8 +340,11 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str,
         # = # rights with (k, ts) <= marker — exclusive lower bound
         # (> t-w) and inclusive upper (<= t) both want ties counted
         uk = np.concatenate([rk_s, lk, lk])
-        with np.errstate(over="ignore"):
-            uts = np.concatenate([rt_s, lt - window, lt])
+        # SATURATING lower bound: lt near int64.min would otherwise
+        # wrap positive under the subtraction and silently drop (or,
+        # with future rights present, produce negative counts)
+        lower = np.maximum(lt, _TS_SENTINEL + window) - window
+        uts = np.concatenate([rt_s, lower, lt])
         uside = np.r_[np.zeros(nr, np.int8), np.ones(2 * nl, np.int8)]
         order = np.lexsort((uside, uts, uk))
         cum = np.cumsum((uside[order] == 0).astype(np.int64))
@@ -386,7 +368,4 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str,
             out_cols[name] = group[f"_r_{name}"].take(pa.array(pair_right))
         return pa.table(out_cols)
 
-    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
-        right_ds.map_batches(tag_right, batch_format="pyarrow")
-    )
     return tagged.groupby("_pk").map_groups(merge, batch_format="pyarrow")

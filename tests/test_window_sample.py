@@ -370,3 +370,38 @@ def test_range_join_bounds_exclusive_inclusive():
         window_s=60.0,
     ).to_pandas()
     assert sorted(out["mark"].tolist()) == [1, 2]
+
+
+def test_range_join_rejects_nonpositive_window_and_saturates():
+    from dcpray.functions.join import range_join
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([0], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([0], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([0], pa.int64()),
+        "mark": pa.array([5], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="window_s"):
+        range_join(left, right, key_col="user_id", ts_col="ts",
+                   right_cols={"mark": "mark"}, window_s=-60.0)
+
+    # saturation: a left ts within one window of int64.min must still
+    # match its in-window rights instead of wrapping positive
+    lo_ts = np.iinfo(np.int64).min + 5
+    left2 = rd.from_arrow(pa.table({
+        "event_id": pa.array([0], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([int(lo_ts)], pa.int64()),
+    }))
+    right2 = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([int(lo_ts) - 2, int(lo_ts) + 1], pa.int64()),
+        "mark": pa.array([7, 8], pa.int64()),
+    }))
+    out = range_join(left2, right2, key_col="user_id", ts_col="ts",
+                     right_cols={"mark": "mark"}, window_s=10.0).to_pandas()
+    assert sorted(out["mark"].tolist()) == [7]
