@@ -44,6 +44,8 @@ SECONDARY = [
     "lang_id",
     "ann_topk",
     "events_hourly",
+    "events_sessions",
+    "events_asof_click",
 ]
 
 
