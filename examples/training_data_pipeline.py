@@ -1,0 +1,142 @@
+"""End-to-end training-data pipeline on dcpray.
+
+The composition a real user runs: CDC-replay a change-event WAL into a
+committed transcript lake, then refine the corpus — exact + near-dup
+dedup, quality/language filtering, deterministic train/val/test
+splitting — and write partitioned Parquet, all as ONE lazy Ray Data
+flow per stage (each stage streams; nothing materializes the corpus on
+the driver).
+
+Run standalone (owns its Ray session):
+
+    PYTHONPATH=. python examples/training_data_pipeline.py \
+        --wal /tmp/dcpray_fixtures/sf0.001/wal \
+        --base /tmp/dcpray_fixtures/sf0.001/base \
+        --out /tmp/dcpray_example
+
+or call :func:`run_pipeline` from code/tests with Ray already up.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
+                 *, num_buckets: int = 16, dedup_threshold: float = 0.7,
+                 min_quality: float = 0.3) -> dict:
+    """Returns per-stage row counts. Stages:
+
+    1. CDC replay → committed lake (exactly-once manifest commit).
+    2. Lake → documents: one text doc per conversation turn.
+    3. Exact dedup (content hash, keep min key).
+    4. MinHash near-dup pairs → drop non-representatives.
+    5. Quality + language filter (vectorized scorers).
+    6. Deterministic 8/1/1 split by content hash.
+    7. Partitioned Parquet per split (resumable layout).
+    """
+    from dcpray import Lake, ReplayConfig, replay
+    from dcpray.functions.dedup import cluster_pairs, exact_dedup, minhash_dup_pairs
+    from dcpray.functions.sample import hash_split
+    from dcpray.functions.textstats import lang_id_batch, quality_score_batch
+
+    counts: dict = {}
+
+    # 1. ingest
+    lake = Lake(os.path.join(out_dir, "lake"))
+    res = replay(lake, wal_dir, base_snapshot_dir=base_dir,
+                 config=ReplayConfig(num_buckets=num_buckets))
+    counts["replay_rows_out"] = int(res.metrics.get("rows_out", 0)) \
+        if res.committed else 0
+
+    # 2. lake -> documents (doc_id = stable hash of (conv, turn))
+    from dcpray.hashing import key_hash
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = key_hash(t["conv_id"], t["turn_idx"]).view(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "text": pc.fill_null(t["text"], ""),
+        })
+
+    docs = (lake.read_current()
+            .select_columns(["conv_id", "turn_idx", "text"])
+            .map_batches(to_docs, batch_format="pyarrow"))
+
+    # 3. exact dedup
+    docs = exact_dedup(docs, key_col="doc_id", text_col="text")
+    counts["after_exact_dedup"] = docs.count()
+
+    # 4. near-dup dedup: verified pairs -> drop non-representatives
+    pairs = minhash_dup_pairs(docs, threshold=dedup_threshold).to_pandas()
+    reps = cluster_pairs(pairs)
+    drop = sorted(d for d, r in reps.items() if d != r)
+    if drop:
+        drop_set = pa.array(drop, pa.int64())
+        docs = docs.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t["doc_id"], value_set=drop_set))
+            ),
+            batch_format="pyarrow",
+        )
+    counts["near_dup_dropped"] = len(drop)
+
+    # 5. quality + language filter (task-pool scorers, joined per batch
+    # — each batch scores itself, no exchange)
+    def refine(t: pa.Table) -> pa.Table:
+        q = quality_score_batch(t)
+        lang = lang_id_batch(t)
+        keep = pc.and_(
+            pc.greater_equal(q["quality_score"],
+                             pa.scalar(min_quality, pa.float64())),
+            pc.is_in(lang["lang_pred"],
+                     value_set=pa.array(["en", "de", "fr", "es"])),
+        )
+        return t.append_column("quality_score", q["quality_score"]) \
+                .append_column("lang_pred", lang["lang_pred"]) \
+                .filter(keep)
+
+    docs = docs.map_batches(refine, batch_format="pyarrow")
+
+    # 6. deterministic split + 7. partitioned write (one dir per split —
+    # a failed run reruns a split without touching the others)
+    split = hash_split(docs, col="text").materialize()
+    counts["after_filters"] = split.count()
+    for name in ("train", "val", "test"):
+        part = split.map_batches(
+            lambda t, _n=name: t.filter(pc.equal(t["split"], _n)),
+            batch_format="pyarrow",
+        )
+        part.write_parquet(os.path.join(out_dir, "corpus", f"split={name}"))
+        counts[f"split_{name}"] = part.count()
+    return counts
+
+
+def main() -> None:
+    import argparse
+
+    import ray
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wal", required=True)
+    ap.add_argument("--base", default=None)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    try:
+        counts = run_pipeline(args.wal, args.base, args.out)
+        for k, v in counts.items():
+            print(f"{k}: {v}")
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
