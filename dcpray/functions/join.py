@@ -312,10 +312,15 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str,
         left_ds, right_ds, key_col, ts_col, right_cols, partitions,
         drop_invalid_left=True,
     )
-    if ts_common is not None:
-        window = np.int64(round(window_s * _UNIT_PER_S[ts_common.unit]))
-    else:
-        window = np.int64(round(window_s))
+    import math
+
+    # CEILING, not round: for integer timestamps the exclusive bound
+    # r.ts > l.ts - w excludes ts <= floor(l.ts - w) = l.ts - ceil(w),
+    # so a fractional (or sub-resolution) window must round UP — round()
+    # would silently collapse window_s=0.5 at second resolution to an
+    # empty join. The 1e-9 guard absorbs float dust (0.1*1e9 etc).
+    unit = _UNIT_PER_S[ts_common.unit] if ts_common is not None else 1
+    window = np.int64(math.ceil(window_s * unit - 1e-9))
 
     def merge(group: pa.Table) -> pa.Table:
         k = group["_k"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -342,10 +347,16 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str,
         uk = np.concatenate([rk_s, lk, lk])
         # SATURATING lower bound: lt near int64.min would otherwise
         # wrap positive under the subtraction and silently drop (or,
-        # with future rights present, produce negative counts)
+        # with future rights present, produce negative counts). An
+        # underflowed bound means "-infinity": its marker must sort
+        # BEFORE rights at the saturated value (side -1), or a right
+        # row at exactly int64.min would be wrongly excluded.
+        underflow = lt < _TS_SENTINEL + window
         lower = np.maximum(lt, _TS_SENTINEL + window) - window
         uts = np.concatenate([rt_s, lower, lt])
-        uside = np.r_[np.zeros(nr, np.int8), np.ones(2 * nl, np.int8)]
+        lower_side = np.where(underflow, np.int8(-1), np.int8(1))
+        uside = np.concatenate([np.zeros(nr, np.int8), lower_side,
+                                np.ones(nl, np.int8)])
         order = np.lexsort((uside, uts, uk))
         cum = np.cumsum((uside[order] == 0).astype(np.int64))
         pos_of = np.empty(len(order), np.int64)

@@ -68,8 +68,12 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
             .select_columns(["conv_id", "turn_idx", "text"])
             .map_batches(to_docs, batch_format="pyarrow"))
 
-    # 3. exact dedup
-    docs = exact_dedup(docs, key_col="doc_id", text_col="text")
+    # 3. exact dedup — MATERIALIZE the result (object store, not the
+    # driver): three downstream consumers (count, the near-dup pair
+    # pass + its verify corpus pass, the final split) would otherwise
+    # each re-run the lake scan and the dedup exchange, since Ray Data
+    # recomputes lineage per consumer
+    docs = exact_dedup(docs, key_col="doc_id", text_col="text").materialize()
     counts["after_exact_dedup"] = docs.count()
 
     # 4. near-dup dedup: verified pairs -> drop non-representatives
@@ -111,7 +115,7 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
         part = split.map_batches(
             lambda t, _n=name: t.filter(pc.equal(t["split"], _n)),
             batch_format="pyarrow",
-        )
+        ).materialize()  # one filter pass feeds both write and count
         part.write_parquet(os.path.join(out_dir, "corpus", f"split={name}"))
         counts[f"split_{name}"] = part.count()
     return counts

@@ -405,3 +405,47 @@ def test_range_join_rejects_nonpositive_window_and_saturates():
     out = range_join(left2, right2, key_col="user_id", ts_col="ts",
                      right_cols={"mark": "mark"}, window_s=10.0).to_pandas()
     assert sorted(out["mark"].tolist()) == [7]
+
+
+def test_range_join_fractional_window_and_min_edge():
+    """A sub-resolution window keeps equal-resolution rights (ceil, not
+    round), and an underflowed lower bound means -infinity: a right row
+    at exactly int64.min still matches."""
+    from dcpray.functions.join import range_join
+
+    # fractional window at integer (seconds-like) resolution: rights at
+    # t and t-1 satisfy r.ts > t - 1.4; t-2 does not
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([0], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([100], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([98, 99, 100], pa.int64()),
+        "mark": pa.array([0, 1, 2], pa.int64()),
+    }))
+    out = range_join(left, right, key_col="user_id", ts_col="ts",
+                     right_cols={"mark": "mark"}, window_s=1.4).to_pandas()
+    assert sorted(out["mark"].tolist()) == [1, 2]
+
+    # window_s=0.5 at integer resolution: only the equal-ts right
+    out05 = range_join(left, right, key_col="user_id", ts_col="ts",
+                       right_cols={"mark": "mark"}, window_s=0.5).to_pandas()
+    assert sorted(out05["mark"].tolist()) == [2]
+
+    # underflow: right at exactly int64.min matches a left within window
+    tsmin = np.iinfo(np.int64).min
+    left2 = rd.from_arrow(pa.table({
+        "event_id": pa.array([0], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([int(tsmin) + 5], pa.int64()),
+    }))
+    right2 = rd.from_arrow(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([int(tsmin)], pa.int64()),
+        "mark": pa.array([9], pa.int64()),
+    }))
+    out2 = range_join(left2, right2, key_col="user_id", ts_col="ts",
+                      right_cols={"mark": "mark"}, window_s=10.0).to_pandas()
+    assert out2["mark"].tolist() == [9]
