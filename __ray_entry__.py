@@ -556,6 +556,25 @@ def _q_docs_hash_split(sf_dir: str):
     return hash_split(ds, col="text").select_columns(["doc_id", "split"])
 
 
+def _q_docs_remove_boilerplate(sf_dir: str):
+    """C4-style repeated-fragment removal: fragments occurring in ≥3
+    places corpus-wide are removed from every document, order
+    preserved. (The synthetic docs are single-line, so the driver query
+    splits on spaces — same operator, word-granularity separator; a
+    real web corpus uses the default newline separator.)"""
+    import pyarrow as pa
+
+    from dcpray.functions.boilerplate import remove_repeated_paragraphs
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    cleaned = remove_repeated_paragraphs(ds, min_repeats=3, sep=" ")
+    return cleaned.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text_clean": t["text"]}),
+        batch_format="pyarrow",
+    )
+
+
 def _q_multimodal_decode_bmp(sf_dir: str):
     """REAL multimodal decode, SQL-verifiable: synthesize a valid 8×8
     BMP per document (pixels a closed-form function of the text length),
@@ -621,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_click": _q_events_range_click,
         "sample_docs_hash": _q_sample_docs_hash,
         "docs_hash_split": _q_docs_hash_split,
+        "docs_remove_boilerplate": _q_docs_remove_boilerplate,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
@@ -839,6 +859,21 @@ SELECT doc_id,
        WHEN md5_number_lower(text) % 10 < 9 THEN 'val'
        ELSE 'test' END split
 FROM documents""",
+        "docs_remove_boilerplate": """
+WITH paras AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) p,
+         generate_subscripts(string_split(text, ' '), 1) i
+  FROM documents
+), hot AS (
+  SELECT md5(p) h FROM paras GROUP BY md5(p) HAVING count(*) >= 3
+), kept AS (
+  SELECT doc_id, p, i FROM paras WHERE md5(p) NOT IN (SELECT h FROM hot)
+)
+SELECT d.doc_id, coalesce(k.text_clean, '') text_clean
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(p, ' ' ORDER BY i) text_clean
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)""",
         "multimodal_decode_bmp": """
 SELECT d.doc_id AS media_id,
        CAST(8 AS INTEGER) width, CAST(8 AS INTEGER) height,

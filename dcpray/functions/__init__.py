@@ -7,6 +7,7 @@ Arrow batches — no driver-side loops, no per-row Python in hot paths.
 """
 
 from dcpray.functions.agg import add_coarse_pk, coarse_groupby, topk_per_group
+from dcpray.functions.boilerplate import remove_repeated_paragraphs
 from dcpray.functions.ann import (
     build_ivf_index,
     ivf_query,
@@ -49,5 +50,5 @@ __all__ = [
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",
-    "session_stats", "sessionize",
+    "session_stats", "sessionize", "remove_repeated_paragraphs",
 ]
