@@ -81,10 +81,18 @@ def remove_repeated_paragraphs(ds, min_repeats: int = 3,
         ds.map_batches(count_partial, batch_format="pyarrow"),
         keys=["h"], aggs=[("n_part", "sum", "n")], partitions=partitions,
     )
+    # filter to HOT rows distributed-side BEFORE the driver collects:
+    # the driver must only ever see the (small) hot set, never the full
+    # distinct-paragraph digest stream
+    hot_ds = counted.map_batches(
+        lambda t: t.select(["h"]).filter(
+            pc.greater_equal(t["n"], pa.scalar(min_repeats, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
     hot_parts = []
-    for bt in counted.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        mask = pc.greater_equal(bt["n"], pa.scalar(min_repeats, pa.int64()))
-        hot_parts.append(bt["h"].filter(mask).to_numpy(zero_copy_only=False))
+    for bt in hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        hot_parts.append(bt["h"].to_numpy(zero_copy_only=False))
         if sum(len(p) for p in hot_parts) > max_hot:
             raise ValueError(
                 f"hot paragraph set exceeds max_hot={max_hot}; raise "
