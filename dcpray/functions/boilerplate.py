@@ -69,6 +69,11 @@ def remove_repeated_paragraphs(ds, min_repeats: int = 3,
     from dcpray.functions.agg import coarse_groupby
 
     def count_partial(t: pa.Table) -> pa.Table:
+        # SQL parity: unnest(string_split(NULL)) yields ZERO rows — a
+        # null document contributes no paragraphs to the counts (the
+        # fill_null in the split is for the CLEAN pass, whose output for
+        # null docs is '' either way, matching the oracle's coalesce)
+        t = t.filter(pc.is_valid(t[text_col]))
         _, flat, _ = _split_paragraphs(t, text_col, sep)
         h = _md5_digests(flat)
         uniq, counts = np.unique(h, return_counts=True)

@@ -59,3 +59,17 @@ def test_max_hot_guard():
     with pytest.raises(ValueError, match="max_hot"):
         remove_repeated_paragraphs(rd.from_arrow(tab), min_repeats=2,
                                    max_hot=2)
+
+
+def test_null_text_sql_parity():
+    """Null documents contribute NO paragraphs to the counts (SQL
+    unnest(string_split(NULL)) is empty) and clean to ''."""
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([None, None, None, "x  y"]),
+    })
+    out = remove_repeated_paragraphs(rd.from_arrow(tab), min_repeats=3,
+                                     sep=" ").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # nulls did NOT make '' hot, so the double space survives
+    assert out["text"].tolist() == ["", "", "", "x  y"]
