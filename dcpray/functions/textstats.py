@@ -8,8 +8,6 @@ Ray actor pools (setup once per actor in ``__init__``).
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
