@@ -349,6 +349,18 @@ def _q_embedding_neardup_exact(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_text_jaccard_exact(sf_dir: str):
+    """Exact word-3-gram-set Jaccard pairs — the SQL-verifiable TEXT
+    similarity baseline anchoring the MinHash+LSH scale path (the text
+    analogue of embedding_neardup_exact)."""
+    from dcpray.functions.dedup import ngram_jaccard_exact_pairs
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    out = ngram_jaccard_exact_pairs(ds, threshold=0.5, n=3).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_lang_id(sf_dir: str):
     # task-pool form: LangId's per-actor state is microseconds to build,
     # so a process-level singleton beats actor-pool spin-up (~1 s wall)
@@ -646,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "lang_id": _q_lang_id,
+        "text_jaccard_exact": _q_text_jaccard_exact,
         "text_fingerprint": _q_text_fingerprint,
         "text_fingerprint_md5": _q_text_fingerprint_md5,
         "quality_score": _q_quality_score,
@@ -782,6 +795,23 @@ SELECT doc_id,
       + 0.25 * (n_alpha / CAST(greatest(1, n_chars) AS DOUBLE))
       + 0.25 * (CASE WHEN n > 0 THEN n_uniq / CAST(n AS DOUBLE) ELSE 0 END), 6) quality_score
 FROM s""",
+        "text_jaccard_exact": """
+WITH w0 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') w
+  FROM documents
+), s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 0)),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) g
+  FROM w0
+)
+SELECT a.doc_id a, b.doc_id b,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5""",
         "embedding_neardup_exact": """
 SELECT x.vec_id a, y.vec_id b,
        round(list_cosine_similarity(x.embedding, y.embedding), 4) cosine

@@ -22,6 +22,7 @@ from dcpray.functions.dedup import (
     exact_dedup,
     minhash_dedup,
     minhash_dup_pairs,
+    ngram_jaccard_exact_pairs,
     simhash_dup_pairs,
 )
 from dcpray.functions.join import asof_join, asof_join_broadcast, range_join
@@ -44,7 +45,7 @@ __all__ = [
     "build_ivf_index", "ivf_query", "ivf_topk", "topk_cosine",
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
-    "minhash_dup_pairs", "simhash_dup_pairs",
+    "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "asof_join", "asof_join_broadcast", "range_join",
     "hash_sample", "hash_split",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",

@@ -1067,3 +1067,109 @@ def embedding_exact_pairs(ds, threshold=0.4, id_col="vec_id",
         ExactCosinePairs, fn_constructor_args=(ref, threshold),
         batch_format="pyarrow", concurrency=concurrency,
     )
+
+
+# --------------------------------- exact n-gram Jaccard (SQL baseline)
+
+
+def _doc_ngram_sets(texts, n: int, sep: str):
+    """Per-doc DISTINCT word-n-gram string sets (empty tokens dropped),
+    matching the oracle's list_distinct(list_transform(...))."""
+    out = []
+    for t in texts:
+        words = [w for w in (t or "").split(sep) if w]
+        out.append({sep.join(words[i : i + n])
+                    for i in range(len(words) - n + 1)})
+    return out
+
+
+def ngram_jaccard_exact_pairs(ds, threshold: float = 0.5, n: int = 3,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              sep: str = " ", concurrency: int = 4,
+                              max_vocab: int = 50_000_000):
+    """All (a < b) pairs with exact word-n-gram-set Jaccard ≥ threshold
+    — the SQL-verifiable TEXT-similarity baseline that anchors the
+    MinHash+LSH scale path (the text analogue of
+    ``embedding_exact_pairs``: intentionally O(n·N), DRIVER-BOUNDED —
+    it materializes the corpus n-gram incidence once; MinHash is the
+    100-TB path). Pairs whose union is empty (both docs shorter than n
+    words) are excluded, matching SQL division-by-zero semantics."""
+    import ray
+
+    from dcpray.functions.textstats import round6_half_up
+
+    ids_parts, set_parts = [], []
+    for bt in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        ids_parts.append(bt[id_col].to_numpy(zero_copy_only=False))
+        set_parts.extend(_doc_ngram_sets(bt[text_col].to_pylist(), n, sep))
+    ids = np.concatenate(ids_parts).astype(np.int64)
+    vocab: dict[str, int] = {}
+    indptr = np.zeros(len(set_parts) + 1, np.int64)
+    codes_list = []
+    for i, s in enumerate(set_parts):
+        for g in s:
+            c = vocab.get(g)
+            if c is None:
+                c = vocab[g] = len(vocab)
+        codes_list.append(np.fromiter((vocab[g] for g in s), np.int64,
+                                      count=len(s)))
+        indptr[i + 1] = indptr[i] + len(s)
+    if len(vocab) > max_vocab:
+        raise ValueError(
+            f"n-gram vocabulary {len(vocab)} exceeds max_vocab={max_vocab}; "
+            "this exact baseline is for corpora the driver can hold — "
+            "use minhash_dup_pairs at scale"
+        )
+    codes = np.concatenate(codes_list) if codes_list else np.empty(0, np.int64)
+    sizes = np.diff(indptr)
+    ref = ray.put({"ids": ids, "indptr": indptr, "codes": codes,
+                   "sizes": sizes, "vocab_size": len(vocab)})
+
+    def score(batch: pa.Table, rref) -> pa.Table:
+        from dcpray.rayutil import worker_memo
+
+        def build():
+            r = ray.get(rref)
+            nc, V = len(r["ids"]), max(r["vocab_size"], 1)
+            M = np.zeros((nc, V), np.float32)
+            rows = np.repeat(np.arange(nc), np.diff(r["indptr"]))
+            M[rows, r["codes"]] = 1.0
+            return r, M
+
+        r, M = worker_memo(("ngram_jac", rref.hex()), build)
+        b_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_sets = _doc_ngram_sets(batch[text_col].to_pylist(), n, sep)
+        # batch incidence restricted to the corpus vocabulary: unseen
+        # n-grams can't intersect, they only enlarge the union via |A|
+        V = max(r["vocab_size"], 1)
+        Mb = np.zeros((len(b_ids), V), np.float32)
+        sizes_b = np.zeros(len(b_ids), np.int64)
+        # vocab dict is driver-side only; rebuild membership via codes?
+        # -> ship the vocab? instead: the corpus IS the batch source in
+        # this baseline, so batch rows exist in the corpus — look their
+        # code rows up by doc_id (sorted ids)
+        order = np.argsort(r["ids"])
+        pos = np.searchsorted(r["ids"][order], b_ids)
+        pos = np.minimum(pos, len(order) - 1)
+        src = order[pos]
+        assert (r["ids"][src] == b_ids).all(), "batch doc missing from corpus index"
+        for j, si in enumerate(src):
+            cs = r["codes"][r["indptr"][si]:r["indptr"][si + 1]]
+            Mb[j, cs] = 1.0
+            sizes_b[j] = len(cs)
+        inter = Mb @ M.T
+        union = sizes_b[:, None] + r["sizes"][None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        keep = (jac >= threshold) & (b_ids[:, None] < r["ids"][None, :]) \
+            & (union > 0)
+        bi, ci = np.nonzero(keep)
+        return pa.table({
+            "a": pa.array(b_ids[bi], pa.int64()),
+            "b": pa.array(r["ids"][ci], pa.int64()),
+            "jaccard": pa.array(round6_half_up(jac[bi, ci])),
+        })
+
+    return ds.map_batches(score, fn_args=(ref,), batch_format="pyarrow")

@@ -422,3 +422,22 @@ def test_multimodal_pipeline(docs_ds):
     # honest stub naming the library it needs
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         FrameSampler(fake=False)
+
+
+def test_ngram_jaccard_exact_pairs(docs_ds):
+    """Exact 3-gram Jaccard baseline: symmetric, thresholded, and every
+    MinHash-verified near-dup pair at a STRICTER char-shingle threshold
+    appears among the word-3-gram exact pairs at a looser one (the
+    baseline anchors the LSH path)."""
+    import numpy as np
+
+    from dcpray.functions.dedup import minhash_dup_pairs, ngram_jaccard_exact_pairs
+
+    exact = ngram_jaccard_exact_pairs(docs_ds, threshold=0.5, n=3).to_pandas()
+    assert (exact["a"] < exact["b"]).all()
+    assert (exact["jaccard"] >= 0.5).all()
+    exact_set = set(zip(exact["a"], exact["b"]))
+
+    mh = minhash_dup_pairs(docs_ds, threshold=0.8, concurrency=2).to_pandas()
+    mh_set = set(zip(mh["a"], mh["b"]))
+    assert mh_set <= exact_set
