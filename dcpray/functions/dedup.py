@@ -824,9 +824,11 @@ def minhash_dedup(ds, threshold=0.7, **kw):
     """Full near-dup dedup: returns (labels_table, survivors_dataset).
     labels: every doc in a dup cluster with its representative; a doc
     survives iff it IS its cluster's representative (min doc_id)."""
+    import ray
+
     pairs = minhash_dup_pairs(ds, threshold=threshold, **kw).to_pandas()
     reps = cluster_pairs(pairs)
-    drop = {d for d, r in reps.items() if d != r}
+    drop = np.array(sorted(d for d, r in reps.items() if d != r), np.int64)
     labels = pa.table(
         {
             "doc_id": pa.array(sorted(reps), pa.int64()),
@@ -834,14 +836,25 @@ def minhash_dedup(ds, threshold=0.7, **kw):
         }
     )
     key_col = kw.get("key_col", "doc_id")
-    survivors = ds.map_batches(
-        lambda t: t.filter(
-            pc.invert(pc.is_in(t[key_col], value_set=pa.array(sorted(drop), pa.int64())))
-        )
-        if drop
-        else t,
-        batch_format="pyarrow",
-    )
+    # broadcast the drop set ONCE (ray.put + per-worker memoized sorted
+    # array) — a closure-captured value_set would re-pickle the whole
+    # dup-id list into every task
+    drop_ref = ray.put(drop)
+
+    def keep_survivors(t: pa.Table, dref) -> pa.Table:
+        from dcpray.rayutil import worker_memo
+
+        d = worker_memo(("minhash_drop", dref.hex()), lambda: ray.get(dref))
+        if len(d) == 0:
+            return t
+        keys = t[key_col].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pos = np.minimum(np.searchsorted(d, keys), len(d) - 1)
+        return t.filter(pa.array(d[pos] != keys))
+
+    survivors = ds.map_batches(keep_survivors, fn_args=(drop_ref,),
+                               batch_format="pyarrow")
     return labels, survivors
 
 
