@@ -39,7 +39,7 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
     7. Partitioned Parquet per split (resumable layout).
     """
     from dcpray import Lake, ReplayConfig, replay
-    from dcpray.functions.dedup import cluster_pairs, exact_dedup, minhash_dup_pairs
+    from dcpray.functions.dedup import exact_dedup, minhash_dedup
     from dcpray.functions.sample import hash_split
     from dcpray.functions.textstats import lang_id_batch, quality_score_batch
 
@@ -76,19 +76,12 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
     docs = exact_dedup(docs, key_col="doc_id", text_col="text").materialize()
     counts["after_exact_dedup"] = docs.count()
 
-    # 4. near-dup dedup: verified pairs -> drop non-representatives
-    pairs = minhash_dup_pairs(docs, threshold=dedup_threshold).to_pandas()
-    reps = cluster_pairs(pairs)
-    drop = sorted(d for d, r in reps.items() if d != r)
-    if drop:
-        drop_set = pa.array(drop, pa.int64())
-        docs = docs.map_batches(
-            lambda t: t.filter(
-                pc.invert(pc.is_in(t["doc_id"], value_set=drop_set))
-            ),
-            batch_format="pyarrow",
-        )
-    counts["near_dup_dropped"] = len(drop)
+    # 4. near-dup dedup: LSH candidate pairs -> distributed exact-
+    # Jaccard verification -> clustering -> drop non-representatives
+    # (the drop set travels as a broadcast ObjectRef, not a closure)
+    labels, docs = minhash_dedup(docs, threshold=dedup_threshold)
+    lab = labels.to_pandas()
+    counts["near_dup_dropped"] = int((lab["doc_id"] != lab["rep_id"]).sum())
 
     # 5. quality + language filter (task-pool scorers, joined per batch
     # — each batch scores itself, no exchange)
