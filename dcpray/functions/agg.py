@@ -46,6 +46,19 @@ def add_coarse_pk(t: pa.Table, key_col: str, partitions: int,
     return t.append_column(pk_col, pa.array(pk))
 
 
+def require_nonnull(t: pa.Table, cols, op: str) -> None:
+    """Loud guard for operators whose vectorized core assumes null-free
+    key/order columns (a nullable int64 ``to_numpy`` decodes through
+    float64 — NaN comparisons silently mis-sort/mis-sessionize and large
+    ids corrupt). Arrow tracks null counts, so this is O(#chunks)."""
+    for c in cols:
+        if c is not None and t[c].null_count:
+            raise ValueError(
+                f"{op} requires non-null {c!r} (found {t[c].null_count} "
+                "null rows); drop or fill nulls upstream"
+            )
+
+
 def _hash_key_columns(t: pa.Table, keys: list[str]) -> np.ndarray:
     """uint64 hash combining the key columns (string / int / bool /
     timestamp / date), order-sensitive, stable across workers."""
@@ -57,11 +70,19 @@ def _hash_key_columns(t: pa.Table, keys: list[str]) -> np.ndarray:
             h = hash_strings(col)
         elif (pa.types.is_integer(ty) or pa.types.is_boolean(ty)
               or pa.types.is_temporal(ty)):
-            v = pc.cast(col, pa.int64()).combine_chunks().to_numpy(
-                zero_copy_only=False
-            )
-            h = np.where(np.isnan(v), -1, v).astype(np.int64).view(np.uint64) \
-                if v.dtype.kind == "f" else v.view(np.uint64)
+            # fill nulls BEFORE to_numpy so the array stays int64 end to
+            # end (a nullable int64 decodes through float64, corrupting
+            # keys >= 2^53 — the same key would then hash differently in
+            # null-bearing vs null-free batches and land in two coarse
+            # partitions); nulls are distinguished from a literal fill
+            # value by mixing the validity mask in separately
+            c = pc.cast(col, pa.int64()).combine_chunks()
+            v = pc.fill_null(c, 0).to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            h = v.view(np.uint64)
+            if c.null_count:
+                nulls = pc.is_null(c).to_numpy(zero_copy_only=False)
+                h = np.where(nulls, np.uint64(0xC2B2AE3D27D4EB4F), h)
         else:
             raise TypeError(f"unhashable groupby key type for {k!r}: {ty}")
         with np.errstate(over="ignore"):
@@ -155,6 +176,8 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
     partition. Python runs once per batch/partition, never per group."""
 
     def _local_topk(t: pa.Table, with_pk: bool) -> pa.Table:
+        require_nonnull(t, (group_col, order_col, tiebreak_col),
+                        "topk_per_group")
         g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         v = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
         tb = t[tiebreak_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)

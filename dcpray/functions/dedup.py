@@ -1144,45 +1144,63 @@ def ngram_jaccard_exact_pairs(ds, threshold: float = 0.5, n: int = 3,
         from dcpray.rayutil import worker_memo
 
         def build():
+            # SPARSE per-worker index: an inverted code→doc posting list
+            # (CSR by code) instead of a dense (n_docs × vocab) matrix —
+            # memory is O(nnz + n_docs), never O(n_docs · vocab), so
+            # workers can't OOM under the max_vocab guard
             r = ray.get(rref)
-            nc, V = len(r["ids"]), max(r["vocab_size"], 1)
-            M = np.zeros((nc, V), np.float32)
-            rows = np.repeat(np.arange(nc), np.diff(r["indptr"]))
-            M[rows, r["codes"]] = 1.0
-            return r, M
+            nc = len(r["ids"])
+            V = max(r["vocab_size"], 1)
+            rows = np.repeat(np.arange(nc, dtype=np.int64),
+                             np.diff(r["indptr"]))
+            order = np.argsort(r["codes"], kind="stable")
+            inv_docs = rows[order]                 # doc ids grouped by code
+            code_indptr = np.searchsorted(
+                r["codes"][order], np.arange(V + 1, dtype=np.int64))
+            return r, inv_docs, code_indptr, np.argsort(r["ids"])
 
-        r, M = worker_memo(("ngram_jac", rref.hex()), build)
+        r, inv_docs, code_indptr, id_order = worker_memo(
+            ("ngram_jac", rref.hex()), build)
         b_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b_sets = _doc_ngram_sets(batch[text_col].to_pylist(), n, sep)
-        # batch incidence restricted to the corpus vocabulary: unseen
-        # n-grams can't intersect, they only enlarge the union via |A|
-        V = max(r["vocab_size"], 1)
-        Mb = np.zeros((len(b_ids), V), np.float32)
-        sizes_b = np.zeros(len(b_ids), np.int64)
-        # vocab dict is driver-side only; rebuild membership via codes?
-        # -> ship the vocab? instead: the corpus IS the batch source in
-        # this baseline, so batch rows exist in the corpus — look their
-        # code rows up by doc_id (sorted ids)
-        order = np.argsort(r["ids"])
-        pos = np.searchsorted(r["ids"][order], b_ids)
-        pos = np.minimum(pos, len(order) - 1)
-        src = order[pos]
+        nc = len(r["ids"])
+        if len(b_ids) == 0 or nc == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        # the corpus IS the batch source in this baseline, so batch rows
+        # exist in the corpus — look their code rows up by doc_id
+        pos = np.searchsorted(r["ids"][id_order], b_ids)
+        pos = np.minimum(pos, len(id_order) - 1)
+        src = id_order[pos]
         assert (r["ids"][src] == b_ids).all(), "batch doc missing from corpus index"
+        out_a, out_b, out_j = [], [], []
         for j, si in enumerate(src):
             cs = r["codes"][r["indptr"][si]:r["indptr"][si + 1]]
-            Mb[j, cs] = 1.0
-            sizes_b[j] = len(cs)
-        inter = Mb @ M.T
-        union = sizes_b[:, None] + r["sizes"][None, :] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.where(union > 0, inter / union, 0.0)
-        keep = (jac >= threshold) & (b_ids[:, None] < r["ids"][None, :]) \
-            & (union > 0)
-        bi, ci = np.nonzero(keep)
+            size_b = np.int64(len(cs))
+            if size_b:
+                lo, hi = code_indptr[cs], code_indptr[cs + 1]
+                sizes = hi - lo
+                total = int(sizes.sum())
+                off = np.cumsum(sizes) - sizes
+                idx = np.repeat(lo - off, sizes) + np.arange(total, dtype=np.int64)
+                inter = np.bincount(inv_docs[idx], minlength=nc)
+            else:
+                inter = np.zeros(nc, np.int64)
+            union = size_b + r["sizes"] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            keep = (jac >= threshold) & (b_ids[j] < r["ids"]) & (union > 0)
+            ci = np.flatnonzero(keep)
+            if len(ci):
+                out_a.append(np.full(len(ci), b_ids[j], np.int64))
+                out_b.append(r["ids"][ci])
+                out_j.append(jac[ci])
+        cat = (lambda parts, d: np.concatenate(parts) if parts
+               else np.empty(0, d))
         return pa.table({
-            "a": pa.array(b_ids[bi], pa.int64()),
-            "b": pa.array(r["ids"][ci], pa.int64()),
-            "jaccard": pa.array(round6_half_up(jac[bi, ci])),
+            "a": pa.array(cat(out_a, np.int64), pa.int64()),
+            "b": pa.array(cat(out_b, np.int64).astype(np.int64), pa.int64()),
+            "jaccard": pa.array(round6_half_up(cat(out_j, np.float64))),
         })
 
     return ds.map_batches(score, fn_args=(ref,), batch_format="pyarrow")

@@ -42,7 +42,13 @@ def _session_bounds(group: pa.Table, key_col: str, ts_col: str,
     (key, ts, tiebreak), flag session starts (first-of-key or gap >
     threshold in the column's native unit), and derive per-row session
     ordinals. Returns (order, sorted_ts, session_starts, session_ends,
-    sid_per_sorted_row)."""
+    sid_per_sorted_row). Nulls in key/ts/tiebreak raise loudly — a null
+    ts would otherwise round-trip through float64 (NaN gap comparisons
+    always False ⇒ the row silently joins the previous session) and a
+    null key would corrupt ids ≥ 2^53 via the same float64 decode."""
+    from dcpray.functions.agg import require_nonnull
+
+    require_nonnull(group, (key_col, ts_col, tiebreak_col), "sessionize")
     k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     ts = pc.cast(group[ts_col], pa.int64()).combine_chunks().to_numpy(
         zero_copy_only=False

@@ -151,7 +151,13 @@ class Pipeline:
             except OSError as e:
                 self.log.warning("stream metrics append failed: %s", e)
             if self.metrics_handler:
-                self.metrics_handler(res)
+                # same best-effort contract as the jsonl append: a user
+                # callback that raises must not turn a durably committed
+                # run into an apparent failure or suppress sink acks
+                try:
+                    self.metrics_handler(res)
+                except Exception as e:
+                    self.log.warning("metrics handler raised: %s", e)
             if self.handler:
                 for f in res.manifest.files:
                     self.handler.on_success(f)
