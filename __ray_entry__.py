@@ -18,7 +18,13 @@ import shutil
 from collections.abc import Callable
 from typing import Any
 
+from dcpray.rayutil import quiet_empty_schema_warnings  # noqa: E402
 from dcpray.sources.io import read_clean  # noqa: E402 (strips pandas schema metadata)
+
+# zero-row partitions of Ray's sort/hash exchange carry no schema and
+# would log one benign divergence warning per groupby operator — drop
+# exactly that message (see rayutil._EmptySchemaWarningFilter)
+quiet_empty_schema_warnings()
 
 FIXTURE_SFS = ("sf0.001", "sf0.01", "sf0.1")
 LAKE_ROOT = "/tmp/dcpray_lakes"

@@ -52,6 +52,9 @@ SECONDARY = [
 def _init_ray(num_cpus: int) -> None:
     import ray
 
+    from dcpray.rayutil import quiet_empty_schema_warnings
+
+    quiet_empty_schema_warnings()
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -820,22 +820,60 @@ def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50):
     )
 
 
-def minhash_dedup(ds, threshold=0.7, **kw):
-    """Full near-dup dedup: returns (labels_table, survivors_dataset).
+def minhash_dedup(ds, threshold=0.7, cluster="auto",
+                  auto_pair_limit=2_000_000, cluster_parts=32, **kw):
+    """Full near-dup dedup: returns (labels, survivors_dataset).
     labels: every doc in a dup cluster with its representative; a doc
-    survives iff it IS its cluster's representative (min doc_id)."""
+    survives iff it IS its cluster's representative (min doc_id).
+
+    ``cluster`` picks where connected components run:
+
+    - ``"driver"`` — union-find over the collected pair set. O(#dup
+      pairs) driver memory; labels returned as a ``pa.Table``.
+    - ``"distributed"`` — ``cluster_pairs_distributed`` min-label
+      propagation; the pair set NEVER lands on the driver (the driver
+      only ever holds the final int64 drop set, which is what it
+      broadcasts anyway). Labels returned as a Dataset.
+    - ``"auto"`` (default) — count the (already O(#dups)) pair set
+      distributed-side and pick: ≤ ``auto_pair_limit`` pairs → driver,
+      else distributed. The pathological corpus (everything
+      near-duplicate) therefore cannot OOM the driver through the
+      default path."""
     import ray
 
-    pairs = minhash_dup_pairs(ds, threshold=threshold, **kw).to_pandas()
-    reps = cluster_pairs(pairs)
-    drop = np.array(sorted(d for d, r in reps.items() if d != r), np.int64)
-    labels = pa.table(
-        {
-            "doc_id": pa.array(sorted(reps), pa.int64()),
-            "rep_id": pa.array([reps[d] for d in sorted(reps)], pa.int64()),
-        }
-    )
     key_col = kw.get("key_col", "doc_id")
+    pairs_ds = minhash_dup_pairs(ds, threshold=threshold, **kw)
+    if cluster == "auto":
+        pairs_ds = pairs_ds.materialize()  # pair set only — O(#dups)
+        cluster = "driver" if pairs_ds.count() <= auto_pair_limit \
+            else "distributed"
+    if cluster == "driver":
+        pairs = pairs_ds.to_pandas()
+        reps = cluster_pairs(pairs)
+        drop = np.array(sorted(d for d, r in reps.items() if d != r), np.int64)
+        labels = pa.table(
+            {
+                "doc_id": pa.array(sorted(reps), pa.int64()),
+                "rep_id": pa.array([reps[d] for d in sorted(reps)], pa.int64()),
+            }
+        )
+    elif cluster == "distributed":
+        labels = cluster_pairs_distributed(pairs_ds, parts=cluster_parts)
+        drop_parts = [
+            bt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for bt in labels.map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t["rep_id"], t["doc_id"])
+                ).select(["doc_id"]),
+                batch_format="pyarrow",
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        drop = np.sort(np.concatenate(drop_parts)) if drop_parts else \
+            np.empty(0, np.int64)
+    else:
+        raise ValueError(
+            f"cluster must be 'driver', 'distributed' or 'auto', got {cluster!r}"
+        )
     # broadcast the drop set ONCE (ray.put + per-worker memoized sorted
     # array) — a closure-captured value_set would re-pickle the whole
     # dup-id list into every task

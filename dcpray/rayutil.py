@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import logging
 from collections import OrderedDict
 from contextlib import contextmanager
 
@@ -29,6 +30,39 @@ def worker_memo(key, factory):
     if len(_WORKER_MEMO) > _WORKER_MEMO_MAX:
         _WORKER_MEMO.popitem(last=False)
     return val
+
+
+class _EmptySchemaWarningFilter(logging.Filter):
+    """Drop Ray's once-per-operator "RefBundle with a different schema …
+    new schema: ." warning — and ONLY that one.
+
+    Root cause (verified against ray 2.49: the sort AND hash exchanges
+    both materialize an empty output partition as a ZERO-FIELD block,
+    ``pa.table({})``): any ``groupby().map_groups`` pipeline whose
+    partition count exceeds its non-empty partition count therefore
+    emits one schema-less bundle, and
+    ``streaming_executor_state.py:793`` logs a divergence warning even
+    though Ray keeps the previous (correct) schema and the zero-field
+    block carries no rows. Nothing our operators return is schema-less
+    — every empty table we build is typed — so the message is pure
+    noise for these bundles. A divergence between two NON-empty schemas
+    prints the real schema text and does NOT match this filter."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover - trivial
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and "new schema: ." in msg)
+
+
+def quiet_empty_schema_warnings() -> None:
+    """Install the empty-schema noise filter (idempotent). Called by the
+    driver entry points and ``bench.py`` so benign zero-row partition
+    bundles don't spray warnings into user-facing run logs."""
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(isinstance(f, _EmptySchemaWarningFilter) for f in lg.filters):
+        lg.addFilter(_EmptySchemaWarningFilter())
 
 
 @contextmanager

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
                  *, num_buckets: int = 16, dedup_threshold: float = 0.7,
-                 min_quality: float = 0.3) -> dict:
+                 min_quality: float = 0.3, cluster: str = "auto") -> dict:
     """Returns per-stage row counts. Stages:
 
     1. CDC replay → committed lake (exactly-once manifest commit).
@@ -77,10 +77,12 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
     counts["after_exact_dedup"] = docs.count()
 
     # 4. near-dup dedup: LSH candidate pairs -> distributed exact-
-    # Jaccard verification -> clustering -> drop non-representatives
+    # Jaccard verification -> clustering (cluster="distributed" keeps
+    # even the pair set off the driver) -> drop non-representatives
     # (the drop set travels as a broadcast ObjectRef, not a closure)
-    labels, docs = minhash_dedup(docs, threshold=dedup_threshold)
-    lab = labels.to_pandas()
+    labels, docs = minhash_dedup(docs, threshold=dedup_threshold,
+                                 cluster=cluster)
+    lab = labels.to_pandas()  # pa.Table or Dataset — both expose it
     counts["near_dup_dropped"] = int((lab["doc_id"] != lab["rep_id"]).sum())
 
     # 5. quality + language filter (task-pool scorers, joined per batch
@@ -123,12 +125,19 @@ def main() -> None:
     ap.add_argument("--wal", required=True)
     ap.add_argument("--base", default=None)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--cluster", default="auto",
+                    choices=("auto", "driver", "distributed"),
+                    help="where near-dup connected components run")
     args = ap.parse_args()
 
+    from dcpray.rayutil import quiet_empty_schema_warnings
+
+    quiet_empty_schema_warnings()
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
     try:
-        counts = run_pipeline(args.wal, args.base, args.out)
+        counts = run_pipeline(args.wal, args.base, args.out,
+                              cluster=args.cluster)
         for k, v in counts.items():
             print(f"{k}: {v}")
     finally:

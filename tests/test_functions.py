@@ -115,12 +115,17 @@ def test_exact_dedup():
     assert out["text"].is_unique
 
 
-def test_minhash_near_dedup():
+@pytest.mark.parametrize("cluster", ["driver", "distributed"])
+def test_minhash_near_dedup(cluster):
+    """The one-call dedup op end-to-end in BOTH clustering modes — the
+    distributed mode must produce the identical labels and survivors
+    while never collecting the pair set on the driver."""
     from dcpray.functions.dedup import minhash_dedup
 
     ds, base = _corpus_with_dups()
-    labels, survivors = minhash_dedup(ds, threshold=0.5, concurrency=2)
-    lab = labels.to_pandas()
+    labels, survivors = minhash_dedup(ds, threshold=0.5, concurrency=2,
+                                      cluster=cluster)
+    lab = labels.to_pandas().sort_values("doc_id").reset_index(drop=True)
     # each base text's trio {orig, exact-dup, near-dup} clusters to the orig
     for trio_start in range(0, 12, 3):
         grp = lab[lab["doc_id"].isin([trio_start, trio_start + 1, trio_start + 2])]
@@ -130,6 +135,16 @@ def test_minhash_near_dedup():
     assert set(surv["doc_id"]) == set(range(ds.count())) - {
         d for d in lab["doc_id"] if d not in set(lab["rep_id"])
     }
+
+
+def test_minhash_dedup_rejects_bad_cluster():
+    import pytest as _pytest
+
+    from dcpray.functions.dedup import minhash_dedup
+
+    ds, _ = _corpus_with_dups()
+    with _pytest.raises(ValueError, match="cluster"):
+        minhash_dedup(ds, cluster="nope")
 
 
 def test_cluster_pairs_distributed_equals_union_find():
