@@ -565,6 +565,19 @@ def _q_sample_docs_hash(sf_dir: str):
     return hash_sample(ds, col="text", mod=10, keep=3)
 
 
+def _q_sample_docs_hash_fast(sf_dir: str):
+    """The vectorized hash="fast" sampling sibling (production default
+    at 100 TB — ~50× the per-row md5 loop). Same rate/determinism
+    contract, different set by design, so no SQL oracle (rows-only
+    driver check); parity with md5 mode is unit-tested."""
+    from dcpray.functions.sample import hash_sample
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    override_num_blocks=16)
+    out = hash_sample(ds, col="text", mod=10, keep=3, hash="fast").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_hash_split(sf_dir: str):
     """Deterministic 8/1/1 train/val/test assignment by content hash."""
     from dcpray.functions.sample import hash_split
@@ -657,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top3_by_value": _q_events_top3_by_value,
         "events_range_click": _q_events_range_click,
         "sample_docs_hash": _q_sample_docs_hash,
+        "sample_docs_hash_fast": _q_sample_docs_hash_fast,
         "docs_hash_split": _q_docs_hash_split,
         "docs_remove_boilerplate": _q_docs_remove_boilerplate,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,

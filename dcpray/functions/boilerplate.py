@@ -52,10 +52,25 @@ def _md5_digests(flat: pa.Array) -> np.ndarray:
     )
 
 
+def _digests(flat: pa.Array, mode: str):
+    """(values, arrow_type) of the per-paragraph identity under the
+    chosen hash mode: hex md5 strings (SQL-oracle parity) or vectorized
+    64-bit splitmix hashes (the production default at scale — ~50× the
+    md5 loop; both sides of the operator group by the digest, so the
+    cleaned output is identical as long as paragraphs don't collide)."""
+    from dcpray.hashing import hash_strings
+
+    if mode == "md5":
+        return _md5_digests(flat), pa.string()
+    if mode == "fast":
+        return hash_strings(flat).view(np.int64), pa.int64()
+    raise ValueError(f"hash must be 'md5' or 'fast', got {mode!r}")
+
+
 def remove_repeated_paragraphs(ds, min_repeats: int = 3,
                                text_col: str = "text", sep: str = "\n",
                                partitions: int = 64,
-                               max_hot: int = 5_000_000):
+                               max_hot: int = 5_000_000, hash: str = "md5"):
     """Return ``ds`` with ``text_col`` replaced by the cleaned text:
     every paragraph whose corpus-wide occurrence count is ≥
     ``min_repeats`` is removed from every document (other columns pass
@@ -63,10 +78,17 @@ def remove_repeated_paragraphs(ds, min_repeats: int = 3,
 
     Raises if the hot set exceeds ``max_hot`` digests — that means
     ``min_repeats`` is too low for this corpus, not that the operator
-    should silently ship an unbounded broadcast."""
+    should silently ship an unbounded broadcast.
+
+    ``hash="fast"`` swaps the per-paragraph md5 loop for the vectorized
+    splitmix hash (the production default at scale; md5 stays the
+    SQL-oracle-checked variant — see ``_digests``)."""
     import ray
 
     from dcpray.functions.agg import coarse_groupby
+
+    hash_mode = hash
+    _digests(pa.array([], pa.string()), hash_mode)  # validate mode early
 
     def count_partial(t: pa.Table) -> pa.Table:
         # SQL parity: unnest(string_split(NULL)) yields ZERO rows — a
@@ -75,10 +97,10 @@ def remove_repeated_paragraphs(ds, min_repeats: int = 3,
         # null docs is '' either way, matching the oracle's coalesce)
         t = t.filter(pc.is_valid(t[text_col]))
         _, flat, _ = _split_paragraphs(t, text_col, sep)
-        h = _md5_digests(flat)
+        h, h_type = _digests(flat, hash_mode)
         uniq, counts = np.unique(h, return_counts=True)
         return pa.table({
-            "h": pa.array(uniq, pa.string()),
+            "h": pa.array(uniq, h_type),
             "n_part": pa.array(counts.astype(np.int64)),
         })
 
@@ -105,7 +127,7 @@ def remove_repeated_paragraphs(ds, min_repeats: int = 3,
                 "paragraphs for a broadcast hot set)"
             )
     hot = np.sort(np.concatenate(hot_parts)) if hot_parts else \
-        np.empty(0, object)
+        np.empty(0, object if hash_mode == "md5" else np.int64)
     hot_ref = ray.put(hot)
 
     def clean(t: pa.Table, href) -> pa.Table:
@@ -115,7 +137,7 @@ def remove_repeated_paragraphs(ds, min_repeats: int = 3,
                                  lambda: ray.get(href))
         toks, flat, offs = _split_paragraphs(t, text_col, sep)
         if len(hot_sorted) and len(flat):
-            h = _md5_digests(flat)
+            h, _ = _digests(flat, hash_mode)
             pos = np.searchsorted(hot_sorted, h)
             pos = np.minimum(pos, len(hot_sorted) - 1)
             keep = hot_sorted[pos] != h

@@ -8,9 +8,19 @@ compatible with DuckDB's ``md5_number_lower``, so a SQL oracle checks
 the exact row set (little-endian bytes [8:16] of the digest; verified
 in tests).
 
-md5 is inherently per-item (same as ``fingerprint_md5``); everything
-around the digest loop is vectorized, and at scale the stage is an
-embarrassingly parallel ``map_batches`` filter — no exchange at all.
+Two hash modes:
+
+- ``hash="md5"`` (default) — the oracle-checked variant. md5 is
+  inherently per-item (~10⁶ rows/s/core), the cost of bit-exact SQL
+  verifiability.
+- ``hash="fast"`` — the production variant at 100 TB: vectorized
+  non-cryptographic hashing (pandas siphash + splitmix64, ~50× the md5
+  loop). Same determinism / content-purity / uniformity properties and
+  the same sampling RATE; the selected SET differs from md5 by design,
+  so it has no SQL oracle (rows-only driver check + parity tests).
+
+Either way the stage is an embarrassingly parallel ``map_batches``
+filter — no exchange at all.
 """
 
 from __future__ import annotations
@@ -20,6 +30,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from dcpray.hashing import hash_strings, splitmix64
 
 
 def md5_lower64(col, salt: str = "") -> np.ndarray:
@@ -37,17 +49,40 @@ def md5_lower64(col, salt: str = "") -> np.ndarray:
     return out
 
 
+def fast_lower64(col, salt: str = "") -> np.ndarray:
+    """Vectorized non-cryptographic sibling of ``md5_lower64``: pandas'
+    fixed-key siphash of the content, salted by mixing a constant
+    derived from ``salt`` through splitmix64 (salting by mixing, not by
+    concatenation — equivalent determinism, no per-row string build).
+    Null rows hash to the salt mix; use the validity mask for null
+    semantics, exactly as with ``md5_lower64``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = hash_strings(col)
+    if salt:
+        sm = np.uint64(int.from_bytes(
+            hashlib.md5(salt.encode("utf-8")).digest()[:8], "little"))
+        h = h ^ sm
+    return splitmix64(h)
+
+
+_HASHERS = {"md5": md5_lower64, "fast": fast_lower64}
+
+
 def hash_sample(ds, col: str = "text", mod: int = 10, keep: int = 0,
-                salt: str = ""):
+                salt: str = "", hash: str = "md5"):
     """Deterministic 1-in-``mod`` sample: keep rows where
-    ``md5_lower64(col + salt) % mod == keep``. Null rows are dropped
+    ``hash64(col, salt) % mod == keep``. Null rows are dropped
     (SQL ``WHERE NULL % mod = k`` is never true). Same content + same
-    salt ⇒ same sample, on any engine, at any partitioning."""
+    salt ⇒ same sample, on any engine, at any partitioning.
+    ``hash="fast"`` swaps the md5 loop for the vectorized splitmix
+    hash (same rate, different — unverifiable-by-SQL — set)."""
+    hasher = _HASHERS[hash]
 
     def flt(t: pa.Table) -> pa.Table:
         c = t[col]
         valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
-        h = md5_lower64(c, salt)
+        h = hasher(c, salt)
         mask = valid & (h % np.uint64(mod) == np.uint64(keep))
         return t.filter(pa.array(mask))
 
@@ -56,24 +91,26 @@ def hash_sample(ds, col: str = "text", mod: int = 10, keep: int = 0,
 
 def hash_split(ds, col: str = "text", weights: tuple = (8, 1, 1),
                salt: str = "", split_col: str = "split",
-               names: tuple = ("train", "val", "test")):
+               names: tuple = ("train", "val", "test"), hash: str = "md5"):
     """Deterministic train/val/test assignment: bucket =
-    ``md5_lower64(col + salt) % sum(weights)`` mapped to the named
+    ``hash64(col, salt) % sum(weights)`` mapped to the named
     split by cumulative weight ranges. Appends ``split_col``; null
     content gets a null split."""
     assert len(weights) == len(names)
+    hasher = _HASHERS[hash]
     bounds = np.cumsum(np.asarray(weights, np.uint64))
     total = np.uint64(bounds[-1])
+    name_arr = pa.array(list(names), pa.string())
 
     def tag(t: pa.Table) -> pa.Table:
         c = t[col]
-        valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
-        h = md5_lower64(c, salt) % total
+        valid = pc.is_valid(c)
+        h = hasher(c, salt) % total
         idx = np.searchsorted(bounds, h, side="right")
-        labels = np.asarray(names, object)[idx]
-        arr = pa.array(
-            [l if v else None for l, v in zip(labels, valid)], pa.string()
-        )
+        # vectorized label build: dictionary take + null mask (a per-row
+        # zip over (label, valid) was the one Python loop left here)
+        labels = name_arr.take(pa.array(idx.astype(np.int64)))
+        arr = pc.if_else(valid, labels, pa.scalar(None, pa.string()))
         return t.append_column(split_col, arr)
 
     return ds.map_batches(tag, batch_format="pyarrow")

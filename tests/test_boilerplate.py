@@ -25,11 +25,13 @@ def _docs():
 
 
 @pytest.mark.parametrize("blocks", [1, 4])
-def test_removes_hot_paragraphs_preserves_order(blocks):
+@pytest.mark.parametrize("hash_mode", ["md5", "fast"])
+def test_removes_hot_paragraphs_preserves_order(blocks, hash_mode):
     ds = rd.from_arrow(_docs())
     if blocks > 1:
         ds = ds.repartition(blocks)
-    out = remove_repeated_paragraphs(ds, min_repeats=3).to_pandas() \
+    out = remove_repeated_paragraphs(ds, min_repeats=3,
+                                     hash=hash_mode).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["text"].tolist() == [
         "unique article one",

@@ -99,6 +99,59 @@ def test_hash_sample_deterministic_and_null_safe():
     assert 2 not in set(a["doc_id"]) | set(b["doc_id"])
 
 
+def test_fast_hash_sample_rate_and_determinism():
+    """The vectorized hash="fast" mode: same RATE and the same
+    content-pure determinism contract as md5 (partition-invariant,
+    disjoint complete cover of the valid rows), different set."""
+    from dcpray.functions.sample import hash_sample
+
+    n = 3000
+    tab = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array([f"doc number {i}" for i in range(n)])})
+    slices = [
+        set(hash_sample(rd.from_arrow(tab), mod=10, keep=k,
+                        hash="fast").to_pandas()["doc_id"])
+        for k in range(10)
+    ]
+    sizes = sorted(len(s) for s in slices)
+    assert sum(sizes) == n                      # disjoint complete cover
+    assert sizes[0] > n / 10 * 0.6 and sizes[-1] < n / 10 * 1.5  # ~uniform
+    # partition-invariant and salt-sensitive
+    again = set(hash_sample(rd.from_arrow(tab).repartition(7), mod=10,
+                            keep=3, hash="fast").to_pandas()["doc_id"])
+    assert again == slices[3]
+    salted = set(hash_sample(rd.from_arrow(tab), mod=10, keep=3, salt="s1",
+                             hash="fast").to_pandas()["doc_id"])
+    assert salted != slices[3]
+    # null rows dropped, exactly as in md5 mode
+    tab2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["x", None])})
+    covered = set()
+    for k in range(10):
+        df = hash_sample(rd.from_arrow(tab2), mod=10, keep=k,
+                         hash="fast").to_pandas()
+        covered |= set(df["doc_id"]) if "doc_id" in df else set()
+    assert covered == {1}
+
+
+def test_hash_split_fast_mode_weights():
+    from dcpray.functions.sample import hash_split
+
+    n = 3000
+    tab = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array([f"doc number {i}" for i in range(n)])})
+    out = hash_split(rd.from_arrow(tab), weights=(8, 1, 1),
+                     hash="fast").to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
+    out2 = hash_split(rd.from_arrow(tab).repartition(6), weights=(8, 1, 1),
+                      hash="fast").to_pandas().sort_values("doc_id")
+    assert (out.sort_values("doc_id")["split"].to_numpy()
+            == out2["split"].to_numpy()).all()
+
+
 def test_hash_split_partitions_and_weights():
     n = 3000
     tab = pa.table({"doc_id": pa.array(range(n), pa.int64()),
