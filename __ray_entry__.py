@@ -516,6 +516,29 @@ def _q_events_range_click(sf_dir: str):
                       right_cols={"ts": "click_ts"}, window_s=3600.0)
 
 
+def _q_events_range_click_broadcast(sf_dir: str):
+    """The zero-exchange broadcast form of the trailing-window join —
+    the small click table is (key, ts)-sorted once and broadcast via
+    ray.put; the events stream matches per batch with cost independent
+    of right size. Same oracle as events_range_click."""
+    import pyarrow.compute as pc
+
+    from dcpray.functions.join import range_join_broadcast
+
+    path = os.path.join(sf_dir, "events.parquet")
+    left = read_clean(path, columns=["event_id", "user_id", "ts"],
+                      override_num_blocks=16)
+    right = read_clean(path, columns=["user_id", "ts", "event_type"],
+                       override_num_blocks=16).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    return range_join_broadcast(left, right, key_col="user_id", ts_col="ts",
+                                right_cols={"ts": "click_ts"},
+                                window_s=3600.0)
+
+
 def _q_events_top3_by_value(sf_dir: str):
     """Heavy hitters: top-3 events by value per user (event_id
     tiebreak). Per-batch local top-k combiner, then one coarse
@@ -669,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_click": _q_events_asof_click,
         "events_top3_by_value": _q_events_top3_by_value,
         "events_range_click": _q_events_range_click,
+        "events_range_click_broadcast": _q_events_range_click_broadcast,
         "sample_docs_hash": _q_sample_docs_hash,
         "sample_docs_hash_fast": _q_sample_docs_hash_fast,
         "docs_hash_split": _q_docs_hash_split,
@@ -881,6 +905,13 @@ SELECT user_id, CAST(session_id AS BIGINT) session_id,
        round(sum(value), 4) sum_value
 FROM s GROUP BY 1, 2""",
         "events_range_click": """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
+FROM events l
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts - INTERVAL 60 MINUTE
+ AND r.ts <= l.ts""",
+        "events_range_click_broadcast": """
 SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
 FROM events l
 JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r

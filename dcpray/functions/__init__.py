@@ -25,7 +25,12 @@ from dcpray.functions.dedup import (
     ngram_jaccard_exact_pairs,
     simhash_dup_pairs,
 )
-from dcpray.functions.join import asof_join, asof_join_broadcast, range_join
+from dcpray.functions.join import (
+    asof_join,
+    asof_join_broadcast,
+    range_join,
+    range_join_broadcast,
+)
 from dcpray.functions.sample import hash_sample, hash_split
 from dcpray.functions.textstats import (
     LangId,
@@ -47,6 +52,7 @@ __all__ = [
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "asof_join", "asof_join_broadcast", "range_join",
+    "range_join_broadcast",
     "hash_sample", "hash_split",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",

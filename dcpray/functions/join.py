@@ -286,6 +286,46 @@ def asof_join_broadcast(left_ds, right, key_col: str, ts_col: str,
     return left_ds.map_batches(match, fn_args=(ref,), batch_format="pyarrow")
 
 
+def _range_match_arrays(rk_s: np.ndarray, rt_s: np.ndarray, lk: np.ndarray,
+                        lt: np.ndarray, window: np.int64):
+    """The vectorized trailing-window match core. Rights must be sorted
+    by (key, ts); lefts are in arbitrary order. Returns
+    (left_pos_repeat, right_sorted_pos): one entry per matched pair,
+    with ``left_pos_repeat`` indexing the left arrays and
+    ``right_sorted_pos`` indexing the SORTED right arrays. Mechanism:
+    union of sorted rights + two bound-markers per left, markers AFTER
+    rights at equal (key, ts) — cumcount(right) at marker position =
+    #rights with (k, ts) <= marker, giving the exclusive lower (> t-w)
+    and inclusive upper (<= t) bounds in one lexsort; the pair list is
+    a ragged expansion of those ranges. SATURATING lower bound: lt near
+    int64.min would otherwise wrap positive; an underflowed bound means
+    "-infinity" and its marker sorts BEFORE rights at the saturated
+    value (side -1)."""
+    nr, nl = len(rk_s), len(lk)
+    uk = np.concatenate([rk_s, lk, lk])
+    underflow = lt < _TS_SENTINEL + window
+    lower = np.maximum(lt, _TS_SENTINEL + window) - window
+    uts = np.concatenate([rt_s, lower, lt])
+    lower_side = np.where(underflow, np.int8(-1), np.int8(1))
+    uside = np.concatenate([np.zeros(nr, np.int8), lower_side,
+                            np.ones(nl, np.int8)])
+    order = np.lexsort((uside, uts, uk))
+    cum = np.cumsum((uside[order] == 0).astype(np.int64))
+    pos_of = np.empty(len(order), np.int64)
+    pos_of[order] = np.arange(len(order))
+    lo = cum[pos_of[nr : nr + nl]]           # rights <= (k, t-w)
+    hi = cum[pos_of[nr + nl :]]              # rights <= (k, t)
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    coff = np.cumsum(counts) - counts
+    right_sorted_pos = np.repeat(lo - coff, counts) \
+        + np.arange(total, dtype=np.int64)
+    left_pos = np.repeat(np.arange(nl, dtype=np.int64), counts)
+    return left_pos, right_sorted_pos
+
+
 def range_join(left_ds, right_ds, key_col: str, ts_col: str,
                right_cols: dict[str, str], window_s: float,
                partitions: int = 64):
@@ -340,36 +380,10 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str,
         r_order = np.lexsort((rt, rk))
         rk_s, rt_s = rk[r_order], rt[r_order]
         lk, lt = k[l_rows], ts[l_rows]
-        # union of sorted rights + two markers per left, markers AFTER
-        # rights at equal (key, ts): cumcount(right) at marker position
-        # = # rights with (k, ts) <= marker — exclusive lower bound
-        # (> t-w) and inclusive upper (<= t) both want ties counted
-        uk = np.concatenate([rk_s, lk, lk])
-        # SATURATING lower bound: lt near int64.min would otherwise
-        # wrap positive under the subtraction and silently drop (or,
-        # with future rights present, produce negative counts). An
-        # underflowed bound means "-infinity": its marker must sort
-        # BEFORE rights at the saturated value (side -1), or a right
-        # row at exactly int64.min would be wrongly excluded.
-        underflow = lt < _TS_SENTINEL + window
-        lower = np.maximum(lt, _TS_SENTINEL + window) - window
-        uts = np.concatenate([rt_s, lower, lt])
-        lower_side = np.where(underflow, np.int8(-1), np.int8(1))
-        uside = np.concatenate([np.zeros(nr, np.int8), lower_side,
-                                np.ones(nl, np.int8)])
-        order = np.lexsort((uside, uts, uk))
-        cum = np.cumsum((uside[order] == 0).astype(np.int64))
-        pos_of = np.empty(len(order), np.int64)
-        pos_of[order] = np.arange(len(order))
-        lo = cum[pos_of[nr : nr + nl]]          # rights <= (k, t-w)
-        hi = cum[pos_of[nr + nl :]]             # rights <= (k, t)
-        counts = hi - lo
-        total = int(counts.sum())
-        if total == 0:
+        left_pos, ridx_sorted = _range_match_arrays(rk_s, rt_s, lk, lt, window)
+        if len(left_pos) == 0:
             return pa.table(empty)
-        coff = np.cumsum(counts) - counts
-        ridx_sorted = np.repeat(lo - coff, counts) + np.arange(total, dtype=np.int64)
-        pair_left = np.repeat(l_rows, counts)
+        pair_left = l_rows[left_pos]
         pair_right = r_rows[r_order[ridx_sorted]]
         out_cols = {}
         lt_tab = group.select(left_names).take(pa.array(pair_left))
@@ -380,3 +394,97 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str,
         return pa.table(out_cols)
 
     return tagged.groupby("_pk").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join_broadcast(left_ds, right, key_col: str, ts_col: str,
+                         right_cols: dict[str, str], window_s: float):
+    """Trailing-window range join (inner) against a SMALL right side
+    with ZERO exchange — the dimension-lookup form of ``range_join``,
+    mirroring ``asof_join_broadcast``: the right table (``pa.Table`` or
+    small Dataset) is (key, ts)-sorted once on the driver and broadcast
+    via ``ray.put``; every left batch matches locally and the left side
+    streams straight through ``map_batches``. Per-batch cost is
+    O((T + B) log) with T = right rows under keys PRESENT in the batch
+    — INDEPENDENT of total right size. Same semantics as ``range_join``
+    (``t - w < r.ts <= t``, inner-join null handling, ceil'd fractional
+    windows); output rows are ordered by (batch row, right row)."""
+    import math
+
+    import ray
+
+    if not window_s > 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    if not isinstance(right, pa.Table):
+        right = pa.concat_tables(
+            list(right.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+    left_schema = left_ds.schema()
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right.schema.names, right.schema.types))
+    out_right = [(rc, name, right_types[rc]) for rc, name in right_cols.items()]
+    ts_common = _common_ts_type(left_types[ts_col], right_types[ts_col])
+    unit = _UNIT_PER_S[ts_common.unit] if ts_common is not None else 1
+    window = np.int64(math.ceil(window_s * unit - 1e-9))
+
+    rk, rts, rvalid = _key_ts_arrays(right, key_col, ts_col, ts_common)
+    keep = np.flatnonzero(rvalid)           # null right rows never match
+    order = np.lexsort((rts[keep], rk[keep]))
+    sel = keep[order]
+    r_payload = right.select([rc for rc, _, _ in out_right]) \
+        .take(pa.array(sel)).rename_columns([name for _, name, _ in out_right])
+    ref = ray.put({"k": np.ascontiguousarray(rk[sel]),
+                   "ts": np.ascontiguousarray(rts[sel]),
+                   "payload": r_payload})
+
+    def match(batch: pa.Table, rref) -> pa.Table:
+        from dcpray.rayutil import worker_memo
+
+        r = worker_memo(("range_right", rref.hex()),
+                        lambda: __import__("ray").get(rref))
+        lk, lts, lok = _key_ts_arrays(batch, key_col, ts_col, ts_common)
+        valid_rows = np.flatnonzero(lok)    # inner join: invalid lefts drop
+        lk2, lt2 = lk[valid_rows], lts[valid_rows]
+        nb = len(lk2)
+
+        def emptied() -> pa.Table:
+            zero = pa.array(np.empty(0, np.int64))
+            cols = {name: batch[name].take(zero)
+                    for name in batch.schema.names}
+            for _, name, _t in out_right:
+                cols[name] = r["payload"][name].take(zero)
+            return pa.table(cols)
+
+        if nb == 0 or len(r["k"]) == 0:
+            return emptied()
+        # restrict to right rows under keys PRESENT in this batch (same
+        # machinery as asof_join_broadcast): dense run ids replace the
+        # key, so the match core never touches the full right side
+        bo = np.lexsort((lt2, lk2))
+        lk_s = lk2[bo]
+        run_start = np.r_[True, lk_s[1:] != lk_s[:-1]]
+        uk = lk_s[np.flatnonzero(run_start)]
+        lo = np.searchsorted(r["k"], uk, "left")
+        hi = np.searchsorted(r["k"], uk, "right")
+        sizes = (hi - lo).astype(np.int64)
+        T = int(sizes.sum())
+        if T == 0:
+            return emptied()
+        roff = np.cumsum(sizes) - sizes
+        touched = np.repeat(lo - roff, sizes) + np.arange(T, dtype=np.int64)
+        rid_right = np.repeat(np.arange(len(uk), dtype=np.int64), sizes)
+        rid_left = np.cumsum(run_start.astype(np.int64)) - 1
+        left_pos, ridx = _range_match_arrays(
+            rid_right, r["ts"][touched], rid_left, lt2[bo], window)
+        if len(left_pos) == 0:
+            return emptied()
+        batch_rows = valid_rows[bo[left_pos]]
+        right_rows = touched[ridx]
+        ord2 = np.lexsort((right_rows, batch_rows))  # deterministic order
+        batch_rows, right_rows = batch_rows[ord2], right_rows[ord2]
+        out_cols = {name: batch[name].take(pa.array(batch_rows))
+                    for name in batch.schema.names}
+        for _, name, _t in out_right:
+            out_cols[name] = r["payload"][name].take(pa.array(right_rows))
+        return pa.table(out_cols)
+
+    return left_ds.map_batches(match, fn_args=(ref,), batch_format="pyarrow")

@@ -402,6 +402,58 @@ def test_range_join_matches_pandas(blocks):
     assert len(got) > 0
 
 
+def test_range_join_broadcast_equals_distributed():
+    """The zero-exchange broadcast variant must produce the identical
+    pair set as the coarse-partition range_join on a random fixture,
+    including null-key/ts rows on both sides (inner-join drops)."""
+    from dcpray.functions.join import range_join, range_join_broadcast
+
+    rng = np.random.RandomState(23)
+    nl, nr = 300, 120
+    lt = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64),
+        "user_id": rng.randint(0, 8, nl).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, nl), unit="s"),
+    })
+    rt = pd.DataFrame({
+        "user_id": rng.randint(0, 8, nr).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 86400, nr), unit="s"),
+        "mark": np.arange(nr, dtype=np.int64),
+    })
+    ltab = pa.Table.from_pandas(lt, preserve_index=False)
+    rtab = pa.Table.from_pandas(rt, preserve_index=False)
+    # inject nulls: one null-ts left (dropped), one null-key right (never matches)
+    ltab = ltab.set_column(2, "ts", pa.concat_arrays(
+        [ltab["ts"].combine_chunks().slice(0, nl - 1),
+         pa.nulls(1, ltab.schema.field("ts").type)]))
+    rtab = rtab.set_column(0, "user_id", pa.concat_arrays(
+        [rtab["user_id"].combine_chunks().slice(0, nr - 1),
+         pa.nulls(1, pa.int64())]))
+    lds = rd.from_arrow(ltab).repartition(5)
+    rds = rd.from_arrow(rtab).repartition(3)
+    w = 5400.0
+    dist = range_join(lds, rds, key_col="user_id", ts_col="ts",
+                      right_cols={"mark": "mark"}, window_s=w).to_pandas()
+    bcast = range_join_broadcast(lds, rds, key_col="user_id", ts_col="ts",
+                                 right_cols={"mark": "mark"},
+                                 window_s=w).to_pandas()
+    key = lambda df: sorted(zip(df["event_id"], df["mark"]))
+    assert key(bcast) == key(dist)
+    assert len(bcast) > 0
+    assert nl - 1 not in set(bcast["event_id"])  # null-ts left dropped
+
+    # pa.Table right side accepted directly; window validation shared
+    bcast2 = range_join_broadcast(lds, rtab, key_col="user_id", ts_col="ts",
+                                  right_cols={"mark": "mark"},
+                                  window_s=w).to_pandas()
+    assert key(bcast2) == key(dist)
+    with pytest.raises(ValueError, match="window_s"):
+        range_join_broadcast(lds, rtab, key_col="user_id", ts_col="ts",
+                             right_cols={"mark": "mark"}, window_s=0.0)
+
+
 def test_range_join_bounds_exclusive_inclusive():
     """Lower bound strict (> t-w), upper inclusive (<= t)."""
     from dcpray.functions.join import range_join
