@@ -104,13 +104,15 @@ def hash_split(ds, col: str = "text", weights: tuple = (8, 1, 1),
 
     def tag(t: pa.Table) -> pa.Table:
         c = t[col]
-        valid = pc.is_valid(c)
+        valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
         h = hasher(c, salt) % total
         idx = np.searchsorted(bounds, h, side="right")
-        # vectorized label build: dictionary take + null mask (a per-row
-        # zip over (label, valid) was the one Python loop left here)
-        labels = name_arr.take(pa.array(idx.astype(np.int64)))
-        arr = pc.if_else(valid, labels, pa.scalar(None, pa.string()))
-        return t.append_column(split_col, arr)
+        # vectorized label build: take with a null-masked index array —
+        # null index slots yield null labels directly. (pc.if_else with
+        # a multi-chunk condition + flat string values emits corrupt
+        # offsets on pyarrow 16.1 — offsets accumulate across chunks
+        # past the per-chunk data buffer — so keep everything flat.)
+        idx_arr = pa.array(idx.astype(np.int64), mask=~valid)
+        return t.append_column(split_col, name_arr.take(idx_arr))
 
     return ds.map_batches(tag, batch_format="pyarrow")

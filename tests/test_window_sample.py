@@ -168,6 +168,28 @@ def test_hash_split_partitions_and_weights():
             == out2["split"].to_numpy()).all()
 
 
+def test_hash_split_multichunk_nulls_valid_arrow():
+    """Regression: pc.if_else with a multi-chunk condition + flat string
+    values emits corrupt offsets on pyarrow 16.1 (chunk 1's offsets ran
+    past its data buffer), which intermittently killed output-block
+    serialization. The split column must be fully valid Arrow on
+    multi-chunk, null-bearing batches, and nulls must stay null."""
+    c = pa.chunked_array([
+        pa.array(["alpha", "beta", None, "gamma"]),
+        pa.array(["delta", None, "epsilon", "zeta", "eta"]),
+    ])
+    tab = pa.Table.from_arrays(
+        [pa.array(range(9), pa.int64()), c], names=["doc_id", "text"])
+    for mode in ("md5", "fast"):
+        out_ds = hash_split(rd.from_arrow(tab), weights=(8, 1, 1), hash=mode)
+        for b in out_ds.iter_batches(batch_format="pyarrow"):
+            b.validate(full=True)
+        out = out_ds.to_pandas().sort_values("doc_id")
+        assert out["split"].isna().tolist() == [
+            False, False, True, False, False, True, False, False, False]
+        assert set(out["split"].dropna()) <= {"train", "val", "test"}
+
+
 # ------------------------------------------------------------ as-of join
 
 
