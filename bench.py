@@ -73,12 +73,17 @@ def _consume(res) -> int:
     return len(res)
 
 
-def _replay_events(sf_dir: str) -> tuple[int, float]:
-    """One fresh full replay; returns (events_in, pipeline wall_s).
+def _replay_events(sf_dir: str, runs: int = 1) -> tuple[int, float]:
+    """Fresh full replay(s); returns (events_in, best pipeline wall_s).
 
     Uses the engine's own metrics (events_in counts every WAL row fed
     through validation+mapper+merge, the delivered-stream analogue of
-    integration_test.go:107's totalEvent count)."""
+    integration_test.go:107's totalEvent count). ``runs > 1`` reruns
+    into a fresh lake and keeps the BEST wall — single-shot rows on a
+    shared box swing ±25% with page-cache/scheduler state (BENCH_r03
+    showed phantom ±27% moves on unchanged code), and best-of-N with
+    the first run as warmup is the standard steady-state estimator
+    the scaling block already uses."""
     import shutil
 
     from dcpray import ReplayConfig, replay
@@ -86,15 +91,20 @@ def _replay_events(sf_dir: str) -> tuple[int, float]:
     from dcpray.state.checkpoint import Lake
 
     fx = ensure_fixture(sf_dir)
-    lake_dir = os.path.join("/tmp/dcpray_bench", os.path.basename(fx), "lake")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    res = replay(
-        Lake(lake_dir),
-        os.path.join(fx, "wal"),
-        base_snapshot_dir=os.path.join(fx, "base"),
-        config=ReplayConfig.for_scale(os.path.basename(fx)),
-    )
-    return int(res.metrics["events_in"]), float(res.metrics["wall_s"])
+    walls = []
+    events = 0
+    for _ in range(max(runs, 1)):
+        lake_dir = os.path.join("/tmp/dcpray_bench", os.path.basename(fx), "lake")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        res = replay(
+            Lake(lake_dir),
+            os.path.join(fx, "wal"),
+            base_snapshot_dir=os.path.join(fx, "base"),
+            config=ReplayConfig.for_scale(os.path.basename(fx)),
+        )
+        events = int(res.metrics["events_in"])
+        walls.append(float(res.metrics["wall_s"]))
+    return events, min(walls), walls[0]
 
 
 def _incremental_delta(sf_dir: str) -> tuple[int, float]:
@@ -121,26 +131,158 @@ def _incremental_delta(sf_dir: str) -> tuple[int, float]:
     return int(res.metrics["events_in"]), float(res.metrics["wall_s"])
 
 
+def _resegment_wal_time_ordered(fx: str, n_chunks: int) -> str:
+    """Rewrite the fixture WAL once (cached, cost excluded from timing)
+    into per-vb segments with CONTIGUOUS, increasing seqno ranges —
+    the shape a real CDC stream's segment roll produces. The fixture
+    generator interleaves a vb's seqnos round-robin across its part
+    files (deliberately, to exercise out-of-order replay), so staging
+    those files incrementally makes every arrival a LATE out-of-order
+    segment: the engine correctly voids its checkpoint floor and
+    re-replays overlap, which is the recovery path, not steady-state
+    tailing. Time-ordered segments measure the steady state."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    src = os.path.join("/tmp/dcpray_bench", os.path.basename(fx),
+                       f"wal_tail_src_{n_chunks}")
+    done = os.path.join(src, ".done")
+    if os.path.exists(done):
+        return src
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    for vb_dir in sorted(_glob.glob(os.path.join(fx, "wal", "*"))):
+        files = sorted(_glob.glob(os.path.join(vb_dir, "*.parquet")))
+        if not files:
+            continue
+        # promote: later segments add evolved columns (tool_version);
+        # union-by-name like the engine's own WAL reader
+        tab = pa.concat_tables([_pq.read_table(f) for f in files],
+                               promote_options="default")
+        tab = tab.take(_pc.sort_indices(tab, sort_keys=[("seqno", "ascending")]))
+        out_dir = os.path.join(src, os.path.basename(vb_dir))
+        os.makedirs(out_dir, exist_ok=True)
+        n = tab.num_rows
+        for c in range(n_chunks):
+            lo = c * n // n_chunks
+            hi = (c + 1) * n // n_chunks
+            if hi > lo:
+                _pq.write_table(tab.slice(lo, hi - lo),
+                                os.path.join(out_dir, f"part-{c:03d}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return src
+
+
+def _tail_stream(sf_dir: str, n_chunks: int = 8) -> dict:
+    """Continuous-mode cost (the blocking connector.Start() analogue):
+    stage a time-ordered copy of the WAL into a growing directory in
+    ``n_chunks`` arrivals — per vBucket, each segment's seqnos follow
+    the previous segment's — while ONE ``Pipeline.tail()`` polls it and
+    incrementally commits each arrival. The completion handler stages
+    the next chunk, so every poll sees fresh segments and the loop
+    never idles. Reports total events, total wall, and per-commit
+    latency (from the engine's own per-run metrics, the same numbers
+    ``metrics/stream.jsonl`` records)."""
+    import glob as _glob
+    import shutil
+    from collections import defaultdict
+
+    from dcpray import PipelineBuilder, ReplayConfig
+    from dcpray.sources.genwal import ensure_fixture
+
+    fx = ensure_fixture(sf_dir)
+    root = os.path.join("/tmp/dcpray_bench", os.path.basename(fx))
+    stage = os.path.join(root, "wal_tail_stage")
+    lake_dir = os.path.join(root, "lake_tail")
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
+    src = _resegment_wal_time_ordered(fx, n_chunks)
+    chunks: list[list[str]] = [[] for _ in range(n_chunks)]
+    by_chunk: dict[int, list[str]] = defaultdict(list)
+    for p in sorted(_glob.glob(os.path.join(src, "*", "*.parquet"))):
+        by_chunk[int(os.path.basename(p)[5:8])].append(p)
+    for c in range(n_chunks):
+        chunks[c] = by_chunk.get(c, [])
+    chunks = [c for c in chunks if c]
+    n_chunks = len(chunks)
+
+    def land(c: int) -> None:
+        for path in chunks[c]:
+            rel = os.path.relpath(path, src)
+            dst = os.path.join(stage, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(path, dst)  # hardlink: arrival costs no copy IO
+
+    state = {"next": 1}
+
+    def on_commit(res) -> None:
+        if res.committed and state["next"] < n_chunks:
+            land(state["next"])
+            state["next"] += 1
+
+    land(0)
+    pipe = (
+        PipelineBuilder(lake_dir, ReplayConfig.for_scale(os.path.basename(fx)))
+        .set_completion_handler(on_commit)
+        .build()
+    )
+    t0 = time.perf_counter()
+    results = pipe.tail(stage, base_snapshot_dir=os.path.join(fx, "base"),
+                        poll_interval_s=0.0, max_polls=n_chunks)
+    wall = time.perf_counter() - t0
+    events = sum(int(r.metrics["events_in"]) for r in results)
+    commit_walls = [float(r.metrics["wall_s"]) for r in results]
+    return {
+        "commits": len(results),
+        "events": events,
+        "wall_s": round(wall, 3),
+        "events_per_s": round(events / max(wall, 1e-9), 1),
+        "mean_commit_s": round(sum(commit_walls) / max(len(commit_walls), 1), 3),
+        "max_commit_s": round(max(commit_walls), 3) if commit_walls else None,
+    }
+
+
 def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dict:
     from dcpray.sources.genwal import ensure_fixture
 
     ensure_fixture(sf_dir)  # generation cost excluded from timings
     _init_ray(num_cpus)
 
-    events, replay_s = _replay_events(sf_dir)
+    # warmup + best-of-2 for the headline (and every secondary row
+    # below): single-shot rows could not distinguish code regressions
+    # from box noise across rounds
+    runs = 2 if include_secondary else 1
+    events, replay_s, replay_cold_s = _replay_events(sf_dir, runs=runs)
     queries: dict[str, float] = {"cdc_replay_full": round(replay_s, 3)}
     if include_secondary:
-        delta_events, delta_s = _incremental_delta(sf_dir)
+        # first-run wall (cold page cache / worker pool) kept alongside
+        # for continuity with the single-shot rows of earlier rounds
+        queries["cdc_replay_full_cold"] = round(replay_cold_s, 3)
+    tail = None
+    if include_secondary:
+        delta_s = min(_incremental_delta(sf_dir)[1] for _ in range(2))
         queries["cdc_incremental_delta"] = round(delta_s, 3)
+        tail = _tail_stream(sf_dir)
+        queries["cdc_tail_stream"] = tail["wall_s"]
 
     if include_secondary:
         import __ray_entry__ as entrymod
 
         qs = entrymod.queries()
         for name in SECONDARY:
-            t0 = time.perf_counter()
-            _consume(qs[name](sf_dir))
-            queries[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _consume(qs[name](sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            queries[name] = round(best, 3)
 
     out = {
         "metric": "cdc_replay_wall_s",
@@ -151,7 +293,11 @@ def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dic
         "num_cpus": num_cpus,
         "events": events,
         "events_per_s": round(events / max(replay_s, 1e-9), 1),
+        "timing": "warmup+best-of-2 per row" if include_secondary
+                  else "single-shot",
     }
+    if tail is not None:
+        out["tail"] = tail
     if include_secondary:
         # N→4N scaling evidence in the SAME machine-readable record the
         # driver captures: the 2→8 CPU pair (both levels below this
