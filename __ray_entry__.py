@@ -659,6 +659,164 @@ def _q_multimodal_decode_wav(sf_dir: str):
                              batch_size=256)
 
 
+def _q_docs_chunk(sf_dir: str):
+    """Overlapping character-window chunking (1->N fan-out) — the SQL
+    oracle reproduces the window arithmetic with generate_series +
+    substring, so boundaries are exact-checked."""
+    from dcpray.functions.textprep import chunk_text
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    return chunk_text(ds, chunk_chars=200, overlap_chars=32)
+
+
+def _q_docs_scrub_pii(sf_dir: str):
+    """PII redaction. The corpus is synthetic word-soup, so both engine
+    and oracle first append a deterministic PII suffix (email + phone +
+    IP derived from doc_id) and then scrub it — the oracle checks real
+    rewriting, not a no-op."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.textprep import scrub_pii
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+
+    def add_pii(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        piid = pa.array((ids % 256).astype(np.int64))
+        synth = pc.binary_join_element_wise(
+            t["text"], pa.scalar(" contact user"),
+            pc.cast(t["doc_id"], pa.string()),
+            pa.scalar("@example.com or +1 (555) 123-4567 at 10.0."),
+            pc.cast(piid, pa.string()), pa.scalar(".7"), "")
+        return t.set_column(t.column_names.index("text"), "text", synth)
+
+    return scrub_pii(ds.map_batches(add_pii, batch_format="pyarrow"))
+
+
+def _q_docs_top_terms(sf_dir: str):
+    """Global top-50 vocabulary terms (tokenizer shared verbatim with
+    the oracle; ties break by term)."""
+    from dcpray.functions.textprep import top_terms
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["text"], override_num_blocks=16)
+    return top_terms(ds, k=50)
+
+
+def _q_orders_customer_rollup(sf_dir: str):
+    """Star-schema enrichment with ZERO shuffle of the fact table: two
+    broadcast hash joins (customer, nation are lookup-sized) feed a
+    coarse_groupby rollup — revenue per nation."""
+    from dcpray.functions.agg import coarse_groupby
+    from dcpray.functions.join import broadcast_join
+
+    orders = read_clean(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey", "o_totalprice"],
+                        override_num_blocks=16)
+    customer = read_clean(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+    nation = read_clean(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    j = broadcast_join(orders, customer, on="o_custkey",
+                       right_on="c_custkey")
+    j = broadcast_join(j, nation, on="c_nationkey", right_on="n_nationkey")
+    out = coarse_groupby(
+        j, keys=["n_name"],
+        aggs=[("o_totalprice", "count", "n_orders"),
+              ("o_totalprice", "sum", "revenue")],
+        partitions=8,
+    ).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out["revenue"].round(4)
+    return out
+
+
+def _q_events_stratified_sample(sf_dir: str):
+    """Deterministic 5-per-user sample, md5-rank-exact vs the SQL
+    row_number oracle."""
+    from dcpray.functions.sample import stratified_sample
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    override_num_blocks=16)
+    return stratified_sample(ds, "user_id", 5, id_col="event_id")
+
+
+def _q_events_daily_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per day — per-batch distinct collapse
+    before the exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.agg import distinct_count
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["ts", "user_id"], override_num_blocks=16)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+
+    out = distinct_count(ds.map_batches(add_day, batch_format="pyarrow"),
+                         ["day"], "user_id", alias="users").to_pandas()
+    out["users"] = out["users"].astype("int64")
+    return out[["day", "users"]]
+
+
+def _q_events_value_quantiles(sf_dir: str):
+    """EXACT quantiles without a global sort: histogram selection in
+    three streaming passes, DuckDB quantile_disc convention
+    (rank = ceil(n*q) - 1)."""
+    from dcpray.functions.agg import exact_quantiles
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["value"], override_num_blocks=16)
+    out = exact_quantiles(
+        ds, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+        bins=4096).to_pandas()
+    out["value"] = out["value"].round(6)
+    return out
+
+
+def _q_events_hopping_30min(sf_dir: str):
+    """30-minute windows hopping every 10 minutes (each event in
+    exactly 3 windows) — vectorized 1->3 expansion, partials-only
+    exchange."""
+    from dcpray.functions.window import hopping_window
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["ts", "value"], override_num_blocks=16)
+    out = hopping_window(ds, "ts", size_s=1800, hop_s=600,
+                         aggs=[("ts", "count", "n_events"),
+                               ("value", "sum", "sum_value")]).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def _q_embedding_kmeans(sf_dir: str):
+    """Distributed spherical k-means (8 clusters, 5 Lloyd iterations,
+    deterministic hashed-id init) -> cluster sizes. Iterative, so no
+    SQL oracle; equivalence to a numpy Lloyd reference is unit-tested
+    (tests/test_ops_r4.py)."""
+    from dcpray.functions.agg import coarse_groupby
+    from dcpray.functions.kmeans import kmeans_assign, kmeans_fit
+
+    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                    columns=["vec_id", "embedding"], override_num_blocks=8)
+    cents = kmeans_fit(ds, k=8, iters=5, metric="cosine")
+    assign = kmeans_assign(ds, cents, metric="cosine")
+    out = coarse_groupby(assign, keys=["cluster"],
+                         aggs=[("vec_id", "count", "n_vectors")],
+                         partitions=4).to_pandas()
+    out["n_vectors"] = out["n_vectors"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+
 def entry() -> Any:
     """Flagship pipeline: full CDC replay of the sf0.001 transcript WAL
     into a fresh lake; returns the final transcripts table."""
@@ -710,9 +868,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full_probe": _q_ann_ivf_full_probe,
         "ann_ivf_index_full_probe": _q_ann_ivf_index_full_probe,
         "multimodal_features": _q_multimodal_features,
+        "docs_chunk": _q_docs_chunk,
+        "docs_scrub_pii": _q_docs_scrub_pii,
+        "docs_top_terms": _q_docs_top_terms,
+        "orders_customer_rollup": _q_orders_customer_rollup,
+        "events_stratified_sample": _q_events_stratified_sample,
+        "events_daily_users": _q_events_daily_users,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_hopping_30min": _q_events_hopping_30min,
+        "embedding_kmeans": _q_embedding_kmeans,
         "multimodal_decode_bmp": _q_multimodal_decode_bmp,
         "multimodal_decode_wav": _q_multimodal_decode_wav,
     }
+
+
+
+
+def _scrub_pii_oracle() -> str:
+    """The scrub oracle is built from DEFAULT_PII_PATTERNS itself —
+    one pattern source of truth for engine and SQL (the same
+    convention token_count_bpe uses for its RE2 pattern)."""
+    from dcpray.functions.textprep import DEFAULT_PII_PATTERNS
+
+    expr = ("text || ' contact user' || CAST(doc_id AS varchar) || "
+            "'@example.com or +1 (555) 123-4567 at 10.0.' || "
+            "CAST(doc_id % 256 AS varchar) || '.7'")
+    for _, pat, rep in DEFAULT_PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -970,4 +1153,51 @@ SELECT d.doc_id AS media_id,
          AS DOUBLE) ** 2)), 6) rms
 FROM documents d, generate_series(0, 255) g(i)
 GROUP BY d.doc_id""",
+        "docs_chunk": """
+WITH d AS (
+  SELECT doc_id, text,
+         greatest(length(text) - 32 - 1, 0) // 168 AS mj
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+e AS (
+  SELECT doc_id, text, unnest(generate_series(0, mj)) AS chunk_idx FROM d)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) chunk_idx,
+       substring(text, chunk_idx * 168 + 1, 200) AS chunk_text
+FROM e""",
+        "docs_scrub_pii": _scrub_pii_oracle(),
+        "docs_top_terms": """
+SELECT t AS term, CAST(count(*) AS BIGINT) cnt FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+  FROM documents) tt WHERE t <> ''
+GROUP BY t ORDER BY cnt DESC, t LIMIT 50""",
+        "orders_customer_rollup": """
+SELECT n_name, CAST(count(*) AS BIGINT) n_orders,
+       round(sum(o_totalprice), 4) revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "events_stratified_sample": """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY md5_number_lower(CAST(event_id AS varchar)), event_id) AS rn
+  FROM events) WHERE rn <= 5""",
+        "events_daily_users": """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) users
+FROM events GROUP BY 1""",
+        "events_value_quantiles": """
+WITH a AS (SELECT quantile_disc(value,
+  [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS v FROM events)
+SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+       round(unnest(v), 6) AS value FROM a""",
+        "events_hopping_30min": """
+SELECT w AS window_start, CAST(count(*) AS BIGINT) n_events,
+       round(sum(value), 4) sum_value
+FROM (SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000
+                            - j * 600000000) AS w, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+      WHERE ts IS NOT NULL)
+GROUP BY w""",
     }
+

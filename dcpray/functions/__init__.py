@@ -6,7 +6,13 @@ is a composition of ``map_batches`` / coarse-partition ``groupby`` over
 Arrow batches — no driver-side loops, no per-row Python in hot paths.
 """
 
-from dcpray.functions.agg import add_coarse_pk, coarse_groupby, topk_per_group
+from dcpray.functions.agg import (
+    add_coarse_pk,
+    coarse_groupby,
+    distinct_count,
+    exact_quantiles,
+    topk_per_group,
+)
 from dcpray.functions.boilerplate import remove_repeated_paragraphs
 from dcpray.functions.ann import (
     build_ivf_index,
@@ -28,10 +34,13 @@ from dcpray.functions.dedup import (
 from dcpray.functions.join import (
     asof_join,
     asof_join_broadcast,
+    broadcast_join,
     range_join,
     range_join_broadcast,
 )
-from dcpray.functions.sample import hash_sample, hash_split
+from dcpray.functions.kmeans import kmeans_assign, kmeans_fit
+from dcpray.functions.sample import hash_sample, hash_split, stratified_sample
+from dcpray.functions.textprep import chunk_text, scrub_pii, top_terms
 from dcpray.functions.textstats import (
     LangId,
     QualityScorer,
@@ -43,19 +52,23 @@ from dcpray.functions.textstats import (
     token_count,
     token_count_bpe,
 )
-from dcpray.functions.window import session_stats, sessionize
+from dcpray.functions.window import hopping_window, session_stats, sessionize
 
 __all__ = [
-    "add_coarse_pk", "coarse_groupby", "topk_per_group",
+    "add_coarse_pk", "coarse_groupby", "distinct_count",
+    "exact_quantiles", "topk_per_group",
     "build_ivf_index", "ivf_query", "ivf_topk", "topk_cosine",
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
-    "asof_join", "asof_join_broadcast", "range_join",
+    "asof_join", "asof_join_broadcast", "broadcast_join", "range_join",
     "range_join_broadcast",
-    "hash_sample", "hash_split",
+    "hash_sample", "hash_split", "stratified_sample",
+    "chunk_text", "scrub_pii", "top_terms",
+    "kmeans_assign", "kmeans_fit",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",
-    "session_stats", "sessionize", "remove_repeated_paragraphs",
+    "hopping_window", "session_stats", "sessionize",
+    "remove_repeated_paragraphs",
 ]

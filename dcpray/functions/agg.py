@@ -200,3 +200,160 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
         lambda gr: _local_topk(gr.drop_columns(["_pk"]), False),
         batch_format="pyarrow",
     )
+
+
+def distinct_count(ds, keys: list[str], value_col: str,
+                   alias: str = "n_distinct", partitions: int = 64):
+    """Exact ``COUNT(DISTINCT value)`` per key group.
+
+    Scale shape: each batch first collapses to its distinct
+    (keys, value) combinations with one vectorized Arrow groupby — the
+    exchange then moves one row per distinct combination per batch, not
+    every input row; each coarse partition re-dedupes across batches
+    and counts, so a group's cost is bounded by its distinct-value
+    count, never its row count. Null values are not counted (SQL
+    semantics); null keys form their own group (SQL GROUP BY)."""
+    sel = keys + [value_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pa.TableGroupBy(t.select(sel), sel).aggregate([])
+        u = u.rename_columns(sel)
+        pk = (_hash_key_columns(u, keys)
+              % np.uint64(partitions)).astype(np.int32)
+        return u.append_column("_pk", pa.array(pk))
+
+    def combine(g: pa.Table) -> pa.Table:
+        u = pa.TableGroupBy(g.select(sel), sel).aggregate([])
+        u = u.rename_columns(sel)
+        out = pa.TableGroupBy(u, keys).aggregate([(value_col, "count")])
+        return out.rename_columns(keys + [alias])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(combine, batch_format="pyarrow"))
+
+
+def exact_quantiles(ds, col: str, qs, bins: int = 8192,
+                    refine_limit: int = 5_000_000) -> pa.Table:
+    """EXACT discrete quantiles of a numeric column at any scale, in
+    three streaming passes — no global sort, no full materialization.
+
+    Convention matches DuckDB ``quantile_disc``: the element at rank
+    ``max(ceil(n * q) - 1, 0)`` (0-indexed) over the non-null values
+    (probed empirically: n=10, q=0.95 -> index 9, which floor((n-1)q)
+    would put at 8).
+
+    Pass 1 reduces (count, min, max). Pass 2 histograms every batch
+    into ``bins`` uniform buckets carrying (count, min, max) per bucket
+    and merges them through ``coarse_groupby`` — ≤ ``bins`` rows ever
+    reach the driver. The driver locates each target rank's bucket;
+    buckets where min == max resolve immediately (heavy duplicates cost
+    nothing). Pass 3 collects ONLY the values inside still-unresolved
+    buckets (expected n/bins rows each, ``refine_limit`` guard) and
+    selects the exact rank with one ``np.partition``.
+
+    Returns a pyarrow Table (q: float64, value: float64).
+    """
+    qs = [float(q) for q in qs]
+    if not qs or any(q < 0 or q > 1 for q in qs):
+        raise ValueError("qs must be non-empty fractions in [0, 1]")
+
+    def stats(t: pa.Table) -> pa.Table:
+        c = pc.cast(t[col], pa.float64())
+        return pa.table({
+            "n": pa.array([t.num_rows - t[col].null_count], pa.int64()),
+            "mn": pa.array([pc.min(c).as_py()], pa.float64()),
+            "mx": pa.array([pc.max(c).as_py()], pa.float64()),
+        })
+
+    st_batches = list(ds.map_batches(stats, batch_format="pyarrow")
+                      .iter_batches(batch_size=None, batch_format="pyarrow"))
+    st = pa.concat_tables(st_batches) if st_batches else None
+    n = int(pc.sum(st["n"]).as_py() or 0) if st is not None else 0
+    if n == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.nulls(len(qs), pa.float64())})
+    mn = float(pc.min(st["mn"]).as_py())
+    mx = float(pc.max(st["mx"]).as_py())
+    ranks = {q: max(int(np.ceil(n * q)) - 1, 0) for q in qs}
+    if mn == mx:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([mn] * len(qs), pa.float64())})
+    width = (mx - mn) / bins
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - mn) / width).astype(np.int64), 0, bins - 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = pc.cast(t[col], pa.float64()).combine_chunks()
+        v = c.drop_null().to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "bmn": pa.array([], pa.float64()),
+                             "bmx": pa.array([], pa.float64())})
+        b = bin_of(v)
+        order = np.argsort(b, kind="stable")
+        bs, vs = b[order], v[order]
+        first = np.r_[True, bs[1:] != bs[:-1]]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(bs)])
+        return pa.table({"bin": pa.array(bs[starts]),
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "bmn": pa.array(np.minimum.reduceat(vs, starts)),
+                         "bmx": pa.array(np.maximum.reduceat(vs, starts))})
+
+    hb = coarse_groupby(
+        ds.map_batches(hist, batch_format="pyarrow"), ["bin"],
+        [("cnt", "sum", "cnt"), ("bmn", "min", "bmn"), ("bmx", "max", "bmx")],
+        partitions=min(64, bins),
+    )
+    ht = pa.concat_tables(hb.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"))
+    order = pc.sort_indices(ht, sort_keys=[("bin", "ascending")])
+    ht = ht.take(order)
+    hbin = ht["bin"].to_numpy(zero_copy_only=False)
+    hcnt = ht["cnt"].to_numpy(zero_copy_only=False)
+    hmn = ht["bmn"].to_numpy(zero_copy_only=False)
+    hmx = ht["bmx"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(hcnt)
+
+    out: dict[float, float] = {}
+    need: dict[int, list[tuple[float, int]]] = {}  # bin -> [(q, local rank)]
+    for q, r in ranks.items():
+        i = int(np.searchsorted(cum, r + 1))
+        before = int(cum[i - 1]) if i else 0
+        if hmn[i] == hmx[i]:
+            out[q] = float(hmn[i])
+        else:
+            need.setdefault(int(hbin[i]), []).append((q, r - before))
+    if need:
+        need_bins = np.array(sorted(need), np.int64)
+        total_need = int(hcnt[np.isin(hbin, need_bins)].sum())
+        if total_need > refine_limit:
+            raise ValueError(
+                f"quantile refinement would collect {total_need} rows "
+                f"(> refine_limit={refine_limit}); raise bins= or "
+                "refine_limit=")
+
+        def pick(t: pa.Table) -> pa.Table:
+            c = pc.cast(t[col], pa.float64()).combine_chunks()
+            v = c.drop_null().to_numpy(zero_copy_only=False)
+            if len(v) == 0:
+                return pa.table({"bin": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.float64())})
+            b = bin_of(v)
+            m = np.isin(b, need_bins)
+            return pa.table({"bin": pa.array(b[m]), "v": pa.array(v[m])})
+
+        got = pa.concat_tables(
+            ds.map_batches(pick, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        gb = got["bin"].to_numpy(zero_copy_only=False)
+        gv = got["v"].to_numpy(zero_copy_only=False)
+        for b, wants in need.items():
+            vals = gv[gb == b]
+            for q, lr in wants:
+                out[q] = float(np.partition(vals, lr)[lr])
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array([out[q] for q in qs], pa.float64())})

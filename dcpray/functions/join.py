@@ -488,3 +488,68 @@ def range_join_broadcast(left_ds, right, key_col: str, ts_col: str,
         return pa.table(out_cols)
 
     return left_ds.map_batches(match, fn_args=(ref,), batch_format="pyarrow")
+
+
+# ------------------------------------------------------- broadcast equi-join
+
+
+def broadcast_join(left_ds, right, on: str | list[str],
+                   right_on: str | list[str] | None = None,
+                   right_cols: dict[str, str] | None = None,
+                   how: str = "inner"):
+    """Hash equi-join against a SMALL right side with ZERO exchange —
+    the dimension-enrichment join of star-schema pipelines (orders ⋈
+    customer ⋈ nation), and the engine's answer to "never shuffle the
+    fact table to join a lookup".
+
+    The right side (``pa.Table`` or small Dataset) is collected ONCE on
+    the driver, pruned to join keys + requested payload columns,
+    broadcast via ``ray.put``, and memoized per worker process; every
+    left batch then runs one Acero hash join locally
+    (``pa.Table.join``), so the big side streams straight through
+    ``map_batches``. Right-side bound is the worker heap — use the
+    coarse-partition machinery instead when the right side is not a
+    lookup table.
+
+    ``how`` is ``"inner"`` or ``"left"`` (SQL LEFT OUTER). Null join
+    keys follow SQL: they never match (inner drops them, left emits
+    null payload). ``right_cols`` maps right column → output name and
+    defaults to every non-key right column under its own name; a name
+    colliding with a left column raises.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
+        if right_on is not None else lkeys
+    if len(lkeys) != len(rkeys):
+        raise ValueError("on/right_on length mismatch")
+    if not isinstance(right, pa.Table):
+        right = pa.concat_tables(
+            list(right.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+    if right_cols is None:
+        right_cols = {c: c for c in right.schema.names if c not in rkeys}
+    left_names = set(left_ds.schema().names)
+    for rc, name in right_cols.items():
+        if name in left_names:
+            raise ValueError(
+                f"right column {rc!r} -> {name!r} collides with a left "
+                "column; rename via right_cols")
+    payload = right.select(rkeys + list(right_cols)).rename_columns(
+        rkeys + [right_cols[c] for c in right_cols])
+    # pre-combine so every worker joins against contiguous buffers
+    ref = ray.put(payload.combine_chunks())
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def match(batch: pa.Table, rref) -> pa.Table:
+        from dcpray.rayutil import worker_memo
+
+        r = worker_memo(("bjoin", rref.hex()),
+                        lambda: __import__("ray").get(rref))
+        return batch.join(r, keys=lkeys, right_keys=rkeys,
+                          join_type=join_type)
+
+    return left_ds.map_batches(match, fn_args=(ref,), batch_format="pyarrow")

@@ -116,3 +116,34 @@ def hash_split(ds, col: str = "text", weights: tuple = (8, 1, 1),
         return t.append_column(split_col, name_arr.take(idx_arr))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, n: int, id_col: str,
+                      salt: str = "", hash: str = "md5",
+                      partitions: int = 64):
+    """Deterministic n-per-group (stratified) sample: within each group
+    keep the n rows with the SMALLEST ``hash64(str(id), salt)``, ties
+    broken by id — a pure function of content, so the sample is stable
+    across runs, engines, and partitionings, and a different ``salt``
+    draws an independent sample. ``hash="md5"`` is DuckDB
+    ``md5_number_lower(cast(id AS varchar))``-exact (SQL oracle:
+    row_number() over (partition by group order by md5, id) <= n);
+    ``hash="fast"`` is the vectorized production sibling.
+
+    Scale shape: reuses the top-k-per-group combiner — each batch
+    forwards at most n rows per group it contains, the one exchange
+    moves O(n · groups-per-batch), never the input."""
+    from dcpray.functions.agg import topk_per_group
+
+    hasher = _HASHERS[hash]
+    cols = ds.schema().names
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        h = hasher(pc.cast(t[id_col], pa.string()), salt)
+        return t.append_column("_rank_h", pa.array(h))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = topk_per_group(ranked, group_col, "_rank_h", n,
+                         tiebreak_col=id_col, descending=False,
+                         partitions=partitions)
+    return out.map_batches(lambda t: t.select(cols), batch_format="pyarrow")

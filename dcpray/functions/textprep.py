@@ -1,0 +1,219 @@
+"""Text preparation operators for LLM training pipelines: chunking,
+PII scrubbing, vocabulary extraction.
+
+All three are embarrassingly parallel ``map_batches`` stages (chunking
+and scrubbing need NO exchange at all; ``top_terms`` moves only
+per-batch partial counts), so they stream at 100 TB without touching
+the object store beyond one block at a time.
+
+Reference parity: the reference engine's mapper stage
+(/root/reference/couchbase/event.go, /root/reference/connector.go:
+mapper → []message fan-out) lets one CDC event produce N sink
+messages; ``chunk_text`` is that 1→N fan-out re-expressed as a
+vectorized Arrow transform, and ``scrub_pii`` is the 1→1 value-rewrite
+form of the same mapper contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dcpray.hashing import hash_strings
+
+
+def _flat_string(col) -> pa.Array:
+    """One contiguous (non-chunked) string array for buffer math."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 0:
+            return pa.array([], col.type)
+        col = col.combine_chunks()
+    return col
+
+
+def chunk_batch(t: pa.Table, text_col: str, chunk_chars: int,
+                overlap_chars: int, keep_cols: list[str],
+                idx_col: str = "chunk_idx",
+                out_col: str = "chunk_text") -> pa.Table:
+    """Vectorized character-window chunker over one Arrow batch.
+
+    Semantics (shared with the SQL oracle): ``stride = chunk_chars -
+    overlap_chars``; document i with ``n > 0`` characters yields
+    ``(max(n - overlap - 1, 0) // stride) + 1`` chunks; chunk j covers
+    characters ``[j*stride, min(j*stride + chunk_chars, n))``. Null and
+    empty documents yield no chunks.
+
+    Character positions are UTF-8 aware WITHOUT a per-row Python loop:
+    char starts are the non-continuation bytes ``(b & 0xC0) != 0x80``
+    of the flattened data buffer, found with one numpy scan; the output
+    chunk bytes are gathered with a single fancy-index and wrapped in a
+    fresh Arrow string array built from raw offset/data buffers.
+    """
+    if chunk_chars <= overlap_chars or overlap_chars < 0:
+        raise ValueError("need 0 <= overlap_chars < chunk_chars")
+    stride = chunk_chars - overlap_chars
+    col = t[text_col]
+    keep = pc.and_(pc.is_valid(col),
+                   pc.greater(pc.binary_length(col), 0))
+    tt = t.filter(keep)
+    n_docs = tt.num_rows
+    empty_schema = pa.schema(
+        [tt.schema.field(c) for c in keep_cols]
+        + [pa.field(idx_col, pa.int64()), pa.field(out_col, pa.string())]
+    )
+    if n_docs == 0:
+        return empty_schema.empty_table()
+    arr = _flat_string(tt[text_col])
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset: arr.offset + n_docs + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    span = data[off[0]: off[-1]]
+    # absolute byte position of every character start
+    char_starts = np.flatnonzero((span & 0xC0) != 0x80) + off[0]
+    char_base = np.searchsorted(char_starts, off[:-1])
+    nchars = np.diff(np.searchsorted(char_starts, off))
+    # np.searchsorted(char_starts, off[-1]) == len(char_starts): the
+    # final doc's char count comes out right without a sentinel append
+    char_starts_ext = np.append(char_starts, off[-1])
+
+    n_chunks = np.maximum(nchars - overlap_chars - 1, 0) // stride + 1
+    total = int(n_chunks.sum())
+    doc_idx = np.repeat(np.arange(n_docs), n_chunks)
+    bases = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    within = np.arange(total) - bases  # chunk_idx per row
+
+    start_char = within * stride
+    end_char = np.minimum(start_char + chunk_chars, nchars[doc_idx])
+    byte_start = char_starts_ext[char_base[doc_idx] + start_char]
+    byte_end = char_starts_ext[char_base[doc_idx] + end_char]
+
+    lengths = byte_end - byte_start
+    out_off = np.concatenate(([0], np.cumsum(lengths)))
+    nbytes = int(out_off[-1])
+    gather = (np.arange(nbytes)
+              - np.repeat(out_off[:-1], lengths)
+              + np.repeat(byte_start, lengths))
+    newdata = data[gather]
+    if nbytes < 2**31:
+        chunks_arr = pa.Array.from_buffers(
+            pa.string(), total,
+            [None, pa.py_buffer(out_off.astype(np.int32).tobytes()),
+             pa.py_buffer(newdata.tobytes())])
+    else:  # block-level safety valve; blocks this large shouldn't exist
+        chunks_arr = pa.Array.from_buffers(
+            pa.large_string(), total,
+            [None, pa.py_buffer(out_off.tobytes()),
+             pa.py_buffer(newdata.tobytes())])
+    take = pa.array(doc_idx)
+    cols = {c: tt[c].take(take) for c in keep_cols}
+    cols[idx_col] = pa.array(within)
+    cols[out_col] = chunks_arr
+    return pa.table(cols, schema=empty_schema)
+
+
+def chunk_text(ds, text_col: str = "text", chunk_chars: int = 512,
+               overlap_chars: int = 64, keep_cols: list[str] | None = None,
+               idx_col: str = "chunk_idx", out_col: str = "chunk_text"):
+    """Split documents into overlapping fixed-size character windows —
+    the 1→N record fan-out of LLM-context preparation. Pure
+    ``map_batches``; zero exchange; output size ≈ input ×
+    ``chunk/(chunk-overlap)``."""
+    keep_cols = list(keep_cols or ["doc_id"])
+    return ds.map_batches(
+        lambda t: chunk_batch(t, text_col, chunk_chars, overlap_chars,
+                              keep_cols, idx_col, out_col),
+        batch_format="pyarrow",
+    )
+
+
+#: (name, RE2 pattern, replacement) applied in order — identical
+#: strings run through DuckDB regexp_replace(..., 'g') in the oracle,
+#: so both engines share ONE pattern source of truth.
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+)
+
+
+def scrub_batch(t: pa.Table, text_col: str,
+                patterns=DEFAULT_PII_PATTERNS,
+                out_col: str | None = None) -> pa.Table:
+    """Apply the pattern chain to one batch (RE2 via Arrow's
+    ``replace_substring_regex`` — the same regex engine DuckDB uses, so
+    oracle parity is byte-exact). Nulls stay null."""
+    c = t[text_col]
+    for _, pat, rep in patterns:
+        c = pc.replace_substring_regex(c, pattern=pat, replacement=rep)
+    name = out_col or text_col
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, c)
+    return t.append_column(name, c)
+
+
+def scrub_pii(ds, text_col: str = "text",
+              patterns=DEFAULT_PII_PATTERNS, out_col: str | None = None):
+    """Redact emails / phone numbers / IPv4 addresses (or any custom
+    ``(name, RE2-pattern, replacement)`` chain) from a text column.
+    Patterns are applied in order, all-occurrences. Pure map_batches,
+    zero exchange; regexes are compiled once per process inside Arrow's
+    kernel cache, not per batch."""
+    return ds.map_batches(
+        lambda t: scrub_batch(t, text_col, patterns, out_col),
+        batch_format="pyarrow",
+    )
+
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def top_terms(ds, text_col: str = "text", k: int = 100,
+              partitions: int = 64) -> pa.Table:
+    """Global top-k vocabulary terms by document-corpus frequency.
+
+    Tokenization shared with the SQL oracle: lowercase, split on
+    ``[^a-z0-9]+``, drop empty tokens. Scale shape: each batch emits
+    ONE partial (term, cnt) row per distinct term (vectorized
+    ``value_counts``), the exchange moves only those partials hashed by
+    term into ``partitions`` groups, each group merges + keeps a local
+    top-k, and the driver sees ≤ partitions×k rows. Ties at the k
+    boundary break by term ascending — deterministic on both engines.
+
+    Returns a pyarrow Table (term, cnt), cnt desc / term asc.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                      pattern=_TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        terms = vc.field("values")
+        counts = pc.cast(vc.field("counts"), pa.int64())
+        pk = (hash_strings(terms) % np.uint64(partitions)).astype(np.int32)
+        return pa.table({"term": terms, "cnt": counts,
+                         "_pk": pa.array(pk)})
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["term", "cnt"]), ["term"]) \
+            .aggregate([("cnt", "sum")]).rename_columns(["term", "cnt"])
+        order = pc.sort_indices(m, sort_keys=[("cnt", "descending"),
+                                              ("term", "ascending")])
+        return m.take(order[:k])
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("_pk")
+             .map_groups(lambda g: merge_topk(g), batch_format="pyarrow"))
+    # ≤ partitions×k candidate rows reach the driver — the only
+    # materialization, independent of corpus size
+    cand = pa.concat_tables(
+        parts.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default")
+    order = pc.sort_indices(cand, sort_keys=[("cnt", "descending"),
+                                             ("term", "ascending")])
+    return cand.take(order[:k])

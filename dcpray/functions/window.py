@@ -136,3 +136,53 @@ def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
                            batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign_and_agg, batch_format="pyarrow"))
+
+
+def hopping_window(ds, ts_col: str = "ts", size_s: float = 1800,
+                   hop_s: float = 600,
+                   aggs: list[tuple[str, str, str]] | None = None,
+                   key_col: str | None = None, partitions: int = 64,
+                   out_col: str = "window_start"):
+    """Overlapping (hopping) time-window aggregate: windows of
+    ``size_s`` seconds starting every ``hop_s`` seconds, epoch-aligned;
+    each event lands in exactly ``size/hop`` windows. ``size_s`` must
+    be a multiple of ``hop_s``. With ``hop_s == size_s`` this is a
+    tumbling window.
+
+    Scale shape: a vectorized 1→(size/hop) row expansion inside
+    ``map_batches`` (repeat + tile, no Python loop), then ONE
+    ``coarse_groupby`` exchange that moves only per-batch partial
+    aggregates per (window, key) — the expanded rows never shuffle.
+    Null-ts rows are dropped (SQL: a null can't fall in a window);
+    ``aggs`` follows coarse_groupby's ``(column, op, alias)`` spec and
+    defaults to an event count.
+    """
+    from dcpray.functions.agg import coarse_groupby
+
+    aggs = aggs or [(ts_col, "count", "n_events")]
+    keys = [out_col] + ([key_col] if key_col else [])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        ts_type = ts.type
+        hop_n = np.int64(_gap_threshold(ts_type, hop_s))
+        size_n = np.int64(_gap_threshold(ts_type, size_s))
+        if hop_n <= 0 or size_n % hop_n:
+            raise ValueError("size_s must be a positive multiple of hop_s")
+        nwin = int(size_n // hop_n)
+        tt = t.filter(pc.is_valid(ts))
+        v = pc.cast(tt[ts_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        bucket = (v // hop_n) * hop_n
+        total = len(v) * nwin
+        rep = np.arange(total) // nwin
+        j = np.arange(total) % nwin
+        ws = bucket[rep] - j.astype(np.int64) * hop_n
+        out = tt.take(pa.array(rep))
+        ws_arr = pa.array(ws)
+        if pa.types.is_timestamp(ts_type):
+            ws_arr = ws_arr.cast(ts_type)
+        return out.append_column(out_col, ws_arr)
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return coarse_groupby(expanded, keys, aggs, partitions=partitions)

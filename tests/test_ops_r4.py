@@ -1,0 +1,346 @@
+"""Round-4 operators: chunking, PII scrub, vocabulary, broadcast
+equi-join, stratified sampling, distinct counts, exact quantiles,
+hopping windows, distributed k-means — each against a DuckDB oracle or
+a pure-numpy reference."""
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+# ------------------------------------------------------------- chunking
+
+
+def _naive_chunks(text, chunk, overlap):
+    if text is None or len(text) == 0:
+        return []
+    stride = chunk - overlap
+    n = max(len(text) - overlap - 1, 0) // stride + 1
+    return [(j, text[j * stride: j * stride + chunk]) for j in range(n)]
+
+
+@pytest.mark.parametrize("chunk,overlap", [(4, 1), (8, 0), (16, 7)])
+def test_chunk_text_matches_naive_utf8(chunk, overlap):
+    from dcpray.functions.textprep import chunk_text
+
+    random.seed(9)
+    alphabet = "ab déf 東京 🚀 z\n"
+    texts = [None, "", "a", "héllo wörld 東京タワー🚀 end"] + [
+        "".join(random.choice(alphabet) for _ in range(random.randint(0, 50)))
+        for _ in range(150)
+    ]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = chunk_text(rd.from_arrow(tab).repartition(5), chunk_chars=chunk,
+                     overlap_chars=overlap)
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        b.validate(full=True)
+        for r in b.to_pylist():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_text"]))
+    for i, tx in enumerate(texts):
+        assert sorted(got.get(i, [])) == _naive_chunks(tx, chunk, overlap), i
+
+
+def test_chunk_text_rejects_bad_overlap():
+    from dcpray.functions.textprep import chunk_batch
+
+    with pytest.raises(ValueError):
+        chunk_batch(pa.table({"doc_id": [1], "text": ["x"]}), "text", 4, 4,
+                    ["doc_id"])
+
+
+# ------------------------------------------------------------ PII scrub
+
+
+def test_scrub_pii_matches_duckdb():
+    from dcpray.functions.textprep import DEFAULT_PII_PATTERNS, scrub_pii
+
+    texts = ["mail john.doe+x@ex-ample.co.uk now", "call +1 (555) 123-4567",
+             "srv at 10.0.0.1 or 999.12.34.56", None, "", "no pii",
+             "two a@b.io c@d.de mails"]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = scrub_pii(rd.from_arrow(tab).repartition(3)).to_pandas() \
+        .sort_values("doc_id")
+    expr = "text"
+    for _, pat, rep in DEFAULT_PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    exp = duckdb.sql(
+        f"SELECT doc_id, {expr} AS text FROM tab ORDER BY doc_id").df()
+    assert out["text"].fillna("~").tolist() == exp["text"].fillna("~").tolist()
+    assert "<EMAIL>" in out["text"].iloc[0]
+
+
+# ------------------------------------------------------------- top terms
+
+
+def test_top_terms_matches_duckdb():
+    from dcpray.functions.textprep import top_terms
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 30))
+                      ) + ", Punct! 42x" for _ in range(400)]
+    tab = pa.table({"text": pa.array(texts)})
+    got = top_terms(rd.from_arrow(tab).repartition(7), k=25).to_pandas()
+    exp = duckdb.sql("""
+        SELECT t AS term, count(*) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+          FROM tab) WHERE t <> ''
+        GROUP BY t ORDER BY cnt DESC, t LIMIT 25""").df()
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+# -------------------------------------------------------- broadcast join
+
+
+def _join_fixtures():
+    rng = np.random.RandomState(11)
+    lt = pa.table({
+        "k": pa.array([int(x) for x in rng.randint(0, 12, 300)] + [None, None],
+                      pa.int64()),
+        "lv": pa.array(np.arange(302, dtype=np.int64)),
+    })
+    rt = pa.table({
+        "k": pa.array([0, 1, 2, 3, 4, 5, None], pa.int64()),
+        "rv": pa.array([10, 11, 12, 13, 14, 15, 99], pa.int64()),
+    })
+    return lt, rt
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_broadcast_join_matches_duckdb(how):
+    from dcpray.functions.join import broadcast_join
+
+    lt, rt = _join_fixtures()
+    out = broadcast_join(rd.from_arrow(lt).repartition(4), rt,
+                         on="k", how=how).to_pandas()
+    jt = "JOIN" if how == "inner" else "LEFT JOIN"
+    exp = duckdb.sql(
+        f"SELECT l.k AS k, l.lv AS lv, r.rv AS rv FROM lt l {jt} rt r "
+        "ON l.k = r.k").df()
+    cols = ["k", "lv", "rv"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype("float64"), b.astype("float64"))
+
+
+def test_broadcast_join_collision_raises():
+    from dcpray.functions.join import broadcast_join
+
+    lt, _ = _join_fixtures()
+    rt = pa.table({"k": pa.array([1], pa.int64()),
+                   "lv": pa.array([7], pa.int64())})
+    with pytest.raises(ValueError, match="collides"):
+        broadcast_join(rd.from_arrow(lt), rt, on="k")
+
+
+# --------------------------------------------------- stratified sampling
+
+
+def test_stratified_sample_matches_duckdb():
+    from dcpray.functions.sample import stratified_sample
+
+    rng = np.random.RandomState(21)
+    n = 1200
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.randint(0, 25, n).astype(np.int64)),
+        "value": pa.array(rng.rand(n)),
+    })
+    got = stratified_sample(rd.from_arrow(tab).repartition(5), "user_id", 3,
+                            id_col="event_id").to_pandas()
+    exp = duckdb.sql("""
+        SELECT event_id, user_id, value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY md5_number_lower(cast(event_id AS varchar)), event_id
+          ) AS rn FROM tab) WHERE rn <= 3""").df()
+    cols = ["event_id", "user_id", "value"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # independent draw under a different salt
+    got2 = stratified_sample(rd.from_arrow(tab), "user_id", 3,
+                             id_col="event_id", salt="s2").to_pandas()
+    assert set(got2["event_id"]) != set(got["event_id"])
+
+
+# -------------------------------------------------------- distinct count
+
+
+def test_distinct_count_matches_duckdb():
+    from dcpray.functions.agg import distinct_count
+
+    rng = np.random.RandomState(4)
+    n = 3000
+    day = rng.randint(0, 7, n).astype(np.int64)
+    user = rng.randint(0, 40, n).astype(np.int64)
+    # null values + a null key group
+    tab = pa.table({
+        "day": pa.array(np.where(np.arange(n) % 97 == 0, None, day),
+                        pa.int64(), from_pandas=True),
+        "user_id": pa.array(
+            np.where(np.arange(n) % 13 == 0, None, user),
+            pa.int64(), from_pandas=True),
+    })
+    got = distinct_count(rd.from_arrow(tab).repartition(6), ["day"],
+                         "user_id", alias="users").to_pandas()
+    exp = duckdb.sql("SELECT day, count(DISTINCT user_id) AS users "
+                     "FROM tab GROUP BY day").df()
+    a = got.sort_values("day").reset_index(drop=True)
+    b = exp.sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype("float64"), b.astype("float64"))
+
+
+# ------------------------------------------------------- exact quantiles
+
+
+@pytest.mark.parametrize("dist", ["uniform", "heavy_dupes", "lognormal"])
+def test_exact_quantiles_match_duckdb(dist):
+    from dcpray.functions.agg import exact_quantiles
+
+    rng = np.random.RandomState(8)
+    if dist == "uniform":
+        v = rng.rand(5000) * 100
+    elif dist == "heavy_dupes":
+        v = np.repeat([1.0, 2.0, 2.0, 3.0, 50.0], 1000)[rng.permutation(5000)]
+    else:
+        v = rng.lognormal(0, 2, 5000)
+    vals = np.where(np.arange(5000) % 11 == 0, np.nan, v)
+    tab = pa.table({"value": pa.array(vals, pa.float64(), from_pandas=True)})
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = exact_quantiles(rd.from_arrow(tab).repartition(6), "value", qs,
+                          bins=256).to_pandas()
+    exp = duckdb.sql(
+        f"SELECT quantile_disc(value, {qs}) AS v FROM tab").fetchone()[0]
+    assert got["value"].tolist() == pytest.approx(list(exp), abs=0)
+
+
+def test_exact_quantiles_edge_cases():
+    from dcpray.functions.agg import exact_quantiles
+
+    empty = pa.table({"value": pa.array([], pa.float64())})
+    out = exact_quantiles(rd.from_arrow(empty), "value", [0.5]).to_pandas()
+    assert out["value"].isna().all()
+    const = pa.table({"value": pa.array([7.0] * 50)})
+    out = exact_quantiles(rd.from_arrow(const), "value", [0.1, 0.9]).to_pandas()
+    assert out["value"].tolist() == [7.0, 7.0]
+
+
+# -------------------------------------------------------- hopping window
+
+
+def test_hopping_window_matches_duckdb():
+    from dcpray.functions.window import hopping_window
+
+    rng = np.random.RandomState(14)
+    n = 4000
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.randint(0, 3 * 86400, n), unit="s")
+    tsv = pd.Series(ts)
+    tsv[::173] = pd.NaT  # null ts must drop
+    tab = pa.table({"ts": pa.array(tsv, pa.timestamp("us"), from_pandas=True),
+                    "value": pa.array(rng.rand(n))})
+    got = hopping_window(rd.from_arrow(tab).repartition(5), "ts",
+                         size_s=1800, hop_s=600,
+                         aggs=[("ts", "count", "n_events"),
+                               ("value", "sum", "sum_value")]).to_pandas()
+    exp = duckdb.sql("""
+        SELECT w AS window_start, count(*) AS n_events,
+               sum(value) AS sum_value
+        FROM (SELECT make_timestamp(
+                  (epoch_us(ts) // 600000000) * 600000000
+                  - j * 600000000) AS w, value
+              FROM tab CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+              WHERE ts IS NOT NULL)
+        GROUP BY w""").df()
+    a = got.sort_values("window_start").reset_index(drop=True)
+    b = exp.sort_values("window_start").reset_index(drop=True)
+    assert a["window_start"].tolist() == b["window_start"].tolist()
+    assert a["n_events"].tolist() == b["n_events"].tolist()
+    assert a["sum_value"].to_numpy() == pytest.approx(
+        b["sum_value"].to_numpy(), rel=1e-12)
+
+
+def test_hopping_window_rejects_non_multiple():
+    from dcpray.functions.window import hopping_window
+
+    tab = pa.table({"ts": pa.array([0, 1], pa.int64())})
+    with pytest.raises(Exception, match="multiple"):
+        hopping_window(rd.from_arrow(tab), "ts", size_s=7, hop_s=3) \
+            .materialize()
+
+
+# ------------------------------------------------------------- k-means
+
+
+def _lloyd_reference(x, cents, iters, metric):
+    from dcpray.functions.ann import _normalize
+
+    c = cents.copy()
+    if metric == "cosine":
+        c = _normalize(c)
+    for _ in range(iters):
+        if metric == "cosine":
+            a = (_normalize(x) @ c.T).argmax(axis=1)
+        else:
+            a = (x @ c.T - 0.5 * (c * c).sum(axis=1)).argmax(axis=1)
+        for i in range(len(c)):
+            m = a == i
+            if m.any():
+                c[i] = x[m].mean(axis=0)
+        if metric == "cosine":
+            c = _normalize(c)
+    return c
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_kmeans_matches_numpy_reference(metric):
+    from dcpray.functions.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(5)
+    k, dim, n = 4, 8, 1000
+    centers = rng.randn(k, dim) * 5
+    x = (centers[rng.randint(0, k, n)] + rng.randn(n, dim)).astype(np.float64)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(x), pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tab).repartition(5)
+    init = x[:k].copy()
+    got = kmeans_fit(ds, k=k, iters=6, metric=metric, init=init)
+    exp = _lloyd_reference(x, init, 6, metric)
+    np.testing.assert_allclose(got, exp, atol=1e-8)
+    # assignment agrees with the reference assignment
+    if metric == "cosine":
+        from dcpray.functions.ann import _normalize
+        ref_assign = (_normalize(x) @ exp.T).argmax(axis=1)
+    else:
+        ref_assign = (x @ exp.T - 0.5 * (exp * exp).sum(axis=1)).argmax(axis=1)
+    adf = kmeans_assign(ds, got, metric=metric).to_pandas() \
+        .sort_values("vec_id")
+    assert (adf["cluster"].to_numpy() == ref_assign).all()
+
+
+def test_kmeans_deterministic_init():
+    from dcpray.functions.kmeans import kmeans_fit
+
+    rng = np.random.RandomState(6)
+    n = 300
+    x = rng.randn(n, 4)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(x), pa.list_(pa.float64())),
+    })
+    a = kmeans_fit(rd.from_arrow(tab).repartition(3), k=3, iters=2)
+    b = kmeans_fit(rd.from_arrow(tab).repartition(7), k=3, iters=2)
+    np.testing.assert_allclose(a, b, atol=1e-9)
