@@ -46,6 +46,11 @@ SECONDARY = [
     "events_hourly",
     "events_sessions",
     "events_asof_click",
+    "docs_chunk",
+    "docs_top_terms",
+    "events_hopping_30min",
+    "events_value_quantiles",
+    "orders_customer_rollup",
 ]
 
 
