@@ -736,6 +736,26 @@ def _q_orders_customer_rollup(sf_dir: str):
     return out
 
 
+def _q_lineitem_orders_join(sf_dir: str):
+    """Large×large distributed hash join (no broadcast side): lineitem
+    LEFT JOIN the urgent-orders subset — both sides shuffle exactly
+    once on the coarse key partition; unmatched lineitems keep null
+    order columns (SQL LEFT OUTER null semantics verified row-exact)."""
+    from dcpray.functions.join import hash_join
+
+    li = read_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice"],
+                    override_num_blocks=16)
+    od = read_clean(os.path.join(sf_dir, "orders.parquet"),
+                    columns=["o_orderkey", "o_orderpriority", "o_custkey"],
+                    override_num_blocks=8)
+    urgent = od.filter(
+        lambda r: r["o_orderpriority"] == "1-URGENT")
+    return hash_join(li, urgent, on="l_orderkey", right_on="o_orderkey",
+                     how="left", partitions=32)
+
+
 def _q_events_stratified_sample(sf_dir: str):
     """Deterministic 5-per-user sample, md5-rank-exact vs the SQL
     row_number oracle."""
@@ -872,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_scrub_pii": _q_docs_scrub_pii,
         "docs_top_terms": _q_docs_top_terms,
         "orders_customer_rollup": _q_orders_customer_rollup,
+        "lineitem_orders_join": _q_lineitem_orders_join,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -1176,6 +1197,12 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name""",
+        "lineitem_orders_join": """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       o_orderpriority, o_custkey
+FROM lineitem
+LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON l_orderkey = o_orderkey""",
         "events_stratified_sample": """
 SELECT event_id, ts, user_id, event_type, value, props FROM (
   SELECT *, row_number() OVER (

@@ -35,6 +35,7 @@ from dcpray.functions.join import (
     asof_join,
     asof_join_broadcast,
     broadcast_join,
+    hash_join,
     range_join,
     range_join_broadcast,
 )
@@ -61,8 +62,8 @@ __all__ = [
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
-    "asof_join", "asof_join_broadcast", "broadcast_join", "range_join",
-    "range_join_broadcast",
+    "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
+    "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",
     "chunk_text", "scrub_pii", "top_terms",
     "kmeans_assign", "kmeans_fit",

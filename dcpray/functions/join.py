@@ -553,3 +553,141 @@ def broadcast_join(left_ds, right, on: str | list[str],
                           join_type=join_type)
 
     return left_ds.map_batches(match, fn_args=(ref,), batch_format="pyarrow")
+
+
+# ------------------------------------------------- distributed hash equi-join
+
+
+_HOW_TO_ACERO = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def hash_join(left_ds, right_ds, on: str | list[str],
+              right_on: str | list[str] | None = None,
+              right_cols: dict[str, str] | None = None,
+              how: str = "inner", partitions: int = 64):
+    """Large×large distributed equi-join — the general shuffle join for
+    when NEITHER side fits a broadcast (fact ⋈ fact; `broadcast_join`
+    is the zero-exchange path for dimension lookups).
+
+    Scale shape: ONE coarse-partition exchange. Both sides are tagged
+    with ``hash(keys) % partitions`` (the same multi-column key hash
+    every coarse operator shares) and unioned; each partition then runs
+    ONE local Acero hash join over its co-located slice — Python once
+    per partition, the join kernel itself vectorized C++. The exchange
+    moves each side exactly once; for ``how="inner"`` null-key rows of
+    both sides are dropped BEFORE the exchange (they can never match),
+    and for semi/anti joins the right side ships only its key columns.
+    Partitioning assumption: one key's rows from both sides fit in one
+    partition task — the usual coarse contract; salt hot keys upstream
+    if a single join key is order-of-a-partition hot.
+
+    ``how``: ``"inner"`` | ``"left"`` (LEFT OUTER) | ``"semi"`` (left
+    rows with ≥1 match, payload-free) | ``"anti"`` (left rows with NO
+    match — the "subtract already-processed keys" filter). Null join
+    keys follow SQL: they never match; ``anti`` therefore KEEPS
+    null-key left rows, ``semi``/``inner`` drop them.
+
+    ``right_cols`` maps right column → output name (defaults to every
+    non-key right column under its own name; collisions with left
+    column names raise — rename explicitly). Right key columns are
+    value-cast to the left key types before hashing so `int32 ⋈ int64`
+    or `us ⋈ ns` timestamps co-partition correctly; an unsafe cast
+    raises rather than mis-joining.
+
+    Reference parity: the reference has no join stage at all (its sink
+    is a message queue); this operator exists for the lake side of the
+    engine, where replayed tables are joined downstream.
+    """
+    from dcpray.functions.agg import _hash_key_columns
+
+    if how not in _HOW_TO_ACERO:
+        raise ValueError(
+            f"how must be one of {sorted(_HOW_TO_ACERO)}, got {how!r}")
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
+        if right_on is not None else lkeys
+    if len(lkeys) != len(rkeys):
+        raise ValueError("on/right_on length mismatch")
+
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right_ds.schema()
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    payload_free = how in ("semi", "anti")
+    if payload_free:
+        right_cols = {}
+    elif right_cols is None:
+        right_cols = {c: c for c in right_schema.names if c not in rkeys}
+    for rc, name in right_cols.items():
+        if name in left_names:
+            raise ValueError(
+                f"right column {rc!r} -> {name!r} collides with a left "
+                "column; rename via right_cols")
+    out_right = [(rc, name, right_types[rc]) for rc, name in right_cols.items()]
+
+    union_schema = pa.schema(
+        [("_side", pa.int8()), ("_pk", pa.int32())]
+        + [(n, left_types[n]) for n in left_names]
+        + [(name, t) for _, name, t in out_right]
+    )
+
+    def _valid_keys(t: pa.Table, keys: list[str]) -> pa.Array:
+        m = pc.is_valid(t[keys[0]])
+        for k in keys[1:]:
+            m = pc.and_(m, pc.is_valid(t[k]))
+        return m
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        if how in ("inner", "semi"):
+            t = t.filter(_valid_keys(t, lkeys))
+        pk = (_hash_key_columns(t, lkeys)
+              % np.uint64(partitions)).astype(np.int32)
+        n = t.num_rows
+        cols = {"_side": pa.array(np.ones(n, np.int8)),
+                "_pk": pa.array(pk)}
+        for name in left_names:
+            cols[name] = t[name]
+        for _, name, typ in out_right:
+            cols[name] = pa.nulls(n, typ)
+        return pa.table(cols, schema=union_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(_valid_keys(t, rkeys))     # null keys never match
+        # key values live in the LEFT key columns' slots (cast to the
+        # left types so both sides hash identically)
+        keyed = pa.table(
+            {ln: t[rn].cast(left_types[ln]) for ln, rn in zip(lkeys, rkeys)})
+        pk = (_hash_key_columns(keyed, lkeys)
+              % np.uint64(partitions)).astype(np.int32)
+        n = t.num_rows
+        cols = {"_side": pa.array(np.zeros(n, np.int8)),
+                "_pk": pa.array(pk)}
+        for name in left_names:
+            cols[name] = keyed[name] if name in lkeys else pa.nulls(
+                n, left_types[name])
+        for rc, name, typ in out_right:
+            cols[name] = t[rc]
+        return pa.table(cols, schema=union_schema)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow"))
+    acero_how = _HOW_TO_ACERO[how]
+    payload_names = [name for _, name, _ in out_right]
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["_side"]
+        lt = g.filter(pc.equal(side, 1)).select(left_names)
+        rt = g.filter(pc.equal(side, 0)).select(lkeys + payload_names)
+        out = lt.join(rt, keys=lkeys, join_type=acero_how)
+        # Acero emits left cols then payload, but not necessarily in
+        # our declared order — normalize for stable union-of-groups
+        return out.select(left_names + (payload_names if not payload_free
+                                        else []))
+
+    return tagged.groupby("_pk").map_groups(join_part, batch_format="pyarrow")

@@ -344,3 +344,76 @@ def test_kmeans_deterministic_init():
     a = kmeans_fit(rd.from_arrow(tab).repartition(3), k=3, iters=2)
     b = kmeans_fit(rd.from_arrow(tab).repartition(7), k=3, iters=2)
     np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+# ------------------------------------------------- distributed hash join
+
+
+def _hj_fixtures():
+    lt = pa.table({
+        "k1": pa.array([1, 1, 2, None, 3, 4, 4, 4], pa.int64()),
+        "k2": pa.array(["a", "b", "a", "a", None, "a", "a", "b"]),
+        "lv": pa.array(np.arange(8, dtype=np.int64)),
+    })
+    rt = pa.table({
+        "rk1": pa.array([1, 2, None, 3, 4, 4], pa.int32()),  # int32: cast path
+        "rk2": pa.array(["a", "a", "a", None, "a", "a"]),
+        "rv": pa.array([100.0, 200.0, 300.0, 400.0, 500.0, 501.0]),
+    })
+    return lt, rt
+
+
+@pytest.mark.parametrize("how,sql", [
+    ("inner", "SELECT lt.k1, lt.k2, lt.lv, rt.rv FROM lt JOIN rt "
+              "ON lt.k1 = rt.rk1 AND lt.k2 = rt.rk2"),
+    ("left", "SELECT lt.k1, lt.k2, lt.lv, rt.rv FROM lt LEFT JOIN rt "
+             "ON lt.k1 = rt.rk1 AND lt.k2 = rt.rk2"),
+    ("semi", "SELECT lt.k1, lt.k2, lt.lv FROM lt WHERE EXISTS "
+             "(SELECT 1 FROM rt WHERE lt.k1 = rt.rk1 AND lt.k2 = rt.rk2)"),
+    ("anti", "SELECT lt.k1, lt.k2, lt.lv FROM lt WHERE NOT EXISTS "
+             "(SELECT 1 FROM rt WHERE lt.k1 = rt.rk1 AND lt.k2 = rt.rk2)"),
+])
+def test_hash_join_matches_duckdb(how, sql):
+    """Multi-column keys, SQL null-key semantics (anti KEEPS null-key
+    left rows), one-to-many fanout, int32 -> int64 right-key cast."""
+    from dcpray.functions.join import hash_join
+
+    lt, rt = _hj_fixtures()
+    out = hash_join(rd.from_arrow(lt).repartition(3),
+                    rd.from_arrow(rt).repartition(2),
+                    on=["k1", "k2"], right_on=["rk1", "rk2"], how=how,
+                    partitions=4).to_pandas()
+    exp = duckdb.sql(sql).df()
+    cols = sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype("object").fillna("~"),
+                                  b.astype("object").fillna("~"))
+
+
+def test_hash_join_agrees_with_broadcast_join():
+    from dcpray.functions.join import broadcast_join, hash_join
+
+    lt, rt0 = _join_fixtures()
+    a = hash_join(rd.from_arrow(lt).repartition(4),
+                  rd.from_arrow(rt0).repartition(2), on="k",
+                  how="left", partitions=4).to_pandas()
+    b = broadcast_join(rd.from_arrow(lt).repartition(4), rt0,
+                       on="k", how="left").to_pandas()
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True).astype("float64"),
+        b[cols].sort_values(cols).reset_index(drop=True).astype("float64"))
+
+
+def test_hash_join_validates():
+    from dcpray.functions.join import hash_join
+
+    lt, rt = _hj_fixtures()
+    with pytest.raises(ValueError, match="how"):
+        hash_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k1",
+                  right_on="rk1", how="full")
+    rt_bad = pa.table({"k1": pa.array([1], pa.int64()),
+                       "lv": pa.array([7], pa.int64())})
+    with pytest.raises(ValueError, match="collides"):
+        hash_join(rd.from_arrow(lt), rd.from_arrow(rt_bad), on="k1")
