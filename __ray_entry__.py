@@ -77,6 +77,33 @@ def _q_cdc_resume(sf_dir: str):
     return lake.to_pandas_sorted()
 
 
+def _q_cdc_view_role_stats(sf_dir: str):
+    """Incrementally-maintained aggregate view: two committed phases,
+    one cheap ``refresh()`` after each (cost = rewritten buckets, not a
+    table scan); the merged sidecar partials must equal a full SQL
+    recompute of the final LWW table's GROUP BY role."""
+    from dcpray import IncrementalView, ReplayConfig, ViewSpec, replay
+
+    fx = _fx(sf_dir)
+    lake = _fresh_lake(sf_dir, "views")
+    cfg = ReplayConfig(num_buckets=32)
+    view = IncrementalView(lake, ViewSpec(
+        "role_stats", keys=("role",),
+        aggs=(("turn_idx", "count", "n_turns"),
+              ("turn_idx", "mean", "mean_turn_idx"),
+              ("ts", "max", "last_ts"))))
+    replay(lake, os.path.join(fx, "wal"),
+           base_snapshot_dir=os.path.join(fx, "base"), config=cfg,
+           max_files=50)
+    view.refresh()
+    replay(lake, os.path.join(fx, "wal"),
+           base_snapshot_dir=os.path.join(fx, "base"), config=cfg)
+    view.refresh()
+    out = view.read_table().to_pandas()
+    out["mean_turn_idx"] = out["mean_turn_idx"].round(6)
+    return out
+
+
 def _q_cdc_skew_unsalted(sf_dir: str):
     """Salted/unsalted equivalence: conv-only bucketing (hot keys land in
     one bucket) must produce the identical table."""
@@ -852,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
+        "cdc_view_role_stats": _q_cdc_view_role_stats,
         "cdc_skew_unsalted": _q_cdc_skew_unsalted,
         "cdc_replay_shuffle": _q_cdc_replay_shuffle,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -946,6 +974,10 @@ FROM ranked WHERE rn = 1 AND op = 'mutation'"""
     return {
         "cdc_replay_full": lww_final,
         "cdc_resume_equivalence": lww_final,
+        "cdc_view_role_stats": f"""
+SELECT role, CAST(count(*) AS BIGINT) n_turns,
+       round(avg(turn_idx), 6) mean_turn_idx, max(ts) last_ts
+FROM ({lww_final}) GROUP BY role""",
         "cdc_skew_unsalted": lww_final,
         "cdc_replay_shuffle": lww_final,
         "cdc_schema_evolution": f"""

@@ -33,10 +33,11 @@ from dcpray.pipelines.builder import Pipeline, PipelineBuilder, SinkResponseHand
 from dcpray.pipelines.compact import compact, gc
 from dcpray.pipelines.replay import replay
 from dcpray.state.checkpoint import CasManifestStore, Lake, ManifestStore
+from dcpray.state.views import IncrementalView, ViewSpec
 
 __all__ = [
     "ReplayConfig", "replay", "Lake", "ManifestStore", "CasManifestStore",
     "PipelineBuilder", "Pipeline", "SinkResponseHandler", "compact", "gc",
-    "coarse_groupby",
+    "coarse_groupby", "IncrementalView", "ViewSpec",
 ]
 __version__ = "0.1.0"

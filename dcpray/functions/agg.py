@@ -90,6 +90,98 @@ def _hash_key_columns(t: pa.Table, keys: list[str]) -> np.ndarray:
     return acc
 
 
+def _validate_aggs(aggs: list[tuple[str, str, str]]) -> None:
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    for _, op, _ in aggs:
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}; one of {sorted(_OPS)}")
+
+
+def _resolve_partials(aggs):
+    """(col, fn) -> stable partial column name, plus the sorted spec.
+    ``mean`` decomposes into sum + count partials of the same column."""
+    partial_needed: dict[tuple[str, str], str] = {}
+    for col, op, _ in aggs:
+        fns = ("sum", "count") if op == "mean" else (_OPS[op][0],)
+        for fn in fns:
+            partial_needed.setdefault((col, fn), f"__p_{col}_{fn}")
+    return partial_needed, sorted(partial_needed)
+
+
+def partial_aggregate(t: pa.Table, keys: list[str],
+                      aggs: list[tuple[str, str, str]]) -> pa.Table:
+    """One vectorized Arrow groupby collapsing a batch to its partial
+    rows: the key columns plus one stable ``__p_<col>_<fn>`` column per
+    needed partial. The building block shared by ``coarse_groupby``,
+    ``hopping_window`` and the lake's incremental views — partials with
+    the SAME spec merge associatively via ``merge_partials`` no matter
+    where or when they were computed."""
+    partial_needed, spec = _resolve_partials(aggs)
+    # dedupe the selection: an aggregated column that is ALSO a key
+    # (e.g. count of the key itself) must appear once, or Acero
+    # fails with an ambiguous FieldRef deep inside the task
+    sel = keys + sorted({c for c, _ in spec} - set(keys))
+    out = pa.TableGroupBy(t.select(sel), keys).aggregate([
+        (c, f, pc.CountOptions(mode="all")) if f == "count" else (c, f)
+        for c, f in spec
+    ])
+    # arrow output order: key columns first, then "<col>_<fn>" in
+    # spec order — rename the latter to the stable partial names
+    return out.rename_columns(keys + [partial_needed[cf] for cf in spec])
+
+
+def merge_partials(g: pa.Table, keys: list[str],
+                   aggs: list[tuple[str, str, str]]) -> pa.Table:
+    """Merge any union of ``partial_aggregate`` outputs (same spec) into
+    final (keys, alias) rows: sum/count partials re-sum, min/max re-
+    min/max, mean divides its sum partial by its count partial."""
+    partial_needed, spec = _resolve_partials(aggs)
+    merge_aggs = []
+    for col, fn in spec:
+        pname = partial_needed[(col, fn)]
+        merge_fn = "sum" if fn in ("sum", "count") else fn
+        merge_aggs.append((pname, merge_fn))
+    merged = pa.TableGroupBy(
+        g.select(keys + [partial_needed[cf] for cf in spec]), keys
+    ).aggregate(merge_aggs)
+    merged = merged.rename_columns(
+        keys + [partial_needed[cf] for cf in spec]
+    )
+    cols = {k: merged[k] for k in keys}
+    for col, op, alias in aggs:
+        if op == "mean":
+            s = merged[partial_needed[(col, "sum")]]
+            c = merged[partial_needed[(col, "count")]]
+            cols[alias] = pc.divide(pc.cast(s, pa.float64()),
+                                    pc.cast(c, pa.float64()))
+        else:
+            v = merged[partial_needed[(col, _OPS[op][0])]]
+            cols[alias] = pc.cast(v, pa.int64()) if op == "count" else v
+    return pa.table(cols)
+
+
+def merge_partial_dataset(ds, keys: list[str],
+                          aggs: list[tuple[str, str, str]],
+                          partitions: int = 64):
+    """Distributed merge of a Dataset that ALREADY holds
+    ``partial_aggregate`` rows: one coarse exchange on the key hash,
+    one vectorized ``merge_partials`` per partition. This is the back
+    half of ``coarse_groupby``, exposed for consumers whose partials
+    were computed elsewhere (the lake's incremental aggregate views)."""
+    _validate_aggs(aggs)
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        pk = (_hash_key_columns(t, keys)
+              % np.uint64(partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(lambda g: merge_partials(g, keys, aggs),
+                        batch_format="pyarrow"))
+
+
 def coarse_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]],
                    partitions: int = 64):
     """Groupby-aggregate for HIGH-cardinality keys.
@@ -103,63 +195,18 @@ def coarse_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     Use Ray's native ``groupby().aggregate()`` when groups are few; use
     this when group count is large enough that per-group Python overhead
     dominates (≳10⁴ groups)."""
-    if not aggs:
-        raise ValueError("aggs must be non-empty")
-    for _, op, _ in aggs:
-        if op not in _OPS:
-            raise ValueError(f"unsupported op {op!r}; one of {sorted(_OPS)}")
-
-    # distinct partial specs: mean -> sum + count of the same column
-    partial_needed: dict[tuple[str, str], str] = {}  # (col, fn) -> partial name
-    for col, op, _ in aggs:
-        fns = ("sum", "count") if op == "mean" else (_OPS[op][0],)
-        for fn in fns:
-            partial_needed.setdefault((col, fn), f"__p_{col}_{fn}")
-    spec = sorted(partial_needed)
+    _validate_aggs(aggs)
 
     def partial(t: pa.Table) -> pa.Table:
-        # dedupe the selection: an aggregated column that is ALSO a key
-        # (e.g. count of the key itself) must appear once, or Acero
-        # fails with an ambiguous FieldRef deep inside the task
-        sel = keys + sorted({c for c, _ in spec} - set(keys))
-        out = pa.TableGroupBy(t.select(sel), keys).aggregate([
-            (c, f, pc.CountOptions(mode="all")) if f == "count" else (c, f)
-            for c, f in spec
-        ])
-        # arrow output order: key columns first, then "<col>_<fn>" in
-        # spec order — rename the latter to the stable partial names
-        out = out.rename_columns(keys + [partial_needed[cf] for cf in spec])
+        out = partial_aggregate(t, keys, aggs)
         pk = (_hash_key_columns(out, keys)
               % np.uint64(partitions)).astype(np.int32)
         return out.append_column("_pk", pa.array(pk))
 
-    def combine(g: pa.Table) -> pa.Table:
-        merge_aggs = []
-        for col, fn in spec:
-            pname = partial_needed[(col, fn)]
-            merge_fn = "sum" if fn in ("sum", "count") else fn
-            merge_aggs.append((pname, merge_fn))
-        merged = pa.TableGroupBy(
-            g.select(keys + [partial_needed[cf] for cf in spec]), keys
-        ).aggregate(merge_aggs)
-        merged = merged.rename_columns(
-            keys + [partial_needed[cf] for cf in spec]
-        )
-        cols = {k: merged[k] for k in keys}
-        for col, op, alias in aggs:
-            if op == "mean":
-                s = merged[partial_needed[(col, "sum")]]
-                c = merged[partial_needed[(col, "count")]]
-                cols[alias] = pc.divide(pc.cast(s, pa.float64()),
-                                        pc.cast(c, pa.float64()))
-            else:
-                v = merged[partial_needed[(col, _OPS[op][0])]]
-                cols[alias] = pc.cast(v, pa.int64()) if op == "count" else v
-        return pa.table(cols)
-
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_pk")
-            .map_groups(combine, batch_format="pyarrow"))
+            .map_groups(lambda g: merge_partials(g, keys, aggs),
+                        batch_format="pyarrow"))
 
 
 def topk_per_group(ds, group_col: str, order_col: str, k: int,
