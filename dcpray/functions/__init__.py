@@ -7,6 +7,7 @@ Arrow batches — no driver-side loops, no per-row Python in hot paths.
 """
 
 from dcpray.functions.agg import (
+    approx_distinct_count,
     add_coarse_pk,
     coarse_groupby,
     distinct_count,
@@ -56,7 +57,8 @@ from dcpray.functions.textstats import (
 from dcpray.functions.window import hopping_window, session_stats, sessionize
 
 __all__ = [
-    "add_coarse_pk", "coarse_groupby", "distinct_count",
+    "add_coarse_pk", "approx_distinct_count", "coarse_groupby",
+    "distinct_count",
     "exact_quantiles", "topk_per_group",
     "build_ivf_index", "ivf_query", "ivf_topk", "topk_cosine",
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",

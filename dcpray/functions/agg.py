@@ -404,3 +404,122 @@ def exact_quantiles(ds, col: str, qs, bins: int = 8192,
                 out[q] = float(np.partition(vals, lr)[lr])
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "value": pa.array([out[q] for q in qs], pa.float64())})
+
+
+# ---------------------------------------------------- approximate distinct
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (no float round-trip — a
+    float64 conversion rounds values near powers of two across the
+    boundary and shifts the HLL rank by one)."""
+    bl = np.zeros(len(w), np.int64)
+    w = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        w[big] >>= np.uint64(shift)
+    return bl + (w > 0)
+
+
+def _hll_ranks(h: np.ndarray, p: int):
+    """(register index, rank) per hash: index = top p bits, rank =
+    1 + leading zeros of the remaining 64-p bits (capped at 64-p+1)."""
+    q = 64 - p
+    idx = (h >> np.uint64(q)).astype(np.int64)
+    w = h & ((np.uint64(1) << np.uint64(q)) - np.uint64(1))
+    rank = (q + 1 - _bit_length_u64(w)).astype(np.uint8)
+    return idx, rank
+
+
+def _hll_estimate(regs: np.ndarray) -> np.ndarray:
+    """Bias-corrected HLL estimate per row of a (groups, m) register
+    matrix, with the standard small-range (linear counting) correction."""
+    m = regs.shape[1]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+    return np.where(small, lin, est)
+
+
+def _hash_value_column(col, valid_out: np.ndarray | None = None) -> np.ndarray:
+    """uint64 content hash of one column (string or castable-to-int64),
+    null-safe (nulls get an arbitrary value; callers mask them out)."""
+    t = pa.table({"v": col})
+    return _hash_key_columns(t, ["v"])
+
+
+def approx_distinct_count(ds, keys: list[str] | None, value_col: str,
+                          alias: str = "n_distinct_approx",
+                          precision: int = 12, partitions: int = 64):
+    """Approximate ``COUNT(DISTINCT value)`` per key group (HyperLogLog,
+    standard error ≈ 1.04/√2^precision — ~1.6% at the default p=12).
+
+    This is the 100-TB sibling of the exact ``distinct_count``: the
+    exact operator's exchange grows with the number of distinct
+    (key, value) pairs, while this one moves a FIXED 2^precision-byte
+    register blob per (group, batch) regardless of value cardinality —
+    the sketch is the partial, and register-wise ``max`` is the
+    associative merge. ``keys=None`` computes one corpus-wide count.
+    Null values are not counted (SQL); null keys group together (SQL
+    GROUP BY). Returns keys + ``alias`` (float64 estimate) —
+    rows-only verifiable by nature; the exact operator is the oracle-
+    checked sibling."""
+    if not 4 <= precision <= 16:
+        raise ValueError("precision must be in [4, 16]")
+    m = 1 << precision
+    keys = list(keys or [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = t[value_col]
+        ok = pc.is_valid(val).to_numpy(zero_copy_only=False)
+        h = _hash_value_column(val)[ok]
+        if keys:
+            gh = _hash_key_columns(t, keys)[ok]
+        else:
+            gh = np.zeros(len(h), np.uint64)
+        ug, first, ginv = np.unique(gh, return_index=True,
+                                    return_inverse=True)
+        regs = np.zeros((len(ug), m), np.uint8)
+        if len(h):
+            idx, rank = _hll_ranks(h, precision)
+            np.maximum.at(regs, (ginv, idx), rank)
+        rows = np.flatnonzero(ok)[first] if len(ug) else np.empty(0, np.int64)
+        cols = {}
+        kt = t.take(pa.array(rows))
+        for k in keys:
+            cols[k] = kt[k]
+        cols["__hll"] = pa.array(list(regs.tobytes(order="C")[i * m:(i + 1) * m]
+                                      for i in range(len(ug))),
+                                 pa.binary())
+        cols["_pk"] = pa.array((ug % np.uint64(partitions)).astype(np.int32))
+        return pa.table(cols)
+
+    def combine(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        blob = g["__hll"].combine_chunks()
+        mat = np.frombuffer(b"".join(blob.to_pylist()), np.uint8) \
+            .reshape(n, m)
+        if keys:
+            gh = _hash_key_columns(g, keys)
+        else:
+            gh = np.zeros(n, np.uint64)
+        order = np.argsort(gh, kind="stable")
+        gs = gh[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        merged = np.maximum.reduceat(mat[order], starts, axis=0)
+        est = _hll_estimate(merged)
+        rows = order[starts]
+        cols = {}
+        kt = g.take(pa.array(rows))
+        for k in keys:
+            cols[k] = kt[k]
+        cols[alias] = pa.array(est, pa.float64())
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(combine, batch_format="pyarrow"))

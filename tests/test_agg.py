@@ -107,3 +107,66 @@ def test_topk_per_group_duplicate_values_deterministic():
         .to_pandas().sort_values("event_id")
     # 2.0 first, then the two smallest event_ids among the 1.0 ties
     assert sorted(out["event_id"].tolist()) == [0, 1, 4]
+
+
+# ------------------------------------------------ approximate distinct
+
+
+def _hll_fixture():
+    rng = np.random.RandomState(7)
+    cards = {0: 10, 1: 1000, 2: 20000, 3: 1}
+    gs, vs = [], []
+    for g, c in cards.items():
+        vals = rng.choice(c * 10, size=c, replace=False)
+        reps = np.repeat(vals, rng.randint(1, 4, size=c))
+        gs += [g] * len(reps)
+        vs += reps.tolist()
+    return cards, pa.table({"g": pa.array(gs, pa.int64()),
+                            "v": pa.array(vs, pa.int64())})
+
+
+def test_approx_distinct_within_error_bound():
+    from dcpray.functions.agg import approx_distinct_count
+
+    cards, t = _hll_fixture()
+    out = approx_distinct_count(rd.from_arrow(t).repartition(9), ["g"], "v",
+                                precision=12).to_pandas()
+    for g, c in cards.items():
+        est = float(out.loc[out["g"] == g, "n_distinct_approx"].iloc[0])
+        assert abs(est - c) / c < 0.05, (g, c, est)
+
+
+def test_approx_distinct_partition_invariant():
+    """The sketch merge is associative: the estimate must not depend on
+    how rows were split into batches."""
+    from dcpray.functions.agg import approx_distinct_count
+
+    _, t = _hll_fixture()
+    a = approx_distinct_count(rd.from_arrow(t).repartition(1), ["g"], "v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    b = approx_distinct_count(rd.from_arrow(t).repartition(16), ["g"], "v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert np.allclose(a["n_distinct_approx"], b["n_distinct_approx"])
+
+
+def test_approx_distinct_global_strings_nulls():
+    from dcpray.functions.agg import approx_distinct_count
+
+    t = pa.table({"v": pa.array([f"s{i % 777}" for i in range(5000)]
+                                + [None] * 50)})
+    got = approx_distinct_count(rd.from_arrow(t).repartition(4), None, "v",
+                                precision=14).to_pandas()
+    est = float(got["n_distinct_approx"].iloc[0])
+    assert abs(est - 777) / 777 < 0.03  # nulls not counted
+
+
+def test_bit_length_u64_exact_near_boundaries():
+    """float64 would round 2^53+ values across power-of-two boundaries;
+    the vectorized bit_length must not."""
+    from dcpray.functions.agg import _bit_length_u64
+
+    vals = [0, 1, 2, 3, (1 << 60) - 1, 1 << 60, (1 << 63) - 1,
+            (1 << 64) - 1, (1 << 53) + 1]
+    got = _bit_length_u64(np.array(vals, np.uint64))
+    exp = [v.bit_length() for v in vals]
+    assert got.tolist() == exp
