@@ -48,7 +48,9 @@ class Pipeline:
     """A configured CDC replay pipeline bound to one lake."""
 
     def __init__(self, lake: Lake, config: ReplayConfig, mapper, handler,
-                 completion, logger, metrics_handler=None):
+                 completion, logger, metrics_handler=None, views=()):
+        from dcpray.state.views import IncrementalView
+
         self.lake = lake
         self.config = config
         self.mapper = mapper
@@ -56,6 +58,7 @@ class Pipeline:
         self.completion = completion
         self.log = logger
         self.metrics_handler = metrics_handler
+        self.views = [IncrementalView(lake, spec) for spec in views]
         self._pool = None
 
     def _merge_pool(self):
@@ -161,6 +164,22 @@ class Pipeline:
             if self.handler:
                 for f in res.manifest.files:
                     self.handler.on_success(f)
+            # attached incremental views: one cheap refresh per commit
+            # (cost = rewritten buckets). BEST-EFFORT like the metrics
+            # fan-out — the run is already durably committed, refresh is
+            # idempotent/healing, and a stale view raises loudly at
+            # read() — so a refresh failure logs instead of turning the
+            # committed run into an apparent failure
+            for v in self.views:
+                try:
+                    vm = v.refresh()
+                    self.log.info(
+                        "view %s refreshed at seq %s: %s/%s buckets",
+                        v.spec.name, vm["seq"], vm["buckets_computed"],
+                        vm["buckets_total"])
+                except Exception as e:
+                    self.log.warning("view %s refresh failed (stale until "
+                                     "next refresh): %s", v.spec.name, e)
         if self.completion:
             self.completion(res)
         return res
@@ -176,6 +195,7 @@ class PipelineBuilder:
         self._logger = logging.getLogger("dcpray")
         self._store = None
         self._metrics_handler: Callable[[RunResult], None] | None = None
+        self._views: list = []
 
     def set_metadata_store(self, store) -> "PipelineBuilder":
         """Swap the manifest backend (reference: the Kafka metadata store
@@ -208,9 +228,19 @@ class PipelineBuilder:
         self._metrics_handler = fn
         return self
 
+    def attach_view(self, spec) -> "PipelineBuilder":
+        """Attach an incrementally-maintained aggregate view
+        (``ViewSpec``): every committed run (including each tail-mode
+        commit) triggers one cheap ``refresh()`` whose cost is the
+        number of REWRITTEN buckets — the commit → downstream-state
+        propagation a CDC consumer otherwise builds by hand.
+        Repeatable for multiple views."""
+        self._views.append(spec)
+        return self
+
     def build(self) -> Pipeline:
         return Pipeline(
             Lake(self._lake_dir, store=self._store), self._config, self._mapper,
             self._handler, self._completion, self._logger,
-            metrics_handler=self._metrics_handler,
+            metrics_handler=self._metrics_handler, views=self._views,
         )

@@ -202,3 +202,27 @@ def test_view_tombstones_excluded(tiny_fixture, tmp_path):
     view.refresh()
     assert int(_got(view)["n_turns"].sum()) == n_before - 1
     _assert_view_equals(view, lake.to_pandas_sorted())
+
+
+def test_builder_attached_view_auto_refreshes(tiny_fixture, tmp_path):
+    """attach_view: every committed run (phase 1 with max_files, then
+    the rest) leaves the view fresh without a manual refresh, and the
+    second commit's refresh is incremental."""
+    from dcpray import PipelineBuilder
+
+    lakedir = str(tmp_path / "lake")
+    pipe = (PipelineBuilder(lakedir, ReplayConfig(num_buckets=8))
+            .attach_view(SPEC).build())
+    r1 = pipe.run(os.path.join(tiny_fixture, "wal"),
+                  base_snapshot_dir=os.path.join(tiny_fixture, "base"),
+                  max_files=2)
+    assert r1.committed
+    view = IncrementalView(pipe.lake, SPEC)
+    _assert_view_equals(view, pipe.lake.to_pandas_sorted())  # fresh
+
+    r2 = pipe.run(os.path.join(tiny_fixture, "wal"),
+                  base_snapshot_dir=os.path.join(tiny_fixture, "base"))
+    assert r2.committed
+    _assert_view_equals(view, pipe.lake.to_pandas_sorted())  # still fresh
+    # and a no-op on an idempotent rerun
+    assert view.refresh()["buckets_computed"] == 0
