@@ -51,6 +51,8 @@ SECONDARY = [
     "events_hopping_30min",
     "events_value_quantiles",
     "orders_customer_rollup",
+    "lineitem_orders_join",
+    "events_daily_users_approx",
 ]
 
 
