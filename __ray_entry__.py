@@ -763,6 +763,26 @@ def _q_orders_customer_rollup(sf_dir: str):
     return out
 
 
+def _q_docs_normalize(sf_dir: str):
+    """Canonical text normalization: NFC + utf8proc lowercase +
+    whitespace collapse — byte-exact vs DuckDB (shared utf8proc + RE2)."""
+    from dcpray.functions.textprep import normalize_text
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=8)
+    return normalize_text(ds, "text", out_col="norm_text")
+
+
+def _q_docs_top100_longest(sf_dir: str):
+    """Global ranked retrieval on Ray's native distributed sort
+    (range-partitioned AllToAll): top 100 documents by length with a
+    deterministic doc_id tiebreak."""
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "n_chars"], override_num_blocks=8)
+    return ds.sort(key=["n_chars", "doc_id"],
+                   descending=[True, False]).limit(100)
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     """Large×large distributed hash join (no broadcast side): lineitem
     LEFT JOIN the urgent-orders subset — both sides shuffle exactly
@@ -944,6 +964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms": _q_docs_top_terms,
         "orders_customer_rollup": _q_orders_customer_rollup,
         "lineitem_orders_join": _q_lineitem_orders_join,
+        "docs_normalize": _q_docs_normalize,
+        "docs_top100_longest": _q_docs_top100_longest,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
         "events_daily_users_approx": _q_events_daily_users_approx,
@@ -1259,6 +1281,14 @@ SELECT l_orderkey, l_linenumber, l_extendedprice,
 FROM lineitem
 LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
   ON l_orderkey = o_orderkey""",
+        "docs_normalize": r"""
+SELECT doc_id, text,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS norm_text
+FROM documents""",
+        "docs_top100_longest": """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 100""",
         "events_stratified_sample": """
 SELECT event_id, ts, user_id, event_type, value, props FROM (
   SELECT *, row_number() OVER (

@@ -217,3 +217,64 @@ def top_terms(ds, text_col: str = "text", k: int = 100,
     order = pc.sort_indices(cand, sort_keys=[("cnt", "descending"),
                                              ("term", "ascending")])
     return cand.take(order[:k])
+
+
+def _nfc(c) -> pa.ChunkedArray | pa.Array:
+    """Real NFC composition. Arrow 16's ``utf8_normalize(form="NFC")``
+    does NOT compose (probed: ``e + U+0301`` stays decomposed while
+    DuckDB's ``nfc_normalize`` and Python's ``unicodedata`` compose to
+    ``é``), so NFC runs as a hybrid: one vectorized pure-ASCII check
+    (NFC is the identity on ASCII), and only the non-ASCII rows — a
+    small fraction of a real corpus — go through
+    ``unicodedata.normalize``."""
+    import unicodedata
+
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    # a string is NFC-invariant if pure ASCII: byte length == char length
+    ascii_mask = pc.equal(pc.binary_length(c), pc.utf8_length(c))
+    todo = pc.fill_null(pc.invert(ascii_mask), False)
+    idx = np.flatnonzero(todo.to_numpy(zero_copy_only=False))
+    if len(idx) == 0:
+        return c
+    fixed = pa.array(
+        [unicodedata.normalize("NFC", s)
+         for s in c.take(pa.array(idx)).to_pylist()], c.type)
+    # scatter the normalized rows back (replace_with_mask needs flat)
+    return pc.replace_with_mask(c, todo, fixed)
+
+
+def normalize_batch(t: pa.Table, text_col: str, out_col: str | None = None,
+                    nfc: bool = True, lowercase: bool = True,
+                    collapse_whitespace: bool = True) -> pa.Table:
+    """Unicode-normalize one batch: NFC canonical form, utf8proc
+    lowercasing, whitespace runs collapsed to single spaces + trimmed.
+    Lower/regex are the same libraries both engines use (utf8proc +
+    RE2) and NFC matches DuckDB's ``nfc_normalize`` (see ``_nfc``), so
+    the SQL oracle is byte-exact. Nulls stay null."""
+    c = t[text_col]
+    if nfc:
+        c = _nfc(c)
+    if lowercase:
+        c = pc.utf8_lower(c)
+    if collapse_whitespace:
+        c = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(c, pattern=r"\s+", replacement=" "))
+    name = out_col or text_col
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, c)
+    return t.append_column(name, c)
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str | None = None,
+                   nfc: bool = True, lowercase: bool = True,
+                   collapse_whitespace: bool = True):
+    """Canonical text normalization (NFC / lowercase / whitespace
+    collapse) — the first stage of dedup-oriented preprocessing, so
+    near-duplicate detection keys on content, not encoding accidents.
+    Pure ``map_batches``, zero exchange, all-Arrow kernels."""
+    return ds.map_batches(
+        lambda t: normalize_batch(t, text_col, out_col, nfc, lowercase,
+                                  collapse_whitespace),
+        batch_format="pyarrow",
+    )

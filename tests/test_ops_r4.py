@@ -417,3 +417,25 @@ def test_hash_join_validates():
                        "lv": pa.array([7], pa.int64())})
     with pytest.raises(ValueError, match="collides"):
         hash_join(rd.from_arrow(lt), rd.from_arrow(rt_bad), on="k1")
+
+
+# -------------------------------------------------- text normalization
+
+
+def test_normalize_text_matches_duckdb_unicode():
+    from dcpray.functions.textprep import normalize_text
+
+    texts = ["Héllo   World\t x", "éclair  ", "ＡＢＣ ｄｅｆ", None, "",
+             "MiXeD\n\nCase\r\n end", "ﬁn ﬂight", "ΣΊΣΥΦΟΣ"]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = normalize_text(rd.from_arrow(tab).repartition(3), "text",
+                         out_col="norm").to_pandas().sort_values("doc_id")
+    exp = duckdb.sql(r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ',
+                                   'g')) AS norm
+        FROM tab ORDER BY doc_id""").df()
+    assert out["norm"].fillna("~").tolist() == exp["norm"].fillna("~").tolist()
+    # combining accent actually composed, fullwidth preserved by NFC
+    assert out["norm"].iloc[1] == "éclair"
