@@ -742,13 +742,18 @@ def _q_orders_customer_rollup(sf_dir: str):
     from dcpray.functions.agg import coarse_groupby
     from dcpray.functions.join import broadcast_join
 
+    import pyarrow.parquet as pq
+
     orders = read_clean(os.path.join(sf_dir, "orders.parquet"),
                         columns=["o_custkey", "o_totalprice"],
                         override_num_blocks=16)
-    customer = read_clean(os.path.join(sf_dir, "customer.parquet"),
-                          columns=["c_custkey", "c_nationkey"])
-    nation = read_clean(os.path.join(sf_dir, "nation.parquet"),
-                        columns=["n_nationkey", "n_name"])
+    # lookup-sized dims: read on the driver (one footer+column read)
+    # instead of spinning a whole Ray execution each — broadcast_join
+    # takes pa.Table directly
+    customer = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
     j = broadcast_join(orders, customer, on="o_custkey",
                        right_on="c_custkey")
     j = broadcast_join(j, nation, on="c_nationkey", right_on="n_nationkey")

@@ -439,3 +439,45 @@ def test_normalize_text_matches_duckdb_unicode():
     assert out["norm"].fillna("~").tolist() == exp["norm"].fillna("~").tolist()
     # combining accent actually composed, fullwidth preserved by NFC
     assert out["norm"].iloc[1] == "éclair"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hash_join_randomized_property(seed):
+    """Randomized fixtures (duplicate keys both sides, nulls, skewed
+    key 7) across all four modes vs DuckDB."""
+    from dcpray.functions.join import hash_join
+
+    rng = np.random.RandomState(seed)
+    nl, nr = 400, 150
+    lk = rng.randint(0, 20, nl).astype("float64")
+    lk[rng.rand(nl) < 0.05] = np.nan
+    lk[rng.rand(nl) < 0.15] = 7  # hot key
+    rk = rng.randint(0, 25, nr).astype("float64")
+    rk[rng.rand(nr) < 0.05] = np.nan
+    lt = pa.table({"k": pa.array([None if np.isnan(x) else int(x) for x in lk],
+                                 pa.int64()),
+                   "lv": pa.array(np.arange(nl, dtype=np.int64))})
+    rt = pa.table({"k": pa.array([None if np.isnan(x) else int(x) for x in rk],
+                                 pa.int64()),
+                   "rv": pa.array(rng.rand(nr))})
+    sqls = {
+        "inner": "SELECT lt.k, lt.lv, rt.rv AS rv FROM lt JOIN rt ON lt.k = rt.k",
+        "left": "SELECT lt.k, lt.lv, rt.rv AS rv FROM lt LEFT JOIN rt ON lt.k = rt.k",
+        "semi": "SELECT lt.k, lt.lv FROM lt WHERE EXISTS "
+                "(SELECT 1 FROM rt WHERE lt.k = rt.k)",
+        "anti": "SELECT lt.k, lt.lv FROM lt WHERE NOT EXISTS "
+                "(SELECT 1 FROM rt WHERE lt.k = rt.k)",
+    }
+    for how, sql in sqls.items():
+        out = hash_join(rd.from_arrow(lt).repartition(5),
+                        rd.from_arrow(rt).repartition(3),
+                        on="k", right_cols={"rv": "rv"} if how in
+                        ("inner", "left") else None,
+                        how=how, partitions=7).to_pandas()
+        exp = duckdb.sql(sql).df()
+        cols = sorted(exp.columns)
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = exp[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.astype("float64"), b.astype("float64"),
+            check_exact=False, rtol=0, atol=0, obj=how)
