@@ -768,6 +768,18 @@ def _q_orders_customer_rollup(sf_dir: str):
     return out
 
 
+def _q_docs_tfidf_top3(sf_dir: str):
+    """Per-document top-3 TF-IDF terms, fully distributed (df via
+    coarse_groupby, idf attached via hash_join on term — no vocab
+    broadcast). Score uses division/multiplication only (no log) so the
+    IEEE doubles are bit-identical to the SQL oracle's."""
+    from dcpray.functions.textprep import tfidf_top_terms
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=8)
+    return tfidf_top_terms(ds, k=3, partitions=32)
+
+
 def _q_docs_normalize(sf_dir: str):
     """Canonical text normalization: NFC + utf8proc lowercase +
     whitespace collapse — byte-exact vs DuckDB (shared utf8proc + RE2)."""
@@ -971,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "docs_normalize": _q_docs_normalize,
         "docs_top100_longest": _q_docs_top100_longest,
+        "docs_tfidf_top3": _q_docs_tfidf_top3,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
         "events_daily_users_approx": _q_events_daily_users_approx,
@@ -1294,6 +1307,27 @@ FROM documents""",
         "docs_top100_longest": """
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id LIMIT 100""",
+        "docs_tfidf_top3": """
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) WHERE t <> ''
+), counts AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) cnt FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) doc_len FROM toks GROUP BY 1
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) df FROM counts GROUP BY 1
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+scored AS (
+  SELECT c.doc_id, c.term, c.cnt, dl.doc_len, df.df,
+         (c.cnt / dl.doc_len) * ((n.n_docs + 1) / (df.df + 1)) AS tfidf
+  FROM counts c JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, cnt, doc_len, df, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY tfidf DESC, term) rn FROM scored) WHERE rn <= 3""",
         "events_stratified_sample": """
 SELECT event_id, ts, user_id, event_type, value, props FROM (
   SELECT *, row_number() OVER (

@@ -44,8 +44,10 @@ from dcpray.functions.kmeans import kmeans_assign, kmeans_fit
 from dcpray.functions.sample import hash_sample, hash_split, stratified_sample
 from dcpray.functions.textprep import (
     chunk_text,
+    doc_term_counts,
     normalize_text,
     scrub_pii,
+    tfidf_top_terms,
     top_terms,
 )
 from dcpray.functions.textstats import (
@@ -72,7 +74,8 @@ __all__ = [
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
     "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",
-    "chunk_text", "normalize_text", "scrub_pii", "top_terms",
+    "chunk_text", "doc_term_counts", "normalize_text", "scrub_pii",
+    "tfidf_top_terms", "top_terms",
     "kmeans_assign", "kmeans_fit",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",

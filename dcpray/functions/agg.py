@@ -227,7 +227,14 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
                         "topk_per_group")
         g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         v = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
-        tb = t[tiebreak_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        tb_col = t[tiebreak_col].combine_chunks()
+        if pa.types.is_string(tb_col.type) or pa.types.is_large_string(tb_col.type):
+            # lexicographic string tiebreak: sorted-unique codes rank
+            # identically to the strings themselves
+            tb = np.unique(np.asarray(tb_col.to_pylist(), object),
+                           return_inverse=True)[1]
+        else:
+            tb = tb_col.to_numpy(zero_copy_only=False).astype(np.int64)
         vkey = -v if descending else v
         order = np.lexsort((tb, vkey, g))
         gs = g[order]

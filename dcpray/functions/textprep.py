@@ -278,3 +278,87 @@ def normalize_text(ds, text_col: str = "text", out_col: str | None = None,
                                   collapse_whitespace),
         batch_format="pyarrow",
     )
+
+
+def doc_term_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-(document, term) counts + per-document token length — the
+    exploded term table TF-IDF builds on. One vectorized pass per
+    batch: regex split, ``list_parent_indices`` to map tokens back to
+    rows, one Arrow groupby on (doc, term). A document's text is one
+    row, so its counts are complete within its batch — zero exchange.
+    Tokenization matches ``top_terms`` (lowercase, split
+    ``[^a-z0-9]+``, drop empties)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                      pattern=_TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        pairs = pa.table({
+            id_col: t[id_col].take(par),
+            "term": flat,
+        })
+        cnt = pa.TableGroupBy(pairs, [id_col, "term"]).aggregate(
+            [([], "count_all")])
+        cnt = cnt.rename_columns([id_col, "term", "cnt"])
+        # tokens per doc (the tf denominator), joined back in-batch
+        dl = pa.TableGroupBy(pairs.select([id_col]), [id_col]).aggregate(
+            [([], "count_all")]).rename_columns([id_col, "doc_len"])
+        return cnt.join(dl, keys=[id_col])
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5, partitions: int = 64):
+    """Per-document top-k TF-IDF terms, fully distributed — no vocab
+    broadcast, no driver-side state:
+
+    1. ``doc_term_counts`` explodes each batch to (doc, term, cnt,
+       doc_len) rows (zero exchange);
+    2. document frequency is ONE ``coarse_groupby`` over those rows
+       (df = rows per term, since counts hold one row per (doc, term));
+    3. idf attaches via the large×large ``hash_join`` on term — the
+       exchange is bounded by the exploded pair count, vocabulary size
+       never concentrates anywhere;
+    4. ``topk_per_group`` keeps each document's top k by score with a
+       lexicographic term tiebreak.
+
+    The score is ``(cnt / doc_len) * ((N + 1) / (df + 1))`` — division
+    and multiplication only (NO log), because IEEE double arithmetic is
+    bit-identical across engines while ``ln`` differs in the last ulp
+    between libm implementations and would flip near-tie ranks vs the
+    SQL oracle. N counts documents with at least one token. The input
+    is re-read once per pass (3 streaming passes total) — at scale the
+    re-read IS the design, nothing materializes.
+
+    Returns a Dataset (id_col, term, cnt, doc_len, df, tfidf).
+    """
+    from dcpray.functions.agg import coarse_groupby, topk_per_group
+    from dcpray.functions.join import hash_join
+
+    counts = doc_term_counts(ds, text_col, id_col)
+    df_ds = coarse_groupby(counts, ["term"], [("term", "count", "df")],
+                           partitions=partitions)
+    n_docs = int(counts.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [len(pa.TableGroupBy(t.select([id_col]), [id_col])
+                 .aggregate([]))], pa.int64())}),
+        batch_format="pyarrow").sum("n") or 0)
+
+    joined = hash_join(counts, df_ds, on="term", how="inner",
+                       partitions=partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(t["cnt"], pa.float64())
+        dl = pc.cast(t["doc_len"], pa.float64())
+        dfv = pc.cast(t["df"], pa.float64())
+        tf = pc.divide(cnt, dl)
+        idf = pc.divide(float(n_docs + 1), pc.add(dfv, 1.0))
+        return t.append_column("tfidf", pc.multiply(tf, idf))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return topk_per_group(scored, id_col, "tfidf", k, tiebreak_col="term",
+                          descending=True, partitions=partitions)

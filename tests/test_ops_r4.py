@@ -481,3 +481,47 @@ def test_hash_join_randomized_property(seed):
         pd.testing.assert_frame_equal(
             a.astype("float64"), b.astype("float64"),
             check_exact=False, rtol=0, atol=0, obj=how)
+
+
+# --------------------------------------------------------------- tf-idf
+
+
+def test_tfidf_top_terms_matches_duckdb_bit_exact():
+    """Full pipeline (explode -> df coarse_groupby -> idf hash_join ->
+    topk) vs SQL, INCLUDING exact float equality: the score uses only
+    IEEE division/multiplication, so both engines produce identical
+    bits and near-tie ranks cannot flip."""
+    from dcpray.functions.textprep import tfidf_top_terms
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 25)).tolist())
+             + " Punct!" for _ in range(200)] + [None, "", "   ", "zz zz zz"]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = tfidf_top_terms(rd.from_arrow(tab).repartition(6), k=3,
+                          partitions=8).to_pandas()
+    out = out.sort_values(["doc_id", "tfidf", "term"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    exp = duckdb.sql(r"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) t
+    FROM tab) WHERE t <> ''
+), counts AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) cnt FROM toks GROUP BY 1, 2
+), dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) doc_len FROM toks GROUP BY 1),
+df AS (SELECT term, CAST(count(*) AS BIGINT) df FROM counts GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) n_docs FROM toks),
+scored AS (
+  SELECT c.doc_id, c.term, c.cnt, dl.doc_len, df.df,
+         (c.cnt / dl.doc_len) * ((n.n_docs + 1) / (df.df + 1)) tfidf
+  FROM counts c JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, cnt, doc_len, df, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY tfidf DESC, term) rn FROM scored) WHERE rn <= 3
+ORDER BY doc_id, tfidf DESC, term""").df()
+    cols = ["doc_id", "term", "cnt", "doc_len", "df"]
+    for c in cols:
+        assert (out[c].astype(str).values == exp[c].astype(str).values).all(), c
+    assert (out["tfidf"].values == exp["tfidf"].values).all()
