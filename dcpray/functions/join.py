@@ -566,10 +566,68 @@ _HOW_TO_ACERO = {
 }
 
 
+def _bloom_positions(h: np.ndarray, nbits: int):
+    """Three derived probe positions per uint64 key hash (double
+    hashing: h1 + i·h2 mod nbits, nbits a power of two)."""
+    h2 = splitmix64(h)
+    mask = np.uint64(nbits - 1)
+    return (h & mask, (h + h2) & mask, (h + h2 + h2) & mask)
+
+
+def build_key_bloom(ds, keys: list[str], nbits: int = 1 << 23,
+                    cast_types: dict | None = None) -> np.ndarray:
+    """One streaming pass over ``ds`` building a Bloom bitset of its
+    (non-null) join-key hashes: each batch emits a packed
+    ``nbits/8``-byte partial bitmap, OR-reduced on the driver —
+    driver memory is the FIXED bitmap size, never the key count.
+    k=3 probes ⇒ false-positive rate ≈ (n/nbits)³·ish; size ``nbits``
+    to ≳ 8× the expected distinct-key count."""
+    from dcpray.functions.agg import _hash_key_columns
+
+    if nbits & (nbits - 1):
+        raise ValueError("nbits must be a power of two")
+    nbytes = nbits // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t
+        if cast_types:
+            sel = pa.table({ln: t[rn].cast(ty)
+                            for ln, (rn, ty) in cast_types.items()})
+            use_keys = list(cast_types)
+        else:
+            use_keys = keys
+        m = pc.is_valid(sel[use_keys[0]])
+        for k in use_keys[1:]:
+            m = pc.and_(m, pc.is_valid(sel[k]))
+        sel = sel.filter(m)
+        h = _hash_key_columns(sel, use_keys)
+        bits = np.zeros(nbits, bool)
+        for pos in _bloom_positions(h, nbits):
+            bits[pos.astype(np.int64)] = True
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()],
+                                        pa.binary())})
+
+    acc = np.zeros(nbytes, np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in b["bm"].to_pylist():
+            acc |= np.frombuffer(blob, np.uint8)
+    return acc
+
+
+def _bloom_contains(bloom: np.ndarray, h: np.ndarray, nbits: int) -> np.ndarray:
+    ok = np.ones(len(h), bool)
+    for pos in _bloom_positions(h, nbits):
+        p = pos.astype(np.int64)
+        ok &= (bloom[p >> 3] >> (7 - (p & 7).astype(np.uint8))) & 1 == 1
+    return ok
+
+
 def hash_join(left_ds, right_ds, on: str | list[str],
               right_on: str | list[str] | None = None,
               right_cols: dict[str, str] | None = None,
-              how: str = "inner", partitions: int = 64):
+              how: str = "inner", partitions: int = 64,
+              bloom_prefilter: bool = False, bloom_bits: int = 1 << 23):
     """Large×large distributed equi-join — the general shuffle join for
     when NEITHER side fits a broadcast (fact ⋈ fact; `broadcast_join`
     is the zero-exchange path for dimension lookups).
@@ -599,10 +657,23 @@ def hash_join(left_ds, right_ds, on: str | list[str],
     or `us ⋈ ns` timestamps co-partition correctly; an unsafe cast
     raises rather than mis-joining.
 
+    ``bloom_prefilter=True`` (inner/semi only) adds one extra streaming
+    pass over the right side that builds a fixed-size Bloom bitset of
+    its key hashes (``build_key_bloom``); left rows whose keys cannot
+    match are then dropped BEFORE the exchange. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    only its matching fraction — pay one cheap right-side scan to
+    avoid moving left rows that join to nothing. False positives only
+    cost wasted shuffle (Acero still drops them); semantics are
+    identical and tested equal. Size ``bloom_bits`` ≳ 8× the right
+    side's distinct keys (default 2^23 bits = 1 MiB broadcast).
+
     Reference parity: the reference has no join stage at all (its sink
     is a message queue); this operator exists for the lake side of the
     engine, where replayed tables are joined downstream.
     """
+    import ray
+
     from dcpray.functions.agg import _hash_key_columns
 
     if how not in _HOW_TO_ACERO:
@@ -637,6 +708,18 @@ def hash_join(left_ds, right_ds, on: str | list[str],
         + [(name, t) for _, name, t in out_right]
     )
 
+    bloom_ref = None
+    if bloom_prefilter:
+        if how not in ("inner", "semi"):
+            raise ValueError(
+                "bloom_prefilter only applies to how='inner'/'semi' "
+                "(left/anti must keep every left row)")
+        bloom = build_key_bloom(
+            right_ds, lkeys, nbits=bloom_bits,
+            cast_types={ln: (rn, left_types[ln])
+                        for ln, rn in zip(lkeys, rkeys)})
+        bloom_ref = ray.put(bloom)
+
     def _valid_keys(t: pa.Table, keys: list[str]) -> pa.Array:
         m = pc.is_valid(t[keys[0]])
         for k in keys[1:]:
@@ -646,6 +729,14 @@ def hash_join(left_ds, right_ds, on: str | list[str],
     def tag_left(t: pa.Table) -> pa.Table:
         if how in ("inner", "semi"):
             t = t.filter(_valid_keys(t, lkeys))
+        if bloom_ref is not None:
+            from dcpray.rayutil import worker_memo
+
+            bm = worker_memo(("bloom", bloom_ref.hex()),
+                             lambda: __import__("ray").get(bloom_ref))
+            keep = _bloom_contains(bm, _hash_key_columns(t, lkeys),
+                                   bloom_bits)
+            t = t.filter(pa.array(keep))
         pk = (_hash_key_columns(t, lkeys)
               % np.uint64(partitions)).astype(np.int32)
         n = t.num_rows

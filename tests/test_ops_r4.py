@@ -525,3 +525,49 @@ ORDER BY doc_id, tfidf DESC, term""").df()
     for c in cols:
         assert (out[c].astype(str).values == exp[c].astype(str).values).all(), c
     assert (out["tfidf"].values == exp["tfidf"].values).all()
+
+
+def test_hash_join_bloom_prefilter_equivalent_and_prunes():
+    """bloom_prefilter must not change results (false positives only
+    waste shuffle), and the bitset itself must prune non-matching keys."""
+    from dcpray.functions.agg import _hash_key_columns
+    from dcpray.functions.join import (_bloom_contains, build_key_bloom,
+                                       hash_join)
+
+    rng = np.random.RandomState(3)
+    lt = pa.table({"k": pa.array(rng.randint(0, 10_000, 3000), pa.int64()),
+                   "lv": pa.array(np.arange(3000, dtype=np.int64))})
+    rt = pa.table({"k": pa.array(rng.randint(0, 100, 200), pa.int64()),
+                   "rv": pa.array(rng.rand(200))})
+    for how in ("inner", "semi"):
+        a = hash_join(rd.from_arrow(lt).repartition(4),
+                      rd.from_arrow(rt).repartition(2), on="k", how=how,
+                      partitions=4).to_pandas()
+        b = hash_join(rd.from_arrow(lt).repartition(4),
+                      rd.from_arrow(rt).repartition(2), on="k", how=how,
+                      partitions=4, bloom_prefilter=True,
+                      bloom_bits=1 << 14).to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True), obj=how)
+    # direct bitset check: keys >= 100 are absent from the right side —
+    # the filter keeps all 100 present keys and drops almost all others
+    bloom = build_key_bloom(rd.from_arrow(rt).repartition(2), ["k"],
+                            nbits=1 << 14)
+    probe = pa.table({"k": pa.array(np.arange(10_000, dtype=np.int64))})
+    ok = _bloom_contains(bloom, _hash_key_columns(probe, ["k"]), 1 << 14)
+    present = set(rt["k"].to_pylist())
+    assert all(ok[k] for k in present)
+    fpr = (ok.sum() - len(present)) / (10_000 - len(present))
+    assert fpr < 0.02, fpr
+
+
+def test_hash_join_bloom_rejects_outer_modes():
+    from dcpray.functions.join import hash_join
+
+    lt = pa.table({"k": pa.array([1], pa.int64())})
+    rt = pa.table({"k": pa.array([1], pa.int64()), "rv": pa.array([1.0])})
+    with pytest.raises(ValueError, match="bloom"):
+        hash_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k", how="left",
+                  bloom_prefilter=True)
