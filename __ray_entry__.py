@@ -768,6 +768,35 @@ def _q_orders_customer_rollup(sf_dir: str):
     return out
 
 
+def _q_events_rank_running(sf_dir: str):
+    """SQL window functions distributed: per-user row_number() in time
+    order + running SUM, one coarse exchange, row-exact vs the
+    window-function oracle. The summed value is integer CENTS
+    (floor(v*100 + 0.5), identical in both engines) so the running sum
+    is exact — float accumulation order differs between numpy cumsum
+    and DuckDB's windowed segment tree and would flip rounded digits."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.window import rank_in_group
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "ts", "value"],
+                    override_num_blocks=16)
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return t.drop_columns(["value"]).append_column("value_c", c)
+
+    out = rank_in_group(ds.map_batches(cents, batch_format="pyarrow"),
+                        "user_id", "ts", tiebreak_col="event_id",
+                        cumsum_col="value_c").to_pandas()
+    # int-valued float64 cumsum (< 2^53, exact) -> int64 for the compare
+    out["running_sum"] = out["running_sum"].astype("int64")
+    return out
+
+
 def _q_docs_tfidf_top3(sf_dir: str):
     """Per-document top-3 TF-IDF terms, fully distributed (df via
     coarse_groupby, idf attached via hash_join on term — no vocab
@@ -984,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": _q_docs_normalize,
         "docs_top100_longest": _q_docs_top100_longest,
         "docs_tfidf_top3": _q_docs_tfidf_top3,
+        "events_rank_running": _q_events_rank_running,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
         "events_daily_users_approx": _q_events_daily_users_approx,
@@ -1307,6 +1337,16 @@ FROM documents""",
         "docs_top100_longest": """
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id LIMIT 100""",
+        "events_rank_running": """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id, user_id, ts, value_c,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "docs_tfidf_top3": """
 WITH toks AS (
   SELECT doc_id, t AS term FROM (

@@ -61,7 +61,12 @@ from dcpray.functions.textstats import (
     token_count,
     token_count_bpe,
 )
-from dcpray.functions.window import hopping_window, session_stats, sessionize
+from dcpray.functions.window import (
+    hopping_window,
+    rank_in_group,
+    session_stats,
+    sessionize,
+)
 
 __all__ = [
     "add_coarse_pk", "approx_distinct_count", "coarse_groupby",
@@ -80,6 +85,6 @@ __all__ = [
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",
-    "hopping_window", "session_stats", "sessionize",
+    "hopping_window", "rank_in_group", "session_stats", "sessionize",
     "remove_repeated_paragraphs",
 ]

@@ -186,3 +186,52 @@ def hopping_window(ds, ts_col: str = "ts", size_s: float = 1800,
 
     expanded = ds.map_batches(expand, batch_format="pyarrow")
     return coarse_groupby(expanded, keys, aggs, partitions=partitions)
+
+
+def rank_in_group(ds, group_col: str, order_col: str,
+                  tiebreak_col: str, descending: bool = False,
+                  out_col: str = "rank", partitions: int = 64,
+                  cumsum_col: str | None = None,
+                  cumsum_out: str = "running_sum"):
+    """SQL window functions over a distributed table: per-group
+    ``row_number()`` (1-based, ordered by ``order_col`` with a
+    deterministic ``tiebreak_col``) and, optionally, the running
+    ``SUM(cumsum_col)`` over the same frame (ROWS UNBOUNDED PRECEDING).
+
+    Scale shape: the standard ONE coarse-partition exchange on the
+    group key, then one lexsort + cumsum per partition — Python once
+    per partition, never per group. Same partitioning contract as
+    sessionize (a key's rows fit one partition task); nulls in
+    group/order/tiebreak raise loudly (see ``require_nonnull``)."""
+    from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    def assign(group: pa.Table) -> pa.Table:
+        require_nonnull(group, (group_col, order_col, tiebreak_col),
+                        "rank_in_group")
+        g = group[group_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = group[tiebreak_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vkey = -v if descending else v
+        order = np.lexsort((tb, vkey, g))
+        gs = g[order]
+        first = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, len(gs)])
+        rank = np.arange(len(gs)) - np.repeat(starts, sizes) + 1
+        out = group.drop_columns(["_pk"]).take(pa.array(order))
+        out = out.append_column(out_col, pa.array(rank, pa.int64()))
+        if cumsum_col is not None:
+            vals = group[cumsum_col].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64)[order]
+            cs = np.cumsum(vals)
+            # segment reset: subtract the cumsum just before each group
+            base = np.repeat(np.r_[0.0, cs[starts[1:] - 1]], sizes)
+            out = out.append_column(cumsum_out, pa.array(cs - base))
+        return out
+
+    return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
+                           batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign, batch_format="pyarrow"))

@@ -576,3 +576,37 @@ def test_range_join_fractional_window_and_min_edge():
     out2 = range_join(left2, right2, key_col="user_id", ts_col="ts",
                       right_cols={"mark": "mark"}, window_s=10.0).to_pandas()
     assert out2["mark"].tolist() == [9]
+
+
+def test_rank_in_group_matches_duckdb():
+    """row_number + running sum vs SQL window functions, incl. ties on
+    the order column, descending mode, and the segment reset."""
+    import duckdb
+
+    from dcpray.functions.window import rank_in_group
+
+    rng = np.random.RandomState(13)
+    n = 800
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array(rng.randint(0, 12, n).astype(np.int64)),
+        "o": pa.array(rng.randint(0, 40, n).astype(np.int64)),  # many ties
+        "v": pa.array(rng.randint(0, 1000, n).astype(np.int64)),
+    })
+    for desc in (False, True):
+        out = rank_in_group(rd.from_arrow(t).repartition(5), "g", "o",
+                            tiebreak_col="id", descending=desc,
+                            cumsum_col="v", partitions=4).to_pandas()
+        direction = "DESC" if desc else "ASC"
+        exp = duckdb.sql(f"""
+            SELECT id, g, o, v,
+                   CAST(row_number() OVER w AS BIGINT) rank,
+                   CAST(sum(v) OVER (PARTITION BY g ORDER BY o {direction},
+                        id ROWS UNBOUNDED PRECEDING) AS DOUBLE) running_sum
+            FROM t WINDOW w AS (PARTITION BY g ORDER BY o {direction}, id)
+            """).df()
+        cols = ["id", "g", "o", "v", "rank", "running_sum"]
+        a = out[cols].sort_values("id").reset_index(drop=True)
+        b = exp[cols].sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a.astype("float64"), b.astype("float64"),
+                                      obj=f"desc={desc}")
