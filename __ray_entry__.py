@@ -797,6 +797,36 @@ def _q_events_rank_running(sf_dir: str):
     return out
 
 
+def _q_events_customer_skewjoin(sf_dir: str):
+    """Skew-aware join on a manufactured hot key (a fifth of all events
+    collapse onto key 1): hot left rows take the zero-exchange
+    broadcast path, the cold rest takes the coarse shuffle join —
+    row-exact vs the plain SQL join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.join import hash_join_skew
+
+    ev = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id"],
+                    override_num_blocks=16)
+
+    def hot_key(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = np.where(u % 5 == 0, np.int64(1), u)
+        return pa.table({"event_id": t["event_id"], "user_key": pa.array(k)})
+
+    cust = read_clean(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_nationkey"],
+                      override_num_blocks=4)
+    return hash_join_skew(ev.map_batches(hot_key, batch_format="pyarrow"),
+                          cust, on="user_key", right_on="c_custkey",
+                          how="inner", partitions=16, hot_threshold=100)
+
+
 def _q_docs_tfidf_top3(sf_dir: str):
     """Per-document top-3 TF-IDF terms, fully distributed (df via
     coarse_groupby, idf attached via hash_join on term — no vocab
@@ -1014,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top100_longest": _q_docs_top100_longest,
         "docs_tfidf_top3": _q_docs_tfidf_top3,
         "events_rank_running": _q_events_rank_running,
+        "events_customer_skewjoin": _q_events_customer_skewjoin,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
         "events_daily_users_approx": _q_events_daily_users_approx,
@@ -1337,6 +1368,12 @@ FROM documents""",
         "docs_top100_longest": """
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id LIMIT 100""",
+        "events_customer_skewjoin": """
+SELECT event_id, user_key, c_nationkey FROM (
+  SELECT event_id,
+         CASE WHEN user_id % 5 = 0 THEN 1 ELSE user_id END AS user_key
+  FROM events) e
+JOIN customer ON user_key = c_custkey""",
         "events_rank_running": """
 WITH e AS (
   SELECT event_id, user_id, ts,

@@ -37,6 +37,7 @@ from dcpray.functions.join import (
     asof_join_broadcast,
     broadcast_join,
     hash_join,
+    hash_join_skew,
     range_join,
     range_join_broadcast,
 )
@@ -77,7 +78,7 @@ __all__ = [
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
-    "range_join", "range_join_broadcast",
+    "hash_join_skew", "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",
     "chunk_text", "doc_term_counts", "normalize_text", "scrub_pii",
     "tfidf_top_terms", "top_terms",

@@ -571,3 +571,55 @@ def test_hash_join_bloom_rejects_outer_modes():
     with pytest.raises(ValueError, match="bloom"):
         hash_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k", how="left",
                   bloom_prefilter=True)
+
+
+def test_hash_join_skew_equals_plain_and_duckdb():
+    """Skewed fixture (key 7 is ~half the left side): the hot/cold
+    split must produce exactly the plain hash_join / SQL result, for
+    inner and left, including null keys routed to the cold path."""
+    from dcpray.functions.join import hash_join, hash_join_skew
+
+    rng = np.random.RandomState(9)
+    nl = 4000
+    keys = rng.randint(0, 50, nl)
+    keys[: nl // 2] = 7  # hot key
+    lk = [None if rng.rand() < 0.02 else int(x) for x in keys]
+    lt = pa.table({"k": pa.array(lk, pa.int64()),
+                   "lv": pa.array(np.arange(nl, dtype=np.int64))})
+    rt = pa.table({"k": pa.array(list(range(0, 40)) + [7, 7], pa.int64()),
+                   "rv": pa.array(rng.rand(42))})
+    for how in ("inner", "left"):
+        a = hash_join_skew(rd.from_arrow(lt).repartition(5),
+                           rd.from_arrow(rt).repartition(2), on="k",
+                           how=how, partitions=4,
+                           hot_threshold=500).to_pandas()
+        b = hash_join(rd.from_arrow(lt).repartition(5),
+                      rd.from_arrow(rt).repartition(2), on="k",
+                      how=how, partitions=4).to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True)
+            .astype("float64"),
+            b[cols].sort_values(cols).reset_index(drop=True)
+            .astype("float64"), obj=how)
+    # no hot keys above threshold -> same result via the plain path
+    c = hash_join_skew(rd.from_arrow(lt).repartition(5),
+                       rd.from_arrow(rt).repartition(2), on="k",
+                       how="inner", partitions=4,
+                       hot_threshold=10**9).to_pandas()
+    assert len(c) == len(duckdb.sql(
+        "SELECT * FROM lt JOIN rt ON lt.k = rt.k").df())
+
+
+def test_hash_join_skew_guards():
+    from dcpray.functions.join import hash_join_skew
+
+    lt = pa.table({"k": pa.array(np.arange(100, dtype=np.int64)),
+                   "lv": pa.array(np.arange(100, dtype=np.int64))})
+    rt = pa.table({"k": pa.array([1], pa.int64()), "rv": pa.array([1.0])})
+    with pytest.raises(ValueError, match="uniformly heavy"):
+        hash_join_skew(rd.from_arrow(lt), rd.from_arrow(rt), on="k",
+                       hot_threshold=1, max_hot_keys=5)
+    with pytest.raises(ValueError, match="single join key"):
+        hash_join_skew(rd.from_arrow(lt), rd.from_arrow(rt),
+                       on=["k", "lv"], right_on=["k", "rv"])
