@@ -320,15 +320,54 @@ class ImageResizer:
         )
 
 
+def _load_pyav():
+    """Import-guarded video decoder. Returns the ``av`` module when a
+    container ships PyAV/ffmpeg, else None — the real FrameSampler path
+    lights up automatically, and the stub stays loud otherwise."""
+    try:
+        import av  # type: ignore
+
+        return av
+    except ImportError:
+        return None
+
+
 class FrameSampler:
     """Actor-pool stage: video payload → N sampled frames (flat-map:
     one row in, N rows out). Fake mode slices the byte payload into
-    evenly spaced chunks; real mode is the ffmpeg seek+decode point."""
+    evenly spaced chunks; real mode decodes via PyAV when it is
+    importable (evenly spaced frames re-encoded as BMP), and raises a
+    loud NotImplementedError when no media library exists in the
+    container (this sandbox)."""
 
     def __init__(self, num_frames: int = 4, fake: bool = True):
+        self._av = None
         if not fake:
-            raise NotImplementedError("real path: ffmpeg/pyav frame seek here")
+            self._av = _load_pyav()
+            if self._av is None:
+                raise NotImplementedError(
+                    "real path needs ffmpeg/pyav for frame seek; install "
+                    "`av` or use fake=True")
         self.n = num_frames
+        self.fake = fake
+
+    def _decode_frames(self, payload: bytes) -> list[bytes]:
+        """PyAV path: decode all frames once (bounded clips), keep n
+        evenly spaced ones, re-encode each as BMP so downstream image
+        stages (resize/feature-extract) consume them unchanged."""
+        import io
+
+        frames = []
+        with self._av.open(io.BytesIO(payload)) as container:
+            decoded = [f for f in container.decode(video=0)]
+        if not decoded:
+            return [b""] * self.n
+        idx = [min(len(decoded) - 1, i * len(decoded) // self.n)
+               for i in range(self.n)]
+        for i in idx:
+            rgb = decoded[i].to_ndarray(format="rgb24")
+            frames.append(encode_bmp(rgb))
+        return frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, fidx = [], [], []
@@ -340,6 +379,12 @@ class FrameSampler:
             if kind != "video":
                 continue
             b = payload or b"\0"
+            if not self.fake:
+                for f, fr in enumerate(self._decode_frames(b)):
+                    ids.append(mid)
+                    fidx.append(f)
+                    frames.append(fr)
+                continue
             step = max(1, len(b) // self.n)
             for f in range(self.n):
                 ids.append(mid)

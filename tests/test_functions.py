@@ -433,10 +433,50 @@ def test_multimodal_pipeline(docs_ds):
     assert len(frames) == 4 * n_videos  # flat-map 1→N
 
     # image feature-extraction and resize have REAL BMP decode paths now
-    # (tests/test_multimodal_codec.py); only video frame-seek remains an
-    # honest stub naming the library it needs
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        FrameSampler(fake=False)
+    # (tests/test_multimodal_codec.py); video frame-seek lights up only
+    # when PyAV is importable, else an honest stub names the library
+    from dcpray.functions.multimodal import _load_pyav
+
+    if _load_pyav() is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            FrameSampler(fake=False)
+
+
+@pytest.mark.skipif(
+    __import__("dcpray.functions.multimodal",
+               fromlist=["_load_pyav"])._load_pyav() is None,
+    reason="PyAV/ffmpeg not installed in this container",
+)
+def test_frame_sampler_real_decode():
+    """Real-path parity (runs only where PyAV exists): a synthetic
+    one-color-per-frame video must sample n evenly spaced frames whose
+    decoded BMPs round-trip the frame colors."""
+    import io
+
+    import numpy as np
+
+    from dcpray.functions.multimodal import FrameSampler, decode_bmp
+
+    av = __import__("av")
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as c:
+        stream = c.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+        for lum in (0, 85, 170, 255):
+            img = np.full((16, 16, 3), lum, np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            c.mux(stream.encode(frame))
+        c.mux(stream.encode())
+    payload = buf.getvalue()
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+        "kind": pa.array(["video"]),
+    })
+    out = FrameSampler(num_frames=2, fake=False)(t)
+    assert out.num_rows == 2
+    first = decode_bmp(out["frame"][0].as_py())
+    assert first.shape == (16, 16, 3)
 
 
 def test_ngram_jaccard_exact_pairs(docs_ds):
