@@ -827,6 +827,50 @@ def _q_events_customer_skewjoin(sf_dir: str):
                           how="inner", partitions=16, hot_threshold=100)
 
 
+def _q_cdc_conversations(sf_dir: str):
+    """Transcripts → training documents: CDC replay → lazy lake read →
+    ordered per-conversation assembly ("role: text" lines joined by
+    newline) — SQL string_agg(ORDER BY) distributed with one coarse
+    exchange and a fully vectorized ListArray+binary_join per
+    partition."""
+    from dcpray.functions.textprep import assemble_groups
+
+    lake = _replay_final(sf_dir, "assemble")
+    ds = lake.read_current().select_columns(["conv_id", "turn_idx",
+                                             "role", "text"])
+    return assemble_groups(ds, "conv_id", "turn_idx", "text",
+                           sep="\n", label_col="role")
+
+
+def _q_events_rolling7(sf_dir: str):
+    """Per-user trailing-7-row moving aggregates (sum/mean/count/min/
+    max) — SQL ROWS BETWEEN 6 PRECEDING AND CURRENT ROW, one coarse
+    exchange + prefix-sum arithmetic. Integer cents keep the sums
+    bit-exact vs the segment-tree oracle (see events_rank_running)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.window import rolling_agg
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "ts", "value"],
+                    override_num_blocks=16)
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return t.drop_columns(["value"]).append_column("value_c", c)
+
+    out = rolling_agg(ds.map_batches(cents, batch_format="pyarrow"),
+                      "user_id", "ts", "value_c", window=7,
+                      tiebreak_col="event_id",
+                      aggs=("sum", "mean", "count", "min", "max")
+                      ).to_pandas()
+    for c in ("rolling_sum", "rolling_min", "rolling_max"):
+        out[c] = out[c].astype("int64")   # int-valued float64, exact
+    return out
+
+
 def _q_docs_tfidf_top3(sf_dir: str):
     """Per-document top-3 TF-IDF terms, fully distributed (df via
     coarse_groupby, idf attached via hash_join on term — no vocab
@@ -1045,6 +1089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top3": _q_docs_tfidf_top3,
         "events_rank_running": _q_events_rank_running,
         "events_customer_skewjoin": _q_events_customer_skewjoin,
+        "cdc_conversations": _q_cdc_conversations,
+        "events_rolling7": _q_events_rolling7,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
         "events_daily_users_approx": _q_events_daily_users_approx,
@@ -1374,6 +1420,27 @@ SELECT event_id, user_key, c_nationkey FROM (
          CASE WHEN user_id % 5 = 0 THEN 1 ELSE user_id END AS user_key
   FROM events) e
 JOIN customer ON user_key = c_custkey""",
+        "cdc_conversations": f"""
+SELECT conv_id,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+         AS assembled,
+       count(role || ': ' || text) AS n_items,
+       coalesce(length(string_agg(role || ': ' || text, chr(10)
+         ORDER BY turn_idx)), 0) AS n_chars
+FROM ({lww_final}) GROUP BY conv_id""",
+        "events_rolling7": """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id, user_id, ts, value_c,
+       CAST(SUM(value_c) OVER w AS BIGINT) AS rolling_sum,
+       AVG(value_c)   OVER w AS rolling_mean,
+       COUNT(value_c) OVER w AS rolling_count,
+       MIN(value_c)   OVER w AS rolling_min,
+       MAX(value_c)   OVER w AS rolling_max
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
         "events_rank_running": """
 WITH e AS (
   SELECT event_id, user_id, ts,

@@ -53,6 +53,11 @@ SECONDARY = [
     "orders_customer_rollup",
     "lineitem_orders_join",
     "events_daily_users_approx",
+    "docs_tfidf_top3",
+    "events_rank_running",
+    "events_customer_skewjoin",
+    "cdc_conversations",
+    "events_rolling7",
 ]
 
 

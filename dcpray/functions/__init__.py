@@ -44,6 +44,7 @@ from dcpray.functions.join import (
 from dcpray.functions.kmeans import kmeans_assign, kmeans_fit
 from dcpray.functions.sample import hash_sample, hash_split, stratified_sample
 from dcpray.functions.textprep import (
+    assemble_groups,
     chunk_text,
     doc_term_counts,
     normalize_text,
@@ -65,6 +66,7 @@ from dcpray.functions.textstats import (
 from dcpray.functions.window import (
     hopping_window,
     rank_in_group,
+    rolling_agg,
     session_stats,
     sessionize,
 )
@@ -81,11 +83,11 @@ __all__ = [
     "hash_join_skew", "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",
     "chunk_text", "doc_term_counts", "normalize_text", "scrub_pii",
-    "tfidf_top_terms", "top_terms",
+    "tfidf_top_terms", "top_terms", "assemble_groups",
     "kmeans_assign", "kmeans_fit",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",
-    "hopping_window", "rank_in_group", "session_stats", "sessionize",
+    "hopping_window", "rank_in_group", "rolling_agg", "session_stats", "sessionize",
     "remove_repeated_paragraphs",
 ]

@@ -40,6 +40,11 @@ def add_coarse_pk(t: pa.Table, key_col: str, partitions: int,
     top-k, as-of join) shares. Null keys hash from a filled sentinel;
     callers that need SQL null semantics must handle null rows
     themselves (see asof_join)."""
+    ty = t[key_col].type
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+        h = hash_strings(t[key_col])
+        pk = (splitmix64(h) % np.uint64(partitions)).astype(np.int32)
+        return t.append_column(pk_col, pa.array(pk))
     k = pc.fill_null(pc.cast(t[key_col], pa.int64()), 0) \
         .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     pk = (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)

@@ -362,3 +362,83 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     scored = joined.map_batches(score, batch_format="pyarrow")
     return topk_per_group(scored, id_col, "tfidf", k, tiebreak_col="term",
                           descending=True, partitions=partitions)
+
+
+def assemble_groups(ds, group_col: str, order_col: str, text_col: str,
+                    sep: str = "\n", label_col: str | None = None,
+                    label_sep: str = ": ", out_col: str = "assembled",
+                    partitions: int = 64):
+    """Ordered per-group text ASSEMBLY — turns → full conversation
+    documents, the transcripts→training-corpus step: SQL's
+    ``string_agg(text, sep ORDER BY order_col) GROUP BY group_col``,
+    distributed. With ``label_col`` each line becomes
+    ``label || label_sep || text`` ("role: text") first.
+
+    Scale shape: the standard ONE coarse exchange on the group key,
+    then fully vectorized work per partition — one lexsort, one
+    offsets-built ListArray, one ``pc.binary_join``. Python runs once
+    per partition, never per group or per row; text bytes move exactly
+    once. Null texts are DROPPED before joining (string_agg
+    semantics: no element, no separator); a group whose texts are all
+    null still appears, with a null assembly, as in SQL. Output: one
+    row per group — group key, ``out_col``, ``n_items`` (non-null
+    texts), ``n_chars`` (assembled length, null-safe 0).
+
+    The usual partitioning contract applies (one group's rows fit one
+    partition task); conversations are bounded, so this holds by
+    construction for transcripts.
+    """
+    from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    def assemble(group: pa.Table) -> pa.Table:
+        require_nonnull(group, (group_col, order_col), "assemble_groups")
+        karr = group[group_col].combine_chunks()
+        # dictionary-encode → int codes so string keys (conv ids) sort
+        # and segment exactly like integer keys
+        g = pc.dictionary_encode(karr).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, g))
+        gs = g[order]
+        first = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(first)
+        key_first = karr.take(pa.array(order[starts]))
+
+        txt = _flat_string(group[text_col]).take(pa.array(order))
+        if label_col is not None:
+            lbl = _flat_string(group[label_col]).take(pa.array(order))
+            txt = pc.binary_join_element_wise(
+                pc.cast(lbl, pa.string()), txt, label_sep,
+                null_handling="emit_null")
+        valid = pc.is_valid(txt).to_numpy(zero_copy_only=False)
+        # string_agg drops nulls: compact the line array, shrink each
+        # group's extent by its null count (cumulative remap)
+        keep = np.flatnonzero(valid)
+        lines = txt.take(pa.array(keep))
+        ends = np.r_[starts[1:], len(gs)]
+        cum_valid = np.r_[0, np.cumsum(valid)]
+        off_lo = cum_valid[starts]
+        off_hi = cum_valid[ends]
+        n_items = (off_hi - off_lo).astype(np.int64)
+        # list offsets over the compacted lines; empty groups (all-null
+        # texts) get a NULL list so the join yields SQL's NULL
+        offsets = np.r_[off_lo, off_hi[-1] if len(off_hi) else 0] \
+            .astype(np.int32)
+        list_arr = pa.ListArray.from_arrays(
+            pa.array(offsets), lines.combine_chunks()
+            if isinstance(lines, pa.ChunkedArray) else lines)
+        joined = pc.binary_join(list_arr, sep)
+        joined = pc.if_else(pa.array(n_items > 0), joined,
+                            pa.nulls(len(n_items), pa.string()))
+        return pa.table({
+            group_col: key_first,
+            out_col: joined,
+            "n_items": pa.array(n_items),
+            "n_chars": pc.cast(pc.fill_null(pc.utf8_length(joined), 0),
+                               pa.int64()),
+        })
+
+    return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
+                           batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assemble, batch_format="pyarrow"))

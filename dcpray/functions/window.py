@@ -235,3 +235,88 @@ def rank_in_group(ds, group_col: str, order_col: str,
                            batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign, batch_format="pyarrow"))
+
+
+def rolling_agg(ds, group_col: str, order_col: str, value_col: str,
+                window: int, tiebreak_col: str,
+                aggs: tuple[str, ...] = ("sum", "mean"),
+                partitions: int = 64, prefix: str = "rolling_"):
+    """Per-key MOVING-WINDOW aggregates over the trailing ``window``
+    rows — SQL's ``agg(value) OVER (PARTITION BY key ORDER BY order
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — distributed.
+
+    Scale shape: identical to ``rank_in_group`` — ONE coarse exchange
+    on the group key, then one lexsort + prefix-sum arithmetic per
+    partition; sum/mean/count come from cumsum differences (no per-row
+    loop), min/max from a strided sliding-window view (O(n·window)
+    comparisons vectorized — fine for the dashboard-style windows this
+    models; a monotonic deque beats it only at window >> 100). Sum over
+    FLOATS accumulates in a different order than SQL's segment tree —
+    pass integer values (cents) when bit-exactness matters, as
+    ``events_rank_running`` does. Nulls in key/order/tiebreak raise;
+    null values are rejected too (SQL windowed aggs skip nulls, which
+    would need a per-row valid-count — keep the contract explicit)."""
+    from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    if window < 1:
+        raise ValueError("window must be >= 1 row")
+    bad = set(aggs) - {"sum", "mean", "count", "min", "max"}
+    if bad:
+        raise ValueError(f"unsupported rolling aggs: {sorted(bad)}")
+
+    def assign(group: pa.Table) -> pa.Table:
+        require_nonnull(group, (group_col, order_col, tiebreak_col,
+                                value_col), "rolling_agg")
+        g = group[group_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = group[tiebreak_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = group[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((tb, o, g))
+        gs, vs = g[order], v[order]
+        n = len(gs)
+        first = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, sizes)          # group start per row
+        idx = np.arange(n)
+        lo = np.maximum(seg_start, idx - window + 1)  # window start per row
+        out = group.drop_columns(["_pk"]).take(pa.array(order))
+        cnt = idx - lo + 1
+        if {"sum", "mean"} & set(aggs):
+            cs = np.cumsum(vs)
+            win_sum = cs[idx] - np.where(lo > 0, cs[lo - 1], 0.0)
+            if "sum" in aggs:
+                out = out.append_column(prefix + "sum", pa.array(win_sum))
+            if "mean" in aggs:
+                out = out.append_column(prefix + "mean",
+                                        pa.array(win_sum / cnt))
+        if "count" in aggs:
+            out = out.append_column(prefix + "count",
+                                    pa.array(cnt, pa.int64()))
+        if {"min", "max"} & set(aggs):
+            # window-1 shifted vectorized passes, O(n) memory each —
+            # never an n×window materialization
+            mn = vs.copy() if "min" in aggs else None
+            mx = vs.copy() if "max" in aggs else None
+            for k in range(1, window):
+                valid = idx - k >= lo    # in-window AND same group
+                if not valid.any():
+                    break
+                shifted = np.r_[np.full(k, np.nan), vs[:-k]]
+                if mn is not None:
+                    mn = np.where(valid, np.fmin(mn, shifted), mn)
+                if mx is not None:
+                    mx = np.where(valid, np.fmax(mx, shifted), mx)
+            if mn is not None:
+                out = out.append_column(prefix + "min", pa.array(mn))
+            if mx is not None:
+                out = out.append_column(prefix + "max", pa.array(mx))
+        return out
+
+    return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
+                           batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign, batch_format="pyarrow"))

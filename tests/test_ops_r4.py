@@ -623,3 +623,108 @@ def test_hash_join_skew_guards():
     with pytest.raises(ValueError, match="single join key"):
         hash_join_skew(rd.from_arrow(lt), rd.from_arrow(rt),
                        on=["k", "lv"], right_on=["k", "rv"])
+
+
+def test_rolling_agg_vs_duckdb_windows():
+    """Moving sum/mean/count/min/max over trailing N rows per key must
+    match SQL ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW, including
+    groups shorter than the window and duplicate order values broken
+    by the tiebreak."""
+    from dcpray.functions.window import rolling_agg
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 40, n), pa.int64()),
+        "o": pa.array(rng.randint(0, 500, n), pa.int64()),  # dup orders
+        "tb": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.randint(-100, 100, n).astype(np.float64)),
+    })
+    out = rolling_agg(rd.from_arrow(t).repartition(5), "k", "o", "v",
+                      window=7, tiebreak_col="tb",
+                      aggs=("sum", "mean", "count", "min", "max"),
+                      partitions=8).to_pandas()
+    ora = duckdb.sql("""
+        SELECT k, o, tb, v,
+               SUM(v)   OVER w AS rolling_sum,
+               AVG(v)   OVER w AS rolling_mean,
+               COUNT(v) OVER w AS rolling_count,
+               MIN(v)   OVER w AS rolling_min,
+               MAX(v)   OVER w AS rolling_max
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY o, tb
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """).df()
+    cols = ["k", "o", "tb", "v", "rolling_sum", "rolling_mean",
+            "rolling_count", "rolling_min", "rolling_max"]
+    a = out[cols].sort_values(["k", "o", "tb"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["k", "o", "tb"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype("float64"), b.astype("float64"))
+
+
+def test_rolling_agg_window_one_and_guards():
+    from dcpray.functions.window import rolling_agg
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "o": pa.array([1, 2, 1], pa.int64()),
+                  "v": pa.array([5.0, 7.0, 9.0])})
+    out = rolling_agg(rd.from_arrow(t), "k", "o", "v", window=1,
+                      tiebreak_col="o").to_pandas().sort_values(["k", "o"])
+    assert (out["rolling_sum"].to_numpy() == [5.0, 7.0, 9.0]).all()
+    with pytest.raises(ValueError, match="window"):
+        rolling_agg(rd.from_arrow(t), "k", "o", "v", window=0,
+                    tiebreak_col="o")
+    with pytest.raises(ValueError, match="unsupported"):
+        rolling_agg(rd.from_arrow(t), "k", "o", "v", window=2,
+                    tiebreak_col="o", aggs=("median",))
+
+
+def test_assemble_groups_vs_duckdb_string_agg():
+    """Ordered per-group assembly must equal SQL string_agg(... ORDER
+    BY), including dropped null texts, all-null groups yielding NULL,
+    and the label prefix form."""
+    from dcpray.functions.textprep import assemble_groups
+
+    rng = np.random.RandomState(13)
+    n = 1200
+    texts = [None if rng.rand() < 0.08 else f"msg{i}" for i in range(n)]
+    t = pa.table({
+        "conv": pa.array(rng.randint(0, 60, n), pa.int64()),
+        "turn": pa.array(np.arange(n, dtype=np.int64)),
+        "role": pa.array(["user" if i % 2 else "assistant"
+                          for i in range(n)]),
+        "text": pa.array(texts, pa.string()),
+    })
+    # one all-null conversation
+    t = pa.concat_tables([t, pa.table({
+        "conv": pa.array([999, 999], pa.int64()),
+        "turn": pa.array([0, 1], pa.int64()),
+        "role": pa.array(["user", "assistant"]),
+        "text": pa.array([None, None], pa.string()),
+    })])
+    out = assemble_groups(rd.from_arrow(t).repartition(6), "conv", "turn",
+                          "text", sep="\n", label_col="role",
+                          partitions=8).to_pandas()
+    ora = duckdb.sql("""
+        SELECT conv,
+               string_agg(role || ': ' || text, chr(10) ORDER BY turn)
+                 AS assembled,
+               count(role || ': ' || text) AS n_items,
+               coalesce(length(string_agg(role || ': ' || text, chr(10)
+                 ORDER BY turn)), 0) AS n_chars
+        FROM t GROUP BY conv
+    """).df()
+    cols = ["conv", "assembled", "n_items", "n_chars"]
+    a = out[cols].sort_values("conv").reset_index(drop=True)
+    b = ora[cols].sort_values("conv").reset_index(drop=True)
+    assert a["assembled"].isna().equals(b["assembled"].isna())
+    pd.testing.assert_frame_equal(a.fillna(""), b.fillna(""),
+                                  check_dtype=False)
+    # plain (no label) form
+    out2 = assemble_groups(rd.from_arrow(t), "conv", "turn", "text",
+                           sep="|").to_pandas()
+    ora2 = duckdb.sql("""
+        SELECT conv, string_agg(text, '|' ORDER BY turn) AS assembled
+        FROM t GROUP BY conv""").df()
+    m = out2.merge(ora2, on="conv", suffixes=("", "_o"))
+    assert len(m) == len(ora2)
+    assert m["assembled"].fillna("").equals(m["assembled_o"].fillna(""))
