@@ -871,6 +871,19 @@ def _q_events_rolling7(sf_dir: str):
     return out
 
 
+def _q_events_type_quantiles(sf_dir: str):
+    """Per-group EXACT quantiles (quantile_disc GROUP BY): one coarse
+    exchange on the group key, one lexsort + rank gather per partition
+    — the grouped sibling of the global three-pass exact_quantiles."""
+    from dcpray.functions.agg import quantiles_per_group
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_type", "value"],
+                    override_num_blocks=16)
+    return quantiles_per_group(ds, "event_type", "value",
+                               qs=[0.1, 0.5, 0.9, 0.99])
+
+
 def _q_docs_tfidf_top3(sf_dir: str):
     """Per-document top-3 TF-IDF terms, fully distributed (df via
     coarse_groupby, idf attached via hash_join on term — no vocab
@@ -1091,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_customer_skewjoin": _q_events_customer_skewjoin,
         "cdc_conversations": _q_cdc_conversations,
         "events_rolling7": _q_events_rolling7,
+        "events_type_quantiles": _q_events_type_quantiles,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
         "events_daily_users_approx": _q_events_daily_users_approx,
@@ -1428,6 +1442,10 @@ SELECT conv_id,
        coalesce(length(string_agg(role || ': ' || text, chr(10)
          ORDER BY turn_idx)), 0) AS n_chars
 FROM ({lww_final}) GROUP BY conv_id""",
+        "events_type_quantiles": " UNION ALL ".join(
+            f"SELECT event_type, {q} AS q, quantile_disc(value, {q}) AS value "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type"
+            for q in (0.1, 0.5, 0.9, 0.99)),
         "events_rolling7": """
 WITH e AS (
   SELECT event_id, user_id, ts,

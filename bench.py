@@ -58,6 +58,7 @@ SECONDARY = [
     "events_customer_skewjoin",
     "cdc_conversations",
     "events_rolling7",
+    "events_type_quantiles",
 ]
 
 

@@ -535,3 +535,61 @@ def approx_distinct_count(ds, keys: list[str] | None, value_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(combine, batch_format="pyarrow"))
+
+
+def quantiles_per_group(ds, group_col: str, value_col: str, qs,
+                        partitions: int = 64, out_col: str = "value"):
+    """EXACT discrete quantiles PER GROUP — SQL
+    ``quantile_disc(value, q) GROUP BY key`` in long form (one output
+    row per (group, q)). Same rank convention as ``exact_quantiles``:
+    element at 0-indexed rank ``max(ceil(n_g · q) − 1, 0)`` over the
+    group's non-null values.
+
+    Scale shape: the standard ONE coarse exchange on the group key
+    (unlike the global ``exact_quantiles``' histogram passes, a group's
+    values fit one partition task — the usual contract), then one
+    lexsort + one gather per partition, Python once per partition.
+    Null values are dropped first (SQL aggregate semantics); groups
+    whose values are ALL null are therefore absent — mirror with
+    ``WHERE value IS NOT NULL`` in the oracle. Null group keys raise.
+    String or integer group keys both work (dictionary-encoded)."""
+    qs = [float(q) for q in qs]
+    if not qs or any(q < 0 or q > 1 for q in qs):
+        raise ValueError("qs must be non-empty fractions in [0, 1]")
+    qv = np.array(sorted(qs), np.float64)
+
+    def pick(group: pa.Table) -> pa.Table:
+        g0 = group.drop_columns(["_pk"])
+        g0 = g0.filter(pc.is_valid(g0[value_col]))
+        require_nonnull(g0, (group_col,), "quantiles_per_group")
+        if g0.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], group.schema.field(group_col).type),
+                "q": pa.array([], pa.float64()),
+                out_col: pa.array([], pa.float64()),
+            })
+        karr = g0[group_col].combine_chunks()
+        g = pc.dictionary_encode(karr).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = pc.cast(g0[value_col], pa.float64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        gs = g[order]
+        first = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, len(gs)])
+        # rank matrix: groups × qs, gathered in one shot
+        ranks = np.maximum(np.ceil(sizes[:, None] * qv[None, :]) - 1,
+                           0).astype(np.int64)
+        idx = order[starts[:, None] + ranks]
+        keys = karr.take(pa.array(np.repeat(order[starts], len(qv))))
+        return pa.table({
+            group_col: keys,
+            "q": pa.array(np.tile(qv, len(starts))),
+            out_col: pa.array(v[idx.ravel()]),
+        })
+
+    return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
+                           batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(pick, batch_format="pyarrow"))

@@ -728,3 +728,32 @@ def test_assemble_groups_vs_duckdb_string_agg():
     m = out2.merge(ora2, on="conv", suffixes=("", "_o"))
     assert len(m) == len(ora2)
     assert m["assembled"].fillna("").equals(m["assembled_o"].fillna(""))
+
+
+def test_quantiles_per_group_vs_duckdb():
+    """Per-group exact quantiles must equal quantile_disc GROUP BY for
+    int and string keys, with null values dropped first (groups of all
+    nulls absent, matching WHERE v IS NOT NULL)."""
+    from dcpray.functions.agg import quantiles_per_group
+
+    rng = np.random.RandomState(17)
+    n = 5000
+    vals = rng.randn(n) * 100
+    vals[rng.rand(n) < 0.05] = np.nan
+    t = pa.table({
+        "k": pa.array([f"g{x}" for x in rng.randint(0, 30, n)]),
+        "v": pa.array([None if np.isnan(x) else float(x) for x in vals],
+                      pa.float64()),
+    })
+    out = quantiles_per_group(rd.from_arrow(t).repartition(4), "k", "v",
+                              qs=[0.0, 0.25, 0.5, 0.9, 1.0],
+                              partitions=8).to_pandas()
+    ora = duckdb.sql(" UNION ALL ".join(
+        f"SELECT k, {q} AS q, quantile_disc(v, {q}) AS value "
+        "FROM t WHERE v IS NOT NULL GROUP BY k"
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0))).df()
+    a = out.sort_values(["k", "q"]).reset_index(drop=True)
+    b = ora.sort_values(["k", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    with pytest.raises(ValueError, match="fractions"):
+        quantiles_per_group(rd.from_arrow(t), "k", "v", qs=[1.5])
