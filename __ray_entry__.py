@@ -884,6 +884,36 @@ def _q_events_type_quantiles(sf_dir: str):
                                qs=[0.1, 0.5, 0.9, 0.99])
 
 
+def _q_docs_contamination_exact(sf_dir: str):
+    """Benchmark decontamination, exact form: a deterministic 1-in-20
+    hash split of documents plays the held-out benchmark; corpus rows
+    whose text appears verbatim in it are flagged. Benchmark text
+    hashes broadcast once (ray.put), corpus streams with ZERO
+    exchange."""
+    from dcpray.functions.decontam import exact_contamination
+    from dcpray.functions.sample import hash_sample
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=8)
+    bench = hash_sample(ds, col="text", mod=20, keep=7)
+    return exact_contamination(ds, bench)
+
+
+def _q_docs_contamination_ngram(sf_dir: str):
+    """Benchmark decontamination, word-8-gram form: corpus docs sharing
+    any distinct 8-gram with the benchmark union set, with the shared
+    count — catches partial copies exact matching misses. Same
+    zero-exchange broadcast shape; oracle generates the identical
+    8-grams via generate_series."""
+    from dcpray.functions.decontam import ngram_contamination
+    from dcpray.functions.sample import hash_sample
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=8)
+    bench = hash_sample(ds, col="text", mod=20, keep=7)
+    return ngram_contamination(ds, bench, n=8)
+
+
 def _q_docs_tfidf_top3(sf_dir: str):
     """Per-document top-3 TF-IDF terms, fully distributed (df via
     coarse_groupby, idf attached via hash_join on term — no vocab
@@ -1105,6 +1135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_conversations": _q_cdc_conversations,
         "events_rolling7": _q_events_rolling7,
         "events_type_quantiles": _q_events_type_quantiles,
+        "docs_contamination_exact": _q_docs_contamination_exact,
+        "docs_contamination_ngram": _q_docs_contamination_ngram,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
         "events_daily_users_approx": _q_events_daily_users_approx,
@@ -1446,6 +1478,25 @@ FROM ({lww_final}) GROUP BY conv_id""",
             f"SELECT event_type, {q} AS q, quantile_disc(value, {q}) AS value "
             "FROM events WHERE value IS NOT NULL GROUP BY event_type"
             for q in (0.1, 0.5, 0.9, 0.99)),
+        "docs_contamination_exact": """
+SELECT doc_id, text FROM documents
+WHERE text IN (SELECT text FROM documents
+               WHERE md5_number_lower(text) % 20 = 7)""",
+        "docs_contamination_ngram": """
+WITH sc AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 7, 0)),
+    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) g
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') w
+        FROM documents)),
+sb AS (
+  SELECT DISTINCT unnest(g) ng FROM sc
+  WHERE doc_id IN (SELECT doc_id FROM documents
+                   WHERE md5_number_lower(text) % 20 = 7))
+SELECT c.doc_id, count(*) AS n_shared
+FROM (SELECT doc_id, unnest(g) AS ng FROM sc) c
+JOIN sb ON c.ng = sb.ng
+GROUP BY c.doc_id""",
         "events_rolling7": """
 WITH e AS (
   SELECT event_id, user_id, ts,

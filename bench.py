@@ -59,6 +59,7 @@ SECONDARY = [
     "cdc_conversations",
     "events_rolling7",
     "events_type_quantiles",
+    "docs_contamination_ngram",
 ]
 
 

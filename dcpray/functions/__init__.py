@@ -22,6 +22,10 @@ from dcpray.functions.ann import (
     ivf_topk,
     topk_cosine,
 )
+from dcpray.functions.decontam import (
+    exact_contamination,
+    ngram_contamination,
+)
 from dcpray.functions.dedup import (
     cluster_pairs,
     cluster_pairs_distributed,
@@ -80,6 +84,7 @@ __all__ = [
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
+    "exact_contamination", "ngram_contamination",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
     "hash_join_skew", "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",

@@ -757,3 +757,85 @@ def test_quantiles_per_group_vs_duckdb():
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     with pytest.raises(ValueError, match="fractions"):
         quantiles_per_group(rd.from_arrow(t), "k", "v", qs=[1.5])
+
+
+def _contam_fixture():
+    rng = np.random.RandomState(23)
+    base = ["the quick brown fox jumps over the lazy dog again and again",
+            "a completely different sentence about ray data pipelines",
+            "benchmark question: what is the capital of france exactly",
+            "numbers and symbols 1 2 3 4 5 6 7 8 9 10 11 12"]
+    corpus = []
+    for i in range(300):
+        b = base[i % len(base)]
+        if i % 7 == 0:
+            corpus.append(b)                       # verbatim copy
+        elif i % 7 == 1:
+            corpus.append("prefix words " + b)     # contains the 8-grams
+        else:
+            corpus.append(f"unique doc {i} " + " ".join(
+                rng.choice(list("abcdefgh"), 12)))
+    bench = pa.table({"doc_id": pa.array(np.arange(len(base), dtype=np.int64)),
+                      "text": pa.array(base)})
+    corp = pa.table({"doc_id": pa.array(np.arange(len(corpus), dtype=np.int64)),
+                     "text": pa.array(corpus)})
+    return corp, bench
+
+
+def test_exact_contamination_vs_join():
+    from dcpray.functions.decontam import exact_contamination
+
+    corp, bench = _contam_fixture()
+    out = exact_contamination(rd.from_arrow(corp).repartition(4),
+                              rd.from_arrow(bench)).to_pandas()
+    ora = duckdb.sql("""
+        SELECT c.* FROM corp c
+        WHERE c.text IN (SELECT text FROM bench)""").df()
+    assert sorted(out["doc_id"]) == sorted(ora["doc_id"])
+
+
+def test_ngram_contamination_vs_duckdb():
+    from dcpray.functions.decontam import ngram_contamination
+
+    corp, bench = _contam_fixture()
+    out = ngram_contamination(rd.from_arrow(corp).repartition(4),
+                              rd.from_arrow(bench), n=8).to_pandas()
+    ora = duckdb.sql("""
+        WITH sc AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(w) - 7, 0)),
+            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                 w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) g
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') w
+                FROM corp)),
+        sb AS (
+          SELECT DISTINCT unnest(list_transform(
+            generate_series(1, greatest(len(w) - 7, 0)),
+            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                 w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) ng
+          FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') w
+                FROM bench))
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM (SELECT doc_id, unnest(g) AS ng FROM sc) c
+        JOIN sb ON c.ng = sb.ng
+        GROUP BY c.doc_id""").df()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = ora.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # min_shared raises the bar
+    strict = ngram_contamination(rd.from_arrow(corp), rd.from_arrow(bench),
+                                 n=8, min_shared=4).to_pandas()
+    assert set(strict["doc_id"]) == set(b[b["n_shared"] >= 4]["doc_id"])
+
+
+def test_contamination_guards():
+    from dcpray.functions.decontam import ngram_contamination
+
+    corp, bench = _contam_fixture()
+    with pytest.raises(ValueError, match="small side"):
+        ngram_contamination(rd.from_arrow(bench), rd.from_arrow(corp),
+                            n=2, max_bench_ngrams=10)
+    with pytest.raises(ValueError, match="min_shared"):
+        ngram_contamination(rd.from_arrow(corp), rd.from_arrow(bench),
+                            min_shared=0)
