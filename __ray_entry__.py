@@ -884,6 +884,19 @@ def _q_events_type_quantiles(sf_dir: str):
                                qs=[0.1, 0.5, 0.9, 0.99])
 
 
+def _q_events_lag_lead(sf_dir: str):
+    """SQL LAG/LEAD distributed: previous and next value per user in
+    time order — one coarse exchange, one lexsort + masked gathers per
+    partition. Pure gathers, so doubles compare exactly."""
+    from dcpray.functions.window import lag_lead
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "ts", "value"],
+                    override_num_blocks=16)
+    return lag_lead(ds, "user_id", "ts", "value", tiebreak_col="event_id",
+                    lags=(1,), leads=(1,))
+
+
 def _q_docs_contamination_exact(sf_dir: str):
     """Benchmark decontamination, exact form: a deterministic 1-in-20
     hash split of documents plays the held-out benchmark; corpus rows
@@ -1136,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling7": _q_events_rolling7,
         "events_type_quantiles": _q_events_type_quantiles,
         "docs_contamination_exact": _q_docs_contamination_exact,
+        "events_lag_lead": _q_events_lag_lead,
         "docs_contamination_ngram": _q_docs_contamination_ngram,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
@@ -1497,6 +1511,11 @@ SELECT c.doc_id, count(*) AS n_shared
 FROM (SELECT doc_id, unnest(g) AS ng FROM sc) c
 JOIN sb ON c.ng = sb.ng
 GROUP BY c.doc_id""",
+        "events_lag_lead": """
+SELECT event_id, user_id, ts, value,
+       LAG(value, 1)  OVER w AS lag_1,
+       LEAD(value, 1) OVER w AS lead_1
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "events_rolling7": """
 WITH e AS (
   SELECT event_id, user_id, ts,

@@ -70,6 +70,7 @@ from dcpray.functions.textstats import (
 )
 from dcpray.functions.window import (
     hopping_window,
+    lag_lead,
     rank_in_group,
     rolling_agg,
     session_stats,
@@ -94,6 +95,6 @@ __all__ = [
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",
-    "hopping_window", "rank_in_group", "rolling_agg", "session_stats", "sessionize",
+    "hopping_window", "lag_lead", "rank_in_group", "rolling_agg", "session_stats", "sessionize",
     "remove_repeated_paragraphs",
 ]

@@ -320,3 +320,61 @@ def rolling_agg(ds, group_col: str, order_col: str, value_col: str,
                            batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign, batch_format="pyarrow"))
+
+
+def lag_lead(ds, group_col: str, order_col: str, value_col: str,
+             tiebreak_col: str, lags: tuple[int, ...] = (1,),
+             leads: tuple[int, ...] = (1,), partitions: int = 64):
+    """Per-key LAG/LEAD — SQL ``LAG(value, k)`` / ``LEAD(value, k)``
+    ``OVER (PARTITION BY key ORDER BY order, tiebreak)`` — distributed.
+    Adds one ``lag_k`` column per entry in ``lags`` and one ``lead_k``
+    per entry in ``leads``; rows whose shifted position falls outside
+    their group get NULL, exactly as in SQL.
+
+    Scale shape: same as ``rank_in_group`` — ONE coarse exchange on the
+    group key, one lexsort per partition, then each shift is a single
+    vectorized gather with a group-boundary mask."""
+    from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    if any(k < 1 for k in (*lags, *leads)):
+        raise ValueError("lag/lead offsets must be >= 1")
+
+    def assign(group: pa.Table) -> pa.Table:
+        require_nonnull(group, (group_col, order_col, tiebreak_col),
+                        "lag_lead")
+        g = pc.dictionary_encode(
+            group[group_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = group[tiebreak_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, o, g))
+        gs = g[order]
+        n = len(gs)
+        out = group.drop_columns(["_pk"]).take(pa.array(order))
+        vals = out[value_col].combine_chunks()
+        idx = np.arange(n)
+        for k in lags:
+            src = idx - k
+            ok = (src >= 0) & (gs[np.maximum(src, 0)] == gs)
+            taken = pa.Array.from_pandas(
+                np.where(ok, src, 0)).cast(pa.int64())
+            shifted = vals.take(taken)
+            shifted = pc.if_else(pa.array(ok), shifted,
+                                 pa.nulls(n, vals.type))
+            out = out.append_column(f"lag_{k}", shifted)
+        for k in leads:
+            src = idx + k
+            ok = (src < n) & (gs[np.minimum(src, n - 1)] == gs)
+            taken = pa.Array.from_pandas(
+                np.where(ok, src, 0)).cast(pa.int64())
+            shifted = vals.take(taken)
+            shifted = pc.if_else(pa.array(ok), shifted,
+                                 pa.nulls(n, vals.type))
+            out = out.append_column(f"lead_{k}", shifted)
+        return out
+
+    return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
+                           batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign, batch_format="pyarrow"))

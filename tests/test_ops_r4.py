@@ -839,3 +839,33 @@ def test_contamination_guards():
     with pytest.raises(ValueError, match="min_shared"):
         ngram_contamination(rd.from_arrow(corp), rd.from_arrow(bench),
                             min_shared=0)
+
+
+def test_lag_lead_vs_duckdb():
+    from dcpray.functions.window import lag_lead
+
+    rng = np.random.RandomState(29)
+    n = 2500
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 35, n), pa.int64()),
+        "o": pa.array(rng.randint(0, 400, n), pa.int64()),
+        "tb": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array([None if rng.rand() < 0.05 else float(x)
+                       for x in rng.randn(n)], pa.float64()),
+    })
+    out = lag_lead(rd.from_arrow(t).repartition(5), "k", "o", "v",
+                   tiebreak_col="tb", lags=(1, 3), leads=(2,),
+                   partitions=8).to_pandas()
+    ora = duckdb.sql("""
+        SELECT k, o, tb, v,
+               LAG(v, 1)  OVER w AS lag_1,
+               LAG(v, 3)  OVER w AS lag_3,
+               LEAD(v, 2) OVER w AS lead_2
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY o, tb)""").df()
+    cols = ["k", "o", "tb", "v", "lag_1", "lag_3", "lead_2"]
+    a = out[cols].sort_values(["k", "o", "tb"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["k", "o", "tb"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="offsets"):
+        lag_lead(rd.from_arrow(t), "k", "o", "v", tiebreak_col="tb",
+                 lags=(0,))
