@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 
 def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
                  *, num_buckets: int = 16, dedup_threshold: float = 0.7,
-                 min_quality: float = 0.3, cluster: str = "auto") -> dict:
+                 min_quality: float = 0.3, cluster: str = "auto",
+                 benchmark_texts: list[str] | None = None) -> dict:
     """Returns per-stage row counts. Stages:
 
     1. CDC replay → committed lake (exactly-once manifest commit).
@@ -35,6 +36,9 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
     3. Exact dedup (content hash, keep min key).
     4. MinHash near-dup pairs → drop non-representatives.
     5. Quality + language filter (vectorized scorers).
+    5b. Benchmark decontamination (optional): drop docs sharing any
+        word-8-gram with ``benchmark_texts`` — the eval set must not
+        leak into the training corpus.
     6. Deterministic 8/1/1 split by content hash.
     7. Partitioned Parquet per split (resumable layout).
     """
@@ -101,6 +105,37 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
                 .filter(keep)
 
     docs = docs.map_batches(refine, batch_format="pyarrow")
+
+    # 5b. benchmark decontamination: the small benchmark side's 8-gram
+    # hashes broadcast once; the corpus streams with zero exchange, and
+    # only the O(#contaminated) id set returns to the driver
+    if benchmark_texts:
+        import numpy as np
+        import ray
+        import ray.data as rd
+
+        from dcpray.functions.decontam import ngram_contamination
+
+        bench = rd.from_arrow(pa.table({"text": pa.array(benchmark_texts)}))
+        bad = ngram_contamination(docs, bench, n=8).to_pandas()
+        counts["decontaminated"] = len(bad)
+        bad_ids = ray.put(np.sort(bad["doc_id"].to_numpy().astype(np.int64)))
+
+        def drop_contaminated(t: pa.Table, r) -> pa.Table:
+            from dcpray.rayutil import worker_memo
+
+            arr = worker_memo(("example_decontam", r.hex()),
+                              lambda: ray.get(r))
+            if len(arr) == 0:
+                return t
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(arr, ids)
+            hit = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)]
+                                      == ids)
+            return t.filter(pa.array(~hit))
+
+        docs = docs.map_batches(drop_contaminated, fn_args=(bad_ids,),
+                                batch_format="pyarrow")
 
     # 6. deterministic split + 7. partitioned write (one dir per split —
     # a failed run reruns a split without touching the others)

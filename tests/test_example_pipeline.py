@@ -15,7 +15,13 @@ def test_example_pipeline_end_to_end(tiny_fixture, tmp_path):
     out = str(tmp_path / "out")
     counts = run_pipeline(os.path.join(tiny_fixture, "wal"),
                           os.path.join(tiny_fixture, "base"), out,
-                          num_buckets=8)
+                          num_buckets=8,
+                          benchmark_texts=[
+                              "a long chain of reasoning was compressed "
+                              "into three bullet points of evidence"])
+    # the benchmark sentence appears in the fixture corpus → some docs
+    # must have been decontaminated away
+    assert counts["decontaminated"] > 0
     assert counts["replay_rows_out"] > 0
     assert 0 < counts["after_exact_dedup"] <= counts["replay_rows_out"]
     assert counts["after_filters"] <= counts["after_exact_dedup"]
