@@ -884,6 +884,50 @@ def _q_events_type_quantiles(sf_dir: str):
                                qs=[0.1, 0.5, 0.9, 0.99])
 
 
+def _q_events_ntile4(sf_dir: str):
+    """SQL NTILE(4) distributed: per-user value quartile in descending
+    value order — closed-form bucket arithmetic after one coarse
+    exchange + lexsort."""
+    from dcpray.functions.window import ntile_in_group
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "value"],
+                    override_num_blocks=16)
+    return ntile_in_group(ds, "user_id", "value", tiebreak_col="event_id",
+                          n=4, descending=True)
+
+
+def _q_events_value_histogram(sf_dir: str):
+    """Fixed-bin histogram: 50 buckets over [0, 500) — one bincount
+    partial per batch, <= bins ints leave each task, no exchange."""
+    from dcpray.functions.agg import histogram
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["value"], override_num_blocks=16)
+    return histogram(ds, "value", lo=0.0, hi=500.0, bins=50)
+
+
+def _q_docs_pack_sequences(sf_dir: str):
+    """LLM sequence packing: whitespace token counts → greedy packs of
+    <= 2048 tokens (pack_id = first doc id of the pack, deterministic
+    under any input layout). Greedy-sequential is not SQL-expressible;
+    invariants are pytest-checked (budget bound, determinism,
+    efficiency) — rows-only here."""
+    import pyarrow as pa
+
+    from dcpray.functions.textprep import pack_sequences
+    from dcpray.functions.textstats import token_count
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=8)
+
+    def count(t: pa.Table) -> pa.Table:
+        return token_count(t).drop_columns(["text"])
+
+    toks = ds.map_batches(count, batch_format="pyarrow")
+    return pack_sequences(toks, "n_tokens", budget=2048)
+
+
 def _q_events_lag_lead(sf_dir: str):
     """SQL LAG/LEAD distributed: previous and next value per user in
     time order — one coarse exchange, one lexsort + masked gathers per
@@ -1150,6 +1194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantiles": _q_events_type_quantiles,
         "docs_contamination_exact": _q_docs_contamination_exact,
         "events_lag_lead": _q_events_lag_lead,
+        "events_ntile4": _q_events_ntile4,
+        "events_value_histogram": _q_events_value_histogram,
+        "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_contamination_ngram": _q_docs_contamination_ngram,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_daily_users": _q_events_daily_users,
@@ -1516,6 +1563,20 @@ SELECT event_id, user_id, ts, value,
        LAG(value, 1)  OVER w AS lag_1,
        LEAD(value, 1) OVER w AS lead_1
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "events_ntile4": """
+SELECT event_id, user_id, value,
+       NTILE(4) OVER (PARTITION BY user_id
+                      ORDER BY value DESC, event_id) AS ntile
+FROM events""",
+        "events_value_histogram": """
+WITH b AS (
+  SELECT least(CAST(floor(value / 10.0) AS BIGINT), 49) AS bin
+  FROM events WHERE value IS NOT NULL AND value >= 0 AND value <= 500)
+SELECT i AS bin, i * 10.0 AS lo, (i + 1) * 10.0 AS hi,
+       coalesce(c.count, 0) AS count
+FROM generate_series(0, 49) s(i)
+LEFT JOIN (SELECT bin, count(*) AS count FROM b GROUP BY bin) c
+  ON c.bin = i""",
         "events_rolling7": """
 WITH e AS (
   SELECT event_id, user_id, ts,

@@ -60,6 +60,9 @@ SECONDARY = [
     "events_rolling7",
     "events_type_quantiles",
     "docs_contamination_ngram",
+    "events_lag_lead",
+    "events_ntile4",
+    "docs_pack_sequences",
 ]
 
 

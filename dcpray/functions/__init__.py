@@ -12,6 +12,7 @@ from dcpray.functions.agg import (
     coarse_groupby,
     distinct_count,
     exact_quantiles,
+    histogram,
     quantiles_per_group,
     topk_per_group,
 )
@@ -50,6 +51,7 @@ from dcpray.functions.kmeans import kmeans_assign, kmeans_fit
 from dcpray.functions.sample import hash_sample, hash_split, stratified_sample
 from dcpray.functions.textprep import (
     assemble_groups,
+    pack_sequences,
     chunk_text,
     doc_term_counts,
     normalize_text,
@@ -71,6 +73,7 @@ from dcpray.functions.textstats import (
 from dcpray.functions.window import (
     hopping_window,
     lag_lead,
+    ntile_in_group,
     rank_in_group,
     rolling_agg,
     session_stats,
@@ -80,7 +83,7 @@ from dcpray.functions.window import (
 __all__ = [
     "add_coarse_pk", "approx_distinct_count", "coarse_groupby",
     "distinct_count",
-    "exact_quantiles", "quantiles_per_group", "topk_per_group",
+    "exact_quantiles", "histogram", "quantiles_per_group", "topk_per_group",
     "build_ivf_index", "ivf_query", "ivf_topk", "topk_cosine",
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
@@ -90,11 +93,11 @@ __all__ = [
     "hash_join_skew", "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",
     "chunk_text", "doc_term_counts", "normalize_text", "scrub_pii",
-    "tfidf_top_terms", "top_terms", "assemble_groups",
+    "tfidf_top_terms", "top_terms", "assemble_groups", "pack_sequences",
     "kmeans_assign", "kmeans_fit",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",
-    "hopping_window", "lag_lead", "rank_in_group", "rolling_agg", "session_stats", "sessionize",
+    "hopping_window", "lag_lead", "ntile_in_group", "rank_in_group", "rolling_agg", "session_stats", "sessionize",
     "remove_repeated_paragraphs",
 ]

@@ -593,3 +593,48 @@ def quantiles_per_group(ds, group_col: str, value_col: str, qs,
                            batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(pick, batch_format="pyarrow"))
+
+
+def histogram(ds, col: str, lo: float, hi: float, bins: int = 100,
+              closed_last: bool = True):
+    """Fixed-bin histogram of a numeric column: counts per
+    ``[lo + i·w, lo + (i+1)·w)`` bucket (``w = (hi−lo)/bins``), last
+    bucket closed on the right when ``closed_last``. Rows outside
+    [lo, hi] and nulls are dropped (SQL WHERE semantics).
+
+    Scale shape: one ``np.bincount`` per batch (a fixed ``bins``-length
+    partial row each), summed on the driver — ≤ ``bins`` ints ever
+    leave a task, no exchange at all. Returns a pyarrow Table
+    (bin: int64, lo: float64, hi: float64, count: int64), empty bins
+    included."""
+    if bins < 1 or not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:
+        raise ValueError("need bins >= 1 and finite lo < hi")
+    w = (hi - lo) / bins
+
+    def part(t: pa.Table) -> pa.Table:
+        c = pc.cast(t[col], pa.float64())
+        v = pc.drop_null(c).to_numpy(zero_copy_only=False)
+        if closed_last:
+            inside = (v >= lo) & (v <= hi)
+        else:
+            inside = (v >= lo) & (v < hi)
+        v = v[inside]
+        b = np.minimum(((v - lo) / w).astype(np.int64), bins - 1) \
+            if closed_last else ((v - lo) / w).astype(np.int64)
+        return pa.table({"h": pa.array(
+            np.bincount(b, minlength=bins).astype(np.int64))})
+
+    parts = list(ds.map_batches(part, batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    total = np.zeros(bins, np.int64)
+    for p in parts:
+        # a block may hold several concatenated bins-length partials
+        total += p["h"].to_numpy(zero_copy_only=False) \
+            .reshape(-1, bins).sum(axis=0)
+    i = np.arange(bins)
+    return pa.table({
+        "bin": pa.array(i),
+        "lo": pa.array(lo + i * w),
+        "hi": pa.array(lo + (i + 1) * w),
+        "count": pa.array(total),
+    })

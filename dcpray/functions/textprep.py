@@ -442,3 +442,63 @@ def assemble_groups(ds, group_col: str, order_col: str, text_col: str,
                            batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assemble, batch_format="pyarrow"))
+
+
+def pack_sequences(ds, token_col: str, budget: int, id_col: str = "doc_id",
+                   partitions: int = 64, out_col: str = "pack_id"):
+    """SEQUENCE PACKING for LLM training: assign each document a
+    ``pack_id`` so that documents sharing a pack total ≤ ``budget``
+    tokens (greedy sequential fill in ``id_col`` order — the standard
+    concat-and-chunk recipe's grouping step, without splitting
+    documents). A single document longer than ``budget`` gets a pack of
+    its own, never truncated here (filter upstream if needed).
+
+    Scale shape: ONE coarse exchange on the id hash, then per partition
+    one sort + a boundary walk that is O(#packs) Python steps (each a
+    ``searchsorted`` on the token cumsum — per-pack, never per-doc).
+    Pack ids are the first document id of each pack, so they are
+    globally unique and the assignment is DETERMINISTIC for a given
+    ``partitions`` regardless of the input's block layout (equality
+    under repartitioning is tested).
+
+    Returns (id_col, token_col, out_col) rows."""
+    from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1 token")
+
+    def pack(group: pa.Table) -> pa.Table:
+        g0 = group.drop_columns(["_pk"])
+        require_nonnull(g0, (id_col, token_col), "pack_sequences")
+        ids = g0[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok = g0[token_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, tok = ids[order], tok[order]
+        n = len(ids)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             token_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        cs = np.cumsum(tok)
+        bounds = [0]
+        while bounds[-1] < n:
+            start = bounds[-1]
+            base = cs[start - 1] if start else 0
+            # furthest doc keeping the pack within budget; an oversize
+            # doc still advances by one (its own pack)
+            nxt = int(np.searchsorted(cs, base + budget, side="right"))
+            bounds.append(max(nxt, start + 1))
+        b = np.array(bounds[:-1], np.int64)
+        sizes = np.diff(np.r_[b, n])
+        pack_ids = np.repeat(ids[b], sizes)
+        return pa.table({id_col: pa.array(ids),
+                         token_col: pa.array(tok),
+                         out_col: pa.array(pack_ids)})
+
+    return (ds.select_columns([id_col, token_col])
+            .map_batches(add_coarse_pk, fn_args=(id_col, partitions),
+                         batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(pack, batch_format="pyarrow"))

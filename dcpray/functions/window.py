@@ -378,3 +378,53 @@ def lag_lead(ds, group_col: str, order_col: str, value_col: str,
                            batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign, batch_format="pyarrow"))
+
+
+def ntile_in_group(ds, group_col: str, order_col: str, tiebreak_col: str,
+                   n: int, descending: bool = False,
+                   out_col: str = "ntile", partitions: int = 64):
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order, tiebreak)``
+    — distribute each group's rows into ``n`` buckets as evenly as
+    possible (the first ``count % n`` buckets get one extra row),
+    1-based like SQL. Same scale shape as ``rank_in_group``: one coarse
+    exchange, one lexsort + closed-form bucket arithmetic per
+    partition."""
+    from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def assign(group: pa.Table) -> pa.Table:
+        require_nonnull(group, (group_col, order_col, tiebreak_col),
+                        "ntile_in_group")
+        g = pc.dictionary_encode(
+            group[group_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = group[tiebreak_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if descending:
+            if v.dtype.kind in "mM":
+                v = v.view(np.int64)
+            v = -v
+        order = np.lexsort((tb, v, g))
+        gs = g[order]
+        first = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, len(gs)])
+        r = np.arange(len(gs)) - np.repeat(starts, sizes)  # 0-based rank
+        cnt = np.repeat(sizes, sizes)
+        q, rem = cnt // n, cnt % n
+        big = rem * (q + 1)              # rows covered by the +1 buckets
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                r < big, r // np.maximum(q + 1, 1),
+                rem + np.where(q > 0, (r - big) // np.maximum(q, 1), 0))
+        out = group.drop_columns(["_pk"]).take(pa.array(order))
+        return out.append_column(out_col,
+                                 pa.array((tile + 1).astype(np.int64)))
+
+    return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
+                           batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign, batch_format="pyarrow"))

@@ -869,3 +869,89 @@ def test_lag_lead_vs_duckdb():
     with pytest.raises(ValueError, match="offsets"):
         lag_lead(rd.from_arrow(t), "k", "o", "v", tiebreak_col="tb",
                  lags=(0,))
+
+
+def test_ntile_vs_duckdb():
+    from dcpray.functions.window import ntile_in_group
+
+    rng = np.random.RandomState(31)
+    n = 2600
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 50, n), pa.int64()),  # uneven groups
+        "o": pa.array(rng.randint(0, 300, n), pa.int64()),
+        "tb": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    for nt, desc in ((4, False), (7, True), (1, False)):
+        out = ntile_in_group(rd.from_arrow(t).repartition(5), "k", "o",
+                             tiebreak_col="tb", n=nt, descending=desc,
+                             partitions=8).to_pandas()
+        d = "DESC" if desc else "ASC"
+        ora = duckdb.sql(f"""
+            SELECT k, o, tb, NTILE({nt}) OVER (
+              PARTITION BY k ORDER BY o {d}, tb) AS ntile
+            FROM t""").df()
+        cols = ["k", "o", "tb", "ntile"]
+        a = out[cols].sort_values(["k", "o", "tb"]).reset_index(drop=True)
+        b = ora[cols].sort_values(["k", "o", "tb"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                      obj=f"ntile{nt}-{d}")
+    with pytest.raises(ValueError, match=">= 1"):
+        ntile_in_group(rd.from_arrow(t), "k", "o", tiebreak_col="tb", n=0)
+
+
+def test_histogram_vs_duckdb():
+    from dcpray.functions.agg import histogram
+
+    rng = np.random.RandomState(37)
+    vals = np.r_[rng.randn(4000) * 10, [0.0, 50.0, -50.0, 49.9999]]
+    t = pa.table({"v": pa.array(
+        [None if rng.rand() < 0.03 else float(x) for x in vals],
+        pa.float64())})
+    out = histogram(rd.from_arrow(t).repartition(6), "v",
+                    lo=-50.0, hi=50.0, bins=20).to_pandas()
+    ora = duckdb.sql("""
+        SELECT least(CAST(floor((v + 50.0) / 5.0) AS BIGINT), 19) AS bin,
+               count(*) AS count
+        FROM t WHERE v IS NOT NULL AND v >= -50.0 AND v <= 50.0
+        GROUP BY 1""").df()
+    m = out.merge(ora, on="bin", how="left", suffixes=("", "_o"))
+    m["count_o"] = m["count_o"].fillna(0).astype("int64")
+    assert (m["count"] == m["count_o"]).all()
+    assert out["count"].sum() == ora["count"].sum()
+    assert len(out) == 20 and (out["hi"] - out["lo"]).round(9).nunique() == 1
+    with pytest.raises(ValueError, match="finite"):
+        histogram(rd.from_arrow(t), "v", lo=5.0, hi=5.0)
+
+
+def test_pack_sequences_invariants_and_determinism():
+    from dcpray.functions.textprep import pack_sequences
+
+    rng = np.random.RandomState(41)
+    n = 3000
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "n_tokens": pa.array(np.r_[rng.randint(1, 400, n - 2),
+                                   [900, 1]].astype(np.int64)),  # oversize
+    })
+    out = pack_sequences(rd.from_arrow(t).repartition(7), "n_tokens",
+                         budget=512, partitions=8).to_pandas()
+    assert len(out) == n and out["doc_id"].nunique() == n
+    g = out.groupby("pack_id")["n_tokens"]
+    sums, cnts = g.sum(), g.count()
+    # a pack exceeds the budget only when it is a single oversize doc
+    over = sums[sums > 512]
+    assert (cnts[over.index] == 1).all()
+    # pack id is the smallest doc id in the pack
+    mins = out.groupby("pack_id")["doc_id"].min()
+    assert (mins.index == mins.values).all()
+    # deterministic under a different input layout
+    out2 = pack_sequences(rd.from_arrow(t).repartition(2), "n_tokens",
+                          budget=512, partitions=8).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # packing efficiency: most packs close to full on uniform tokens
+    norm = sums[sums <= 512]
+    assert norm.mean() > 512 * 0.6
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(rd.from_arrow(t), "n_tokens", budget=0)
