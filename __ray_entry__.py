@@ -928,6 +928,31 @@ def _q_docs_pack_sequences(sf_dir: str):
     return pack_sequences(toks, "n_tokens", budget=2048)
 
 
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, user_id): one per-batch partial
+    reduce of the input, then one small partial-merge exchange per
+    level — the partial algebra (sum/count/mean decomposition) makes
+    every level exact without re-reading the events."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.agg import rollup
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "event_type", "user_id", "value"],
+                    override_num_blocks=16)
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return t.drop_columns(["value"]).append_column("value_c", c)
+
+    return rollup(ds.map_batches(cents, batch_format="pyarrow"),
+                  ["event_type", "user_id"],
+                  [("event_id", "count", "n"), ("value_c", "sum", "sum_c"),
+                   ("value_c", "mean", "mean_c")])
+
+
 def _q_events_lag_lead(sf_dir: str):
     """SQL LAG/LEAD distributed: previous and next value per user in
     time order — one coarse exchange, one lexsort + masked gathers per
@@ -1195,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination_exact": _q_docs_contamination_exact,
         "events_lag_lead": _q_events_lag_lead,
         "events_ntile4": _q_events_ntile4,
+        "events_rollup": _q_events_rollup,
         "events_value_histogram": _q_events_value_histogram,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_contamination_ngram": _q_docs_contamination_ngram,
@@ -1577,6 +1603,15 @@ SELECT i AS bin, i * 10.0 AS lo, (i + 1) * 10.0 AS hi,
 FROM generate_series(0, 49) s(i)
 LEFT JOIN (SELECT bin, count(*) AS count FROM b GROUP BY bin) c
   ON c.bin = i""",
+        "events_rollup": """
+WITH e AS (
+  SELECT event_id, event_type, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_type, user_id, grouping_id(event_type, user_id) AS gid,
+       count(event_id) AS n, CAST(sum(value_c) AS BIGINT) AS sum_c,
+       avg(value_c) AS mean_c
+FROM e GROUP BY ROLLUP(event_type, user_id)""",
         "events_rolling7": """
 WITH e AS (
   SELECT event_id, user_id, ts,

@@ -63,6 +63,7 @@ SECONDARY = [
     "events_lag_lead",
     "events_ntile4",
     "docs_pack_sequences",
+    "events_rollup",
 ]
 
 

@@ -638,3 +638,62 @@ def histogram(ds, col: str, lo: float, hi: float, bins: int = 100,
         "hi": pa.array(lo + (i + 1) * w),
         "count": pa.array(total),
     })
+
+
+def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+           partitions: int = 64, gid_col: str = "gid"):
+    """``GROUP BY ROLLUP(keys...)``: the aggregate at EVERY key-prefix
+    level — finest (all keys) up to the grand total — in one pass over
+    the data. Rolled-up key columns are NULL and ``gid_col`` carries
+    DuckDB's ``grouping_id`` (bit per key, set when rolled up; prefix
+    level L ⇒ gid = 2^(n−L) − 1), which disambiguates rollup NULLs from
+    data NULLs exactly as in SQL.
+
+    Scale shape: the input is reduced ONCE by per-batch
+    ``partial_aggregate`` on the full key set; those partial rows are
+    materialized in the OBJECT STORE (not the driver — they are ≤
+    distinct-key-combos per batch) and every level is then an
+    independent ``merge_partial_dataset`` exchange over partials only —
+    re-aggregating finalized values would be wrong for ``mean``, the
+    partial algebra is associative by construction. n+1 small
+    exchanges, zero re-reads of the input."""
+    _validate_aggs(aggs)
+    n = len(keys)
+    if n == 0:
+        raise ValueError("rollup needs at least one key")
+    key_fields = {f.name: f.type for f in
+                  (ds.schema().base_schema
+                   if hasattr(ds.schema(), "base_schema")
+                   else ds.schema())}
+    aliases = [a for _, _, a in aggs]
+
+    part = ds.map_batches(lambda t: partial_aggregate(t, keys, aggs),
+                          batch_format="pyarrow").materialize()
+
+    def level(L: int):
+        gid = (1 << (n - L)) - 1
+        if L == 0:
+            def allk(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "_all", pa.array(np.zeros(t.num_rows, np.int8)))
+
+            fin = merge_partial_dataset(
+                part.map_batches(allk, batch_format="pyarrow"),
+                ["_all"], aggs, partitions=1)
+        else:
+            fin = merge_partial_dataset(part, keys[:L], aggs,
+                                        partitions=partitions)
+
+        def finish(t: pa.Table) -> pa.Table:
+            if "_all" in t.column_names:
+                t = t.drop_columns(["_all"])
+            for k in keys[L:]:
+                t = t.append_column(k, pa.nulls(t.num_rows, key_fields[k]))
+            t = t.append_column(
+                gid_col, pa.array(np.full(t.num_rows, gid, np.int64)))
+            return t.select(keys + [gid_col] + aliases)
+
+        return fin.map_batches(finish, batch_format="pyarrow")
+
+    outs = [level(L) for L in range(n, -1, -1)]
+    return outs[0].union(*outs[1:])

@@ -955,3 +955,29 @@ def test_pack_sequences_invariants_and_determinism():
     assert norm.mean() > 512 * 0.6
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(rd.from_arrow(t), "n_tokens", budget=0)
+
+
+def test_rollup_vs_duckdb():
+    from dcpray.functions.agg import rollup
+
+    rng = np.random.RandomState(43)
+    nr = 4000
+    t = pa.table({
+        "a": pa.array([f"t{x}" for x in rng.randint(0, 5, nr)]),
+        "b": pa.array(rng.randint(0, 30, nr), pa.int64()),
+        "eid": pa.array(np.arange(nr, dtype=np.int64)),
+        "v": pa.array(rng.randint(-50, 50, nr), pa.int64()),
+    })
+    out = rollup(rd.from_arrow(t).repartition(5), ["a", "b"],
+                 [("eid", "count", "n"), ("v", "sum", "sum_v"),
+                  ("v", "mean", "mean_v")], partitions=8).to_pandas()
+    ora = duckdb.sql("""
+        SELECT a, b, grouping_id(a, b) AS gid, count(eid) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_v, avg(v) AS mean_v
+        FROM t GROUP BY ROLLUP(a, b)""").df()
+    cols = ["a", "b", "gid", "n", "sum_v", "mean_v"]
+    a = out[cols].sort_values(["gid", "a", "b"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["gid", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    with pytest.raises(ValueError, match="at least one key"):
+        rollup(rd.from_arrow(t), [], [("v", "sum", "s")])
