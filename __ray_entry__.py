@@ -953,6 +953,19 @@ def _q_events_rollup(sf_dir: str):
                    ("value_c", "mean", "mean_c")])
 
 
+def _q_lineitem_melt(sf_dir: str):
+    """UNPIVOT/melt: four lineitem measures into long (name, value)
+    form — a pure vectorized map_batches reshape, zero exchange."""
+    from dcpray.functions.agg import melt
+
+    ds = read_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax"],
+                    override_num_blocks=8)
+    return melt(ds, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 def _q_events_lag_lead(sf_dir: str):
     """SQL LAG/LEAD distributed: previous and next value per user in
     time order — one coarse exchange, one lexsort + masked gathers per
@@ -1221,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_lead": _q_events_lag_lead,
         "events_ntile4": _q_events_ntile4,
         "events_rollup": _q_events_rollup,
+        "lineitem_melt": _q_lineitem_melt,
         "events_value_histogram": _q_events_value_histogram,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_contamination_ngram": _q_docs_contamination_ngram,
@@ -1612,6 +1626,14 @@ SELECT event_type, user_id, grouping_id(event_type, user_id) AS gid,
        count(event_id) AS n, CAST(sum(value_c) AS BIGINT) AS sum_c,
        avg(value_c) AS mean_c
 FROM e GROUP BY ROLLUP(event_type, user_id)""",
+        "lineitem_melt": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       l_extendedprice FROM lineitem
+UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+       FROM lineitem
+UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
         "events_rolling7": """
 WITH e AS (
   SELECT event_id, user_id, ts,

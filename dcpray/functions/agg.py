@@ -697,3 +697,33 @@ def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
 
     outs = [level(L) for L in range(n, -1, -1)]
     return outs[0].union(*outs[1:])
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         name_col: str = "name", value_col: str = "value"):
+    """UNPIVOT / melt: turn ``value_cols`` into (name, value) long-form
+    rows — one output row per (input row × value column). Pure
+    vectorized ``map_batches`` (concat of column slices + a tiled
+    dictionary name column), zero exchange, streams at any scale.
+    Value columns are cast to a common float64; SQL UNPIVOT's
+    null-dropping variant is NOT applied (every pair emitted, matching
+    ``UNPIVOT INCLUDE NULLS``)."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def m(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = {c: pa.concat_arrays(
+            [t[c].combine_chunks()] * len(value_cols))
+            if n else pa.array([], t.schema.field(c).type)
+            for c in id_cols}
+        names = pa.array(np.repeat(np.array(value_cols, object), n)
+                         if n else np.array([], object), pa.string())
+        vals = (pa.concat_arrays(
+            [pc.cast(t[c].combine_chunks(), pa.float64())
+             for c in value_cols]) if n
+            else pa.array([], pa.float64()))
+        return pa.table({**ids, name_col: names, value_col: vals})
+
+    return ds.select_columns(id_cols + value_cols) \
+        .map_batches(m, batch_format="pyarrow")

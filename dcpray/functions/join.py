@@ -838,8 +838,12 @@ def hash_join_skew(left_ds, right_ds, on: str | list[str],
     counts = coarse_groupby(
         left_ds.select_columns([lk]), [lk], [(lk, "count", "__n")],
         partitions=partitions)
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["__n"],
+                                         pa.scalar(hot_threshold)))
+
     hot_batches = list(
-        counts.filter(lambda r: r["__n"] >= hot_threshold)
+        counts.map_batches(hot_only, batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow"))
     hot_tab = (pa.concat_tables(hot_batches, promote_options="default")
                if hot_batches else None)

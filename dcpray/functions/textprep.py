@@ -502,3 +502,4 @@ def pack_sequences(ds, token_col: str, budget: int, id_col: str = "doc_id",
                          batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(pack, batch_format="pyarrow"))
+

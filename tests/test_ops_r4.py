@@ -981,3 +981,28 @@ def test_rollup_vs_duckdb():
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     with pytest.raises(ValueError, match="at least one key"):
         rollup(rd.from_arrow(t), [], [("v", "sum", "s")])
+
+
+def test_melt_vs_duckdb():
+    from dcpray.functions.agg import melt
+
+    rng = np.random.RandomState(47)
+    n = 800
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "a": pa.array(rng.rand(n)),
+        "b": pa.array([None if rng.rand() < 0.1 else float(x)
+                       for x in rng.rand(n)], pa.float64()),
+        "c": pa.array(rng.randint(0, 9, n), pa.int64()),
+    })
+    out = melt(rd.from_arrow(t).repartition(4), ["id"],
+               ["a", "b", "c"]).to_pandas()
+    ora = duckdb.sql("""
+        SELECT id, 'a' AS name, a AS value FROM t
+        UNION ALL SELECT id, 'b', b FROM t
+        UNION ALL SELECT id, 'c', CAST(c AS DOUBLE) FROM t""").df()
+    cols = ["id", "name", "value"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(out) == 3 * n
