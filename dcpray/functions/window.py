@@ -237,6 +237,51 @@ def rank_in_group(ds, group_col: str, order_col: str,
             .map_groups(assign, batch_format="pyarrow"))
 
 
+def _rolling_arrays(gs: np.ndarray, vs: np.ndarray, window: int,
+                    aggs) -> dict:
+    """The pure trailing-window kernel over (key, value) arrays that are
+    ALREADY sorted by (key, order, tiebreak): sum/mean/count via prefix
+    sums, min/max via ≤ window−1 shifted O(n)-memory passes (never an
+    n×window materialization). Module-level so the property tests can
+    drive it directly against a brute-force reference."""
+    n = len(gs)
+    first = np.r_[True, gs[1:] != gs[:-1]] if n else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.r_[starts, n])
+    seg_start = np.repeat(starts, sizes)          # group start per row
+    idx = np.arange(n)
+    lo = np.maximum(seg_start, idx - window + 1)  # window start per row
+    cnt = idx - lo + 1
+    res: dict = {}
+    if {"sum", "mean"} & set(aggs):
+        cs = np.cumsum(vs)
+        win_sum = cs[idx] - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0.0)
+        if "sum" in aggs:
+            res["sum"] = win_sum
+        if "mean" in aggs:
+            res["mean"] = win_sum / np.maximum(cnt, 1)
+    if "count" in aggs:
+        res["count"] = cnt.astype(np.int64)
+    if {"min", "max"} & set(aggs):
+        mn = vs.copy() if "min" in aggs else None
+        mx = vs.copy() if "max" in aggs else None
+        for k in range(1, window):
+            valid = idx - k >= lo    # in-window AND same group
+            if not valid.any():
+                break
+            shifted = np.r_[np.full(k, np.nan), vs[:-k]] if k <= n \
+                else np.full(n, np.nan)
+            if mn is not None:
+                mn = np.where(valid, np.fmin(mn, shifted), mn)
+            if mx is not None:
+                mx = np.where(valid, np.fmax(mx, shifted), mx)
+        if mn is not None:
+            res["min"] = mn
+        if mx is not None:
+            res["max"] = mx
+    return res
+
+
 def rolling_agg(ds, group_col: str, order_col: str, value_col: str,
                 window: int, tiebreak_col: str,
                 aggs: tuple[str, ...] = ("sum", "mean"),
@@ -275,45 +320,10 @@ def rolling_agg(ds, group_col: str, order_col: str, value_col: str,
         v = group[value_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64)
         order = np.lexsort((tb, o, g))
-        gs, vs = g[order], v[order]
-        n = len(gs)
-        first = np.r_[True, gs[1:] != gs[:-1]]
-        starts = np.flatnonzero(first)
-        sizes = np.diff(np.r_[starts, n])
-        seg_start = np.repeat(starts, sizes)          # group start per row
-        idx = np.arange(n)
-        lo = np.maximum(seg_start, idx - window + 1)  # window start per row
+        res = _rolling_arrays(g[order], v[order], window, aggs)
         out = group.drop_columns(["_pk"]).take(pa.array(order))
-        cnt = idx - lo + 1
-        if {"sum", "mean"} & set(aggs):
-            cs = np.cumsum(vs)
-            win_sum = cs[idx] - np.where(lo > 0, cs[lo - 1], 0.0)
-            if "sum" in aggs:
-                out = out.append_column(prefix + "sum", pa.array(win_sum))
-            if "mean" in aggs:
-                out = out.append_column(prefix + "mean",
-                                        pa.array(win_sum / cnt))
-        if "count" in aggs:
-            out = out.append_column(prefix + "count",
-                                    pa.array(cnt, pa.int64()))
-        if {"min", "max"} & set(aggs):
-            # window-1 shifted vectorized passes, O(n) memory each —
-            # never an n×window materialization
-            mn = vs.copy() if "min" in aggs else None
-            mx = vs.copy() if "max" in aggs else None
-            for k in range(1, window):
-                valid = idx - k >= lo    # in-window AND same group
-                if not valid.any():
-                    break
-                shifted = np.r_[np.full(k, np.nan), vs[:-k]]
-                if mn is not None:
-                    mn = np.where(valid, np.fmin(mn, shifted), mn)
-                if mx is not None:
-                    mx = np.where(valid, np.fmax(mx, shifted), mx)
-            if mn is not None:
-                out = out.append_column(prefix + "min", pa.array(mn))
-            if mx is not None:
-                out = out.append_column(prefix + "max", pa.array(mx))
+        for name, arr in res.items():
+            out = out.append_column(prefix + name, pa.array(arr))
         return out
 
     return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
