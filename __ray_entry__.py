@@ -966,6 +966,18 @@ def _q_lineitem_melt(sf_dir: str):
                 ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def _q_events_pivot_types(sf_dir: str):
+    """PIVOT: per-user event count per event_type as wide columns —
+    conditional-aggregation form, partials through coarse_groupby."""
+    from dcpray.functions.agg import pivot
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["user_id", "event_type", "event_id"],
+                    override_num_blocks=16)
+    return pivot(ds, "user_id", "event_type", "event_id",
+                 names=["click", "view", "purchase"], agg="count")
+
+
 def _q_events_lag_lead(sf_dir: str):
     """SQL LAG/LEAD distributed: previous and next value per user in
     time order — one coarse exchange, one lexsort + masked gathers per
@@ -1235,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile4": _q_events_ntile4,
         "events_rollup": _q_events_rollup,
         "lineitem_melt": _q_lineitem_melt,
+        "events_pivot_types": _q_events_pivot_types,
         "events_value_histogram": _q_events_value_histogram,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_contamination_ngram": _q_docs_contamination_ngram,
@@ -1634,6 +1647,12 @@ UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
 UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
        FROM lineitem
 UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+        "events_pivot_types": """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN event_id END) AS click,
+       count(CASE WHEN event_type = 'view' THEN event_id END) AS view,
+       count(CASE WHEN event_type = 'purchase' THEN event_id END) AS purchase
+FROM events GROUP BY user_id""",
         "events_rolling7": """
 WITH e AS (
   SELECT event_id, user_id, ts,

@@ -14,6 +14,7 @@ from dcpray.functions.agg import (
     exact_quantiles,
     histogram,
     melt,
+    pivot,
     quantiles_per_group,
     rollup,
     topk_per_group,
@@ -85,7 +86,7 @@ from dcpray.functions.window import (
 __all__ = [
     "add_coarse_pk", "approx_distinct_count", "coarse_groupby",
     "distinct_count",
-    "exact_quantiles", "histogram", "melt", "quantiles_per_group", "rollup", "topk_per_group",
+    "exact_quantiles", "histogram", "melt", "pivot", "quantiles_per_group", "rollup", "topk_per_group",
     "build_ivf_index", "ivf_query", "ivf_topk", "topk_cosine",
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",

@@ -727,3 +727,53 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
 
     return ds.select_columns(id_cols + value_cols) \
         .map_batches(m, batch_format="pyarrow")
+
+
+def pivot(ds, key_col: str, name_col: str, value_col: str,
+          names: list[str], agg: str = "sum", partitions: int = 64):
+    """PIVOT long (name, value) rows to wide — one output column per
+    entry in ``names`` holding ``agg`` of ``value_col`` where
+    ``name_col`` matches (SQL's conditional-aggregation form:
+    ``sum(CASE WHEN name = 'a' THEN value END) AS a``). ``names`` is
+    explicit (no discovery pass) so the output schema is static, as a
+    distributed engine needs. Unlisted names are ignored; a key with no
+    rows for some name gets NULL there, matching SQL.
+
+    Scale shape: each batch masks value columns per name (vectorized
+    ``if_else``) and pre-aggregates via the shared ``coarse_groupby``
+    — the exchange moves one partial row per (key, batch)."""
+    if agg not in ("sum", "min", "max", "count", "mean"):
+        raise ValueError(f"unsupported pivot agg {agg!r}")
+    if not names:
+        raise ValueError("names must be non-empty")
+    safe = [f"__pv_{i}" for i in range(len(names))]
+
+    # coarse_groupby's "count" is count(*) (mode="all", nulls included),
+    # so conditional COUNT pivots as the SUM of a 0/1 match indicator —
+    # SQL count(CASE WHEN ... THEN v END) counts matched non-null v
+    eff_agg = "sum" if agg == "count" else agg
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col]}
+        v = t[value_col]
+        for s, nm in zip(safe, names):
+            m = pc.fill_null(pc.equal(t[name_col], pa.scalar(nm)), False)
+            if agg == "count":
+                m = pc.and_(m, pc.is_valid(v))
+                cols[s] = pc.cast(m, pa.int64())
+            else:
+                cols[s] = pc.if_else(m, v, pa.nulls(t.num_rows, v.type))
+        return pa.table(cols)
+
+    wide = ds.select_columns([key_col, name_col, value_col]) \
+        .map_batches(widen, batch_format="pyarrow")
+    out = coarse_groupby(wide, [key_col],
+                         [(s, eff_agg, s) for s in safe],
+                         partitions=partitions)
+
+    def rename(t: pa.Table) -> pa.Table:
+        # merge_partials emits [key] + aliases in agg order — static
+        return t.select([key_col] + safe).rename_columns(
+            [key_col] + list(names))
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -1006,3 +1006,46 @@ def test_melt_vs_duckdb():
     b = ora[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(out) == 3 * n
+
+
+def test_pivot_vs_duckdb():
+    from dcpray.functions.agg import melt, pivot
+
+    rng = np.random.RandomState(53)
+    n = 1500
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 40, n), pa.int64()),
+        "name": pa.array(rng.choice(["a", "b", "c", "zz"], n)),
+        "v": pa.array(rng.randint(-9, 9, n).astype(np.float64)),
+    })
+    out = pivot(rd.from_arrow(t).repartition(5), "k", "name", "v",
+                names=["a", "b", "c"], agg="sum", partitions=8).to_pandas()
+    ora = duckdb.sql("""
+        SELECT k, sum(CASE WHEN name='a' THEN v END) AS a,
+               sum(CASE WHEN name='b' THEN v END) AS b,
+               sum(CASE WHEN name='c' THEN v END) AS c
+        FROM t GROUP BY k""").df()
+    cols = ["k", "a", "b", "c"]
+    x = out[cols].sort_values("k").reset_index(drop=True)
+    y = ora[cols].sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(x, y)
+    # melt(pivot(x)) round-trips the aggregated values
+    back = melt(rd.from_arrow(pa.Table.from_pandas(x)), ["k"],
+                ["a", "b", "c"]).to_pandas()
+    assert len(back) == 3 * len(x)
+    # count semantics: matched AND value non-null, like count(CASE ...)
+    t2 = t.set_column(2, "v", pa.array(
+        [None if i % 5 == 0 else float(i) for i in range(len(t))],
+        pa.float64()))
+    oc = pivot(rd.from_arrow(t2), "k", "name", "v", names=["a", "b"],
+               agg="count").to_pandas()
+    oo = duckdb.sql("""
+        SELECT k, count(CASE WHEN name='a' THEN v END) AS a,
+               count(CASE WHEN name='b' THEN v END) AS b
+        FROM t2 GROUP BY k""").df()
+    xc = oc.sort_values("k").reset_index(drop=True)
+    yc = oo.sort_values("k").reset_index(drop=True).astype(
+        xc.dtypes.to_dict())
+    pd.testing.assert_frame_equal(xc, yc)
+    with pytest.raises(ValueError, match="unsupported"):
+        pivot(rd.from_arrow(t), "k", "name", "v", names=["a"], agg="median")
