@@ -978,6 +978,31 @@ def _q_events_pivot_types(sf_dir: str):
                  names=["click", "view", "purchase"], agg="count")
 
 
+def _q_events_forward_fill(sf_dir: str):
+    """LOCF imputation: error events carry no value — fill each from
+    the user's last non-null value in time order (leading gaps stay
+    null). One coarse exchange + one maximum.accumulate per
+    partition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.window import forward_fill
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"],
+                    override_num_blocks=16)
+
+    def null_errors(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t["event_type"], pa.scalar("error")),
+                       pa.nulls(t.num_rows, pa.float64()), t["value"])
+        return t.set_column(t.column_names.index("value"), "value", v)
+
+    return forward_fill(ds.map_batches(null_errors, batch_format="pyarrow"),
+                        "user_id", "ts", "value", tiebreak_col="event_id",
+                        out_col="value_ff")
+
+
 def _q_events_lag_lead(sf_dir: str):
     """SQL LAG/LEAD distributed: previous and next value per user in
     time order — one coarse exchange, one lexsort + masked gathers per
@@ -1248,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "lineitem_melt": _q_lineitem_melt,
         "events_pivot_types": _q_events_pivot_types,
+        "events_forward_fill": _q_events_forward_fill,
         "events_value_histogram": _q_events_value_histogram,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_contamination_ngram": _q_docs_contamination_ngram,
@@ -1653,6 +1679,16 @@ SELECT user_id,
        count(CASE WHEN event_type = 'view' THEN event_id END) AS view,
        count(CASE WHEN event_type = 'purchase' THEN event_id END) AS purchase
 FROM events GROUP BY user_id""",
+        "events_forward_fill": """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+  FROM events)
+SELECT event_id, user_id, ts, event_type, value,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+FROM e""",
         "events_rolling7": """
 WITH e AS (
   SELECT event_id, user_id, ts,

@@ -74,6 +74,7 @@ from dcpray.functions.textstats import (
     token_count_bpe,
 )
 from dcpray.functions.window import (
+    forward_fill,
     hopping_window,
     lag_lead,
     ntile_in_group,
@@ -101,6 +102,6 @@ __all__ = [
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",
-    "hopping_window", "lag_lead", "ntile_in_group", "rank_in_group", "rolling_agg", "session_stats", "sessionize",
+    "forward_fill", "hopping_window", "lag_lead", "ntile_in_group", "rank_in_group", "rolling_agg", "session_stats", "sessionize",
     "remove_repeated_paragraphs",
 ]

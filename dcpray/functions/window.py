@@ -438,3 +438,54 @@ def ntile_in_group(ds, group_col: str, order_col: str, tiebreak_col: str,
                            batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign, batch_format="pyarrow"))
+
+
+def forward_fill(ds, group_col: str, order_col: str, value_col: str,
+                 tiebreak_col: str, out_col: str | None = None,
+                 partitions: int = 64):
+    """LOCF imputation — fill null values with the key's LAST non-null
+    value in (order, tiebreak) order; SQL's ``last_value(v IGNORE
+    NULLS) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``. Leading nulls (no prior value in the group) stay
+    null. Same scale shape as the other window ops: one coarse
+    exchange, then one lexsort + one ``maximum.accumulate`` per
+    partition (group resets fall out of position comparison — a
+    previous group's last valid position is always < this group's
+    start)."""
+    from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    def assign(group: pa.Table) -> pa.Table:
+        require_nonnull(group, (group_col, order_col, tiebreak_col),
+                        "forward_fill")
+        g = pc.dictionary_encode(
+            group[group_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = group[tiebreak_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, o, g))
+        gs = g[order]
+        n = len(gs)
+        out = group.drop_columns(["_pk"]).take(pa.array(order))
+        v = out[value_col].combine_chunks()
+        first = np.r_[True, gs[1:] != gs[:-1]] if n else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, sizes)
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        last_valid = np.maximum.accumulate(np.where(valid, idx, -1))
+        ok = last_valid >= seg_start       # a prior value IN this group
+        src = np.where(ok, last_valid, 0)
+        filled = pc.if_else(pa.array(ok), v.take(pa.array(src)),
+                            pa.nulls(n, v.type))
+        name = out_col or value_col
+        if out_col is None:
+            return out.set_column(out.column_names.index(value_col),
+                                  value_col, filled)
+        return out.append_column(name, filled)
+
+    return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
+                           batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign, batch_format="pyarrow"))

@@ -1049,3 +1049,35 @@ def test_pivot_vs_duckdb():
     pd.testing.assert_frame_equal(xc, yc)
     with pytest.raises(ValueError, match="unsupported"):
         pivot(rd.from_arrow(t), "k", "name", "v", names=["a"], agg="median")
+
+
+def test_forward_fill_vs_duckdb():
+    from dcpray.functions.window import forward_fill
+
+    rng = np.random.RandomState(59)
+    n = 2200
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 45, n), pa.int64()),
+        "o": pa.array(rng.randint(0, 300, n), pa.int64()),
+        "tb": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array([None if rng.rand() < 0.4 else float(x)
+                       for x in rng.randn(n)], pa.float64()),
+    })
+    out = forward_fill(rd.from_arrow(t).repartition(5), "k", "o", "v",
+                       tiebreak_col="tb", out_col="v_ff",
+                       partitions=8).to_pandas()
+    ora = duckdb.sql("""
+        SELECT k, o, tb, v,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY k ORDER BY o, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+        FROM t""").df()
+    cols = ["k", "o", "tb", "v", "v_ff"]
+    a = out[cols].sort_values(["k", "o", "tb"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["k", "o", "tb"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # in-place fill (out_col=None) keeps schema, fills the same values
+    inp = forward_fill(rd.from_arrow(t), "k", "o", "v",
+                       tiebreak_col="tb").to_pandas()
+    m = inp.sort_values(["k", "o", "tb"]).reset_index(drop=True)
+    assert m["v"].equals(b["v_ff"])
