@@ -64,6 +64,8 @@ SECONDARY = [
     "events_ntile4",
     "docs_pack_sequences",
     "events_rollup",
+    "events_pivot_types",
+    "events_forward_fill",
 ]
 
 
