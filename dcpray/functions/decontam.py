@@ -56,7 +56,10 @@ def _collect_bench_hashes(benchmark_ds, text_col: str, n: int | None,
     the driver); loudly guarded by ``max_ngrams``."""
     def fp(t: pa.Table) -> pa.Table:
         if n is None:
-            h = hash_strings(t[text_col])
+            import pyarrow.compute as pc
+
+            # null benchmark texts define no fingerprint
+            h = hash_strings(pc.drop_null(t[text_col]))
         else:
             grams = [g for s in _doc_ngrams(t[text_col].to_pylist(), n, sep)
                      for g in s]
@@ -97,9 +100,14 @@ def exact_contamination(corpus_ds, benchmark_ds, id_col: str = "doc_id",
         arr = worker_memo(("decontam_exact", r.hex()), lambda: ray.get(r))
         if t.num_rows == 0 or len(arr) == 0:
             return t.slice(0, 0)
+        import pyarrow.compute as pc
+
         h = hash_strings(t[text_col])
         pos = np.searchsorted(arr, h)
         hit = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)] == h)
+        # SQL `text IN (...)` is never true for NULL text — and a null
+        # corpus text must not hash-match a null benchmark text
+        hit &= pc.is_valid(t[text_col]).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(hit))
 
     return corpus_ds.map_batches(match, fn_args=(ref,),

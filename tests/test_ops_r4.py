@@ -772,11 +772,15 @@ def _contam_fixture():
             corpus.append(b)                       # verbatim copy
         elif i % 7 == 1:
             corpus.append("prefix words " + b)     # contains the 8-grams
+        elif i == 5:
+            corpus.append(None)                    # null corpus text
         else:
             corpus.append(f"unique doc {i} " + " ".join(
                 rng.choice(list("abcdefgh"), 12)))
-    bench = pa.table({"doc_id": pa.array(np.arange(len(base), dtype=np.int64)),
-                      "text": pa.array(base)})
+    bench = pa.table({
+        "doc_id": pa.array(np.arange(len(base) + 1, dtype=np.int64)),
+        "text": pa.array(base + [None], pa.string()),  # null bench text
+    })
     corp = pa.table({"doc_id": pa.array(np.arange(len(corpus), dtype=np.int64)),
                      "text": pa.array(corpus)})
     return corp, bench
