@@ -59,6 +59,7 @@ def _replay_final(sf_dir: str, name: str, **kw):
 
 
 def _q_cdc_replay_full(sf_dir: str):
+    """The flagship: full CDC replay of the WAL into the lake; final LWW table vs the pure-SQL oracle."""
     return _replay_final(sf_dir, "full").to_pandas_sorted()
 
 
@@ -127,6 +128,7 @@ def _q_cdc_replay_shuffle(sf_dir: str):
 
 
 def _q_cdc_schema_evolution(sf_dir: str):
+    """Later WAL segments add a column (tool_version); replay unifies by name and the final table carries it."""
     df = _replay_final(sf_dir, "evo").to_pandas_sorted()
     out = df[df["tool_version"].notna()][["conv_id", "turn_idx", "tool_version"]]
     return out.reset_index(drop=True)
@@ -214,6 +216,7 @@ def _q_cdc_op_counts(sf_dir: str):
 
 
 def _q_cdc_rejected_rows(sf_dir: str):
+    """DLQ parity: invalid events land in rejected/ with an error column (reference RejectionLog)."""
     import pandas as pd
 
     from dcpray import ReplayConfig, replay
@@ -253,6 +256,7 @@ def _q_cdc_then_token_count(sf_dir: str):
 
 
 def _q_dedup_exact(sf_dir: str):
+    """Exact content-hash dedup: one survivor (min key) per distinct text."""
     from dcpray.functions.dedup import exact_dedup
 
     return exact_dedup(read_clean(os.path.join(sf_dir, "documents.parquet"),
@@ -260,6 +264,7 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_text_token_count(sf_dir: str):
+    """Whitespace token counts — vectorized regexp count, identical pattern engine-and-oracle."""
     from dcpray.functions.textstats import token_count
 
     ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
@@ -280,6 +285,7 @@ def _q_text_token_count_bpe(sf_dir: str):
 
 
 def _q_text_stats(sf_dir: str):
+    """Per-doc text statistics (chars/tokens/punct ratios) — pure Arrow kernels."""
     from dcpray.functions.textstats import text_stats
 
     ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
@@ -288,6 +294,7 @@ def _q_text_stats(sf_dir: str):
 
 
 def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k over the embeddings table — zero-copy ingestion, task-pool scorer, no corpus shuffle."""
     import numpy as np
     import pyarrow.parquet as pq
     from dcpray.functions.ann import topk_cosine
@@ -333,6 +340,7 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_dedup_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs, distributed exact-Jaccard verified; rows-only (exact sibling: text_jaccard_exact)."""
     from dcpray.functions.dedup import minhash_dup_pairs
 
     from dcpray.rayutil import push_based_shuffle
@@ -347,6 +355,7 @@ def _q_dedup_minhash_pairs(sf_dir: str):
 
 
 def _q_dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (vectorized bit votes, SWAR popcount); rows-only with pigeonhole recall tests."""
     from dcpray.functions.dedup import simhash_dup_pairs
 
     from dcpray.rayutil import push_based_shuffle
@@ -359,6 +368,7 @@ def _q_dedup_simhash_pairs(sf_dir: str):
 
 
 def _q_embedding_neardup_pairs(sf_dir: str):
+    """Hyperplane-LSH embedding near-dup pairs; rows-only (exact sibling: embedding_neardup_exact)."""
     from dcpray.functions.dedup import embedding_dup_pairs
 
     import pandas as pd
@@ -395,6 +405,7 @@ def _q_text_jaccard_exact(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
+    """Dictionary-based language ID — one tokenize + dictionary-encode pass per batch."""
     # task-pool form: LangId's per-actor state is microseconds to build,
     # so a process-level singleton beats actor-pool spin-up (~1 s wall)
     from dcpray.functions.textstats import lang_id_batch
@@ -405,6 +416,7 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_text_fingerprint_md5(sf_dir: str):
+    """md5 content fingerprints, bit-compatible with DuckDB md5_number_lower."""
     from dcpray.functions.textstats import fingerprint_md5
 
     ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
@@ -413,6 +425,7 @@ def _q_text_fingerprint_md5(sf_dir: str):
 
 
 def _q_text_fingerprint(sf_dir: str):
+    """Vectorized splitmix64 content fingerprints; rows-only (md5 sibling: text_fingerprint_md5)."""
     from dcpray.functions.textstats import fingerprint
 
     ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
@@ -421,6 +434,7 @@ def _q_text_fingerprint(sf_dir: str):
 
 
 def _q_quality_score(sf_dir: str):
+    """Text quality scoring (length/punct/stopword ratios) — task-pool with memoized singleton."""
     from dcpray.functions.textstats import quality_score_batch
 
     ds = read_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
@@ -429,6 +443,7 @@ def _q_quality_score(sf_dir: str):
 
 
 def _q_ann_ivf_topk(sf_dir: str):
+    """Approximate ANN: IVF with nprobe < nlist — recall-tested vs the exact probe; rows-only by nature (exact sibling: ann_ivf_full_probe)."""
     import numpy as np
     import pyarrow.parquet as pq
     from dcpray.functions.ann import ivf_topk
@@ -482,6 +497,7 @@ def _q_ann_ivf_index_full_probe(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
+    """Multimodal feature extraction over binary payloads (actor-pool decode stage); rows-only (decode siblings: multimodal_decode_bmp/wav)."""
     from dcpray.functions.multimodal import ImageFeatureExtractor, synthesize_media
 
     import pyarrow as pa
