@@ -136,11 +136,12 @@ def partial_aggregate(t: pa.Table, keys: list[str],
     return out.rename_columns(keys + [partial_needed[cf] for cf in spec])
 
 
-def merge_partials(g: pa.Table, keys: list[str],
-                   aggs: list[tuple[str, str, str]]) -> pa.Table:
-    """Merge any union of ``partial_aggregate`` outputs (same spec) into
-    final (keys, alias) rows: sum/count partials re-sum, min/max re-
-    min/max, mean divides its sum partial by its count partial."""
+def merge_partials_keep(g: pa.Table, keys: list[str],
+                        aggs: list[tuple[str, str, str]]) -> pa.Table:
+    """Collapse a union of ``partial_aggregate`` outputs to ONE partial
+    row per key — output stays in PARTIAL form (stable ``__p_*``
+    columns), so it can merge again at a coarser key set (the rollup
+    cascade) or later in time (incremental views)."""
     partial_needed, spec = _resolve_partials(aggs)
     merge_aggs = []
     for col, fn in spec:
@@ -150,9 +151,17 @@ def merge_partials(g: pa.Table, keys: list[str],
     merged = pa.TableGroupBy(
         g.select(keys + [partial_needed[cf] for cf in spec]), keys
     ).aggregate(merge_aggs)
-    merged = merged.rename_columns(
+    return merged.rename_columns(
         keys + [partial_needed[cf] for cf in spec]
     )
+
+
+def finalize_partials(merged: pa.Table, keys: list[str],
+                      aggs: list[tuple[str, str, str]]) -> pa.Table:
+    """Partial columns → final (keys, alias) columns: sum/min/max pass
+    through, count casts to int64, mean divides its sum partial by its
+    count partial. Pure column arithmetic — no grouping."""
+    partial_needed, _ = _resolve_partials(aggs)
     cols = {k: merged[k] for k in keys}
     for col, op, alias in aggs:
         if op == "mean":
@@ -164,6 +173,15 @@ def merge_partials(g: pa.Table, keys: list[str],
             v = merged[partial_needed[(col, _OPS[op][0])]]
             cols[alias] = pc.cast(v, pa.int64()) if op == "count" else v
     return pa.table(cols)
+
+
+def merge_partials(g: pa.Table, keys: list[str],
+                   aggs: list[tuple[str, str, str]]) -> pa.Table:
+    """Merge any union of ``partial_aggregate`` outputs (same spec) into
+    final (keys, alias) rows: sum/count partials re-sum, min/max re-
+    min/max, mean divides its sum partial by its count partial."""
+    return finalize_partials(merge_partials_keep(g, keys, aggs),
+                             keys, aggs)
 
 
 def merge_partial_dataset(ds, keys: list[str],
@@ -650,13 +668,15 @@ def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     data NULLs exactly as in SQL.
 
     Scale shape: the input is reduced ONCE by per-batch
-    ``partial_aggregate`` on the full key set; those partial rows are
-    materialized in the OBJECT STORE (not the driver — they are ≤
-    distinct-key-combos per batch) and every level is then an
-    independent ``merge_partial_dataset`` exchange over partials only —
-    re-aggregating finalized values would be wrong for ``mean``, the
-    partial algebra is associative by construction. n+1 small
-    exchanges, zero re-reads of the input."""
+    ``partial_aggregate`` on the full key set and merged ONCE at the
+    finest level (the only exchange that sees O(batch-partials) rows);
+    the collapsed finest-level partials — O(distinct full-key combos) —
+    are materialized in the OBJECT STORE and every coarser level
+    re-merges THOSE (the partial algebra is associative —
+    re-aggregating finalized values would be wrong for ``mean``), all
+    coarser levels streaming concurrently off the one barrier. Total
+    exchanged rows: O(batch-partials + levels × distinct), not the
+    naive O(levels × batch-partials)."""
     _validate_aggs(aggs)
     n = len(keys)
     if n == 0:
@@ -668,23 +688,41 @@ def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     aliases = [a for _, _, a in aggs]
 
     part = ds.map_batches(lambda t: partial_aggregate(t, keys, aggs),
-                          batch_format="pyarrow").materialize()
+                          batch_format="pyarrow")
+
+    def _merge_keep(src, lkeys: list[str], nparts: int):
+        def add_pk(t: pa.Table, lk=tuple(lkeys), np_=nparts) -> pa.Table:
+            pk = (_hash_key_columns(t, list(lk))
+                  % np.uint64(np_)).astype(np.int32)
+            return t.append_column("_pk", pa.array(pk))
+
+        return (src.map_batches(add_pk, batch_format="pyarrow")
+                .groupby("_pk")
+                .map_groups(
+                    lambda g, lk=tuple(lkeys): merge_partials_keep(
+                        g.drop_columns(["_pk"]), list(lk), aggs),
+                    batch_format="pyarrow"))
+
+    # the one big exchange + barrier: collapsed partials per full key
+    finest = _merge_keep(part, keys, partitions).materialize()
 
     def level(L: int):
         gid = (1 << (n - L)) - 1
-        if L == 0:
+        if L == n:
+            merged = finest
+        elif L == 0:
             def allk(t: pa.Table) -> pa.Table:
                 return t.append_column(
                     "_all", pa.array(np.zeros(t.num_rows, np.int8)))
 
-            fin = merge_partial_dataset(
-                part.map_batches(allk, batch_format="pyarrow"),
-                ["_all"], aggs, partitions=1)
+            merged = _merge_keep(
+                finest.map_batches(allk, batch_format="pyarrow"),
+                ["_all"], 1)
         else:
-            fin = merge_partial_dataset(part, keys[:L], aggs,
-                                        partitions=partitions)
+            merged = _merge_keep(finest, keys[:L], partitions)
 
         def finish(t: pa.Table) -> pa.Table:
+            t = finalize_partials(t, keys[:L] if L else ["_all"], aggs)
             if "_all" in t.column_names:
                 t = t.drop_columns(["_all"])
             for k in keys[L:]:
@@ -693,7 +731,7 @@ def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
                 gid_col, pa.array(np.full(t.num_rows, gid, np.int64)))
             return t.select(keys + [gid_col] + aliases)
 
-        return fin.map_batches(finish, batch_format="pyarrow")
+        return merged.map_batches(finish, batch_format="pyarrow")
 
     outs = [level(L) for L in range(n, -1, -1)]
     return outs[0].union(*outs[1:])
