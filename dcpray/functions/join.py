@@ -818,6 +818,13 @@ def hash_join_skew(left_ds, right_ds, on: str | list[str],
     Supports ``how`` in {"inner", "left"} (semi/anti rarely skew-bind;
     use plain hash_join). At the default threshold this degenerates to
     plain hash_join cost + one counting pass.
+
+    Cost note: the LEFT side is scanned three times (key-count pass,
+    hot filter, cold filter) and the right twice — Ray Data recomputes
+    lineage per consumer. The count pass reads ONLY the key column;
+    when the left side is an expensive derived pipeline rather than a
+    pruned read, ``left_ds.materialize()`` first to trade object-store
+    space for the two re-computations.
     """
     import ray  # noqa: F401  (broadcast path inits lazily)
 
