@@ -445,60 +445,89 @@ def assemble_groups(ds, group_col: str, order_col: str, text_col: str,
 
 
 def pack_sequences(ds, token_col: str, budget: int, id_col: str = "doc_id",
-                   partitions: int = 64, out_col: str = "pack_id"):
+                   partitions: int = 64, out_col: str = "pack_id",
+                   group_col: str | None = None):
     """SEQUENCE PACKING for LLM training: assign each document a
     ``pack_id`` so that documents sharing a pack total ≤ ``budget``
     tokens (greedy sequential fill in ``id_col`` order — the standard
     concat-and-chunk recipe's grouping step, without splitting
     documents). A single document longer than ``budget`` gets a pack of
-    its own, never truncated here (filter upstream if needed).
+    its own, never truncated here (filter upstream if needed). With
+    ``group_col`` (a split label, a language) a pack NEVER crosses
+    group boundaries — the exchange co-locates each group and the
+    boundary walk restarts per group, as a per-split packing must.
 
-    Scale shape: ONE coarse exchange on the id hash, then per partition
-    one sort + a boundary walk that is O(#packs) Python steps (each a
-    ``searchsorted`` on the token cumsum — per-pack, never per-doc).
-    Pack ids are the first document id of each pack, so they are
-    globally unique and the assignment is DETERMINISTIC for a given
-    ``partitions`` regardless of the input's block layout (equality
-    under repartitioning is tested).
+    Scale shape: ONE coarse exchange (on the id hash, or on the group
+    key when given), then per partition one sort + a boundary walk that
+    is O(#packs) Python steps (each a ``searchsorted`` on the token
+    cumsum — per-pack, never per-doc). Pack ids are the first document
+    id of each pack, so they are globally unique and the assignment is
+    DETERMINISTIC for a given ``partitions`` regardless of the input's
+    block layout (equality under repartitioning is tested).
 
-    Returns (id_col, token_col, out_col) rows."""
+    Returns (id_col, token_col, [group_col,] out_col) rows."""
     from dcpray.functions.agg import add_coarse_pk, require_nonnull
 
     if budget < 1:
         raise ValueError("budget must be >= 1 token")
+    sel = [id_col, token_col] + ([group_col] if group_col else [])
 
     def pack(group: pa.Table) -> pa.Table:
         g0 = group.drop_columns(["_pk"])
-        require_nonnull(g0, (id_col, token_col), "pack_sequences")
+        require_nonnull(g0, tuple(sel), "pack_sequences")
         ids = g0[id_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)
         tok = g0[token_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
+        if group_col:
+            karr = g0[group_col].combine_chunks()
+            gk = pc.dictionary_encode(karr).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((ids, gk))
+            gks = gk[order]
+        else:
+            karr = None
+            order = np.argsort(ids, kind="stable")
+            gks = None
         ids, tok = ids[order], tok[order]
         n = len(ids)
+        cols = {id_col: pa.array(ids), token_col: pa.array(tok)}
         if n == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             token_col: pa.array([], pa.int64()),
-                             out_col: pa.array([], pa.int64())})
+            cols = {id_col: pa.array([], pa.int64()),
+                    token_col: pa.array([], pa.int64())}
+            if group_col:
+                cols[group_col] = pa.array([], karr.type)
+            cols[out_col] = pa.array([], pa.int64())
+            return pa.table(cols)
         cs = np.cumsum(tok)
+        if gks is not None:
+            # index of each row's group END (exclusive): packs clamp here
+            gstarts = np.flatnonzero(np.r_[True, gks[1:] != gks[:-1]])
+            gends = np.r_[gstarts[1:], n]
+            row_gend = np.repeat(gends, np.diff(np.r_[gstarts, n]))
         bounds = [0]
         while bounds[-1] < n:
             start = bounds[-1]
             base = cs[start - 1] if start else 0
             # furthest doc keeping the pack within budget; an oversize
-            # doc still advances by one (its own pack)
+            # doc still advances by one (its own pack); never past the
+            # group's end
             nxt = int(np.searchsorted(cs, base + budget, side="right"))
+            if gks is not None:
+                nxt = min(nxt, int(row_gend[start]))
             bounds.append(max(nxt, start + 1))
         b = np.array(bounds[:-1], np.int64)
         sizes = np.diff(np.r_[b, n])
-        pack_ids = np.repeat(ids[b], sizes)
-        return pa.table({id_col: pa.array(ids),
-                         token_col: pa.array(tok),
-                         out_col: pa.array(pack_ids)})
+        cols[out_col] = pa.array(np.repeat(ids[b], sizes))
+        if group_col:
+            cols = {id_col: cols[id_col], token_col: cols[token_col],
+                    group_col: karr.take(pa.array(order)),
+                    out_col: cols[out_col]}
+        return pa.table(cols)
 
-    return (ds.select_columns([id_col, token_col])
-            .map_batches(add_coarse_pk, fn_args=(id_col, partitions),
+    key = group_col or id_col
+    return (ds.select_columns(sel)
+            .map_batches(add_coarse_pk, fn_args=(key, partitions),
                          batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(pack, batch_format="pyarrow"))

@@ -1085,3 +1085,31 @@ def test_forward_fill_vs_duckdb():
                        tiebreak_col="tb").to_pandas()
     m = inp.sort_values(["k", "o", "tb"]).reset_index(drop=True)
     assert m["v"].equals(b["v_ff"])
+
+
+def test_pack_sequences_grouped_never_crosses_groups():
+    from dcpray.functions.textprep import pack_sequences
+
+    rng = np.random.RandomState(61)
+    n = 2400
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "n_tokens": pa.array(rng.randint(1, 300, n).astype(np.int64)),
+        "split": pa.array(rng.choice(["train", "val", "test"], n)),
+    })
+    out = pack_sequences(rd.from_arrow(t).repartition(6), "n_tokens",
+                         budget=512, group_col="split",
+                         partitions=8).to_pandas()
+    assert len(out) == n
+    g = out.groupby("pack_id")
+    # one split per pack, budget bound holds
+    assert (g["split"].nunique() == 1).all()
+    sums, cnts = g["n_tokens"].sum(), g["n_tokens"].count()
+    assert (cnts[sums[sums > 512].index] == 1).all()
+    # deterministic under different layout
+    out2 = pack_sequences(rd.from_arrow(t).repartition(2), "n_tokens",
+                          budget=512, group_col="split",
+                          partitions=8).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
