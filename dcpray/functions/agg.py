@@ -105,10 +105,14 @@ def _validate_aggs(aggs: list[tuple[str, str, str]]) -> None:
 
 def _resolve_partials(aggs):
     """(col, fn) -> stable partial column name, plus the sorted spec.
-    ``mean`` decomposes into sum + count partials of the same column."""
+    ``mean`` decomposes into sum + countv (VALID-count) partials of the
+    same column — dividing by count(*) would silently shrink the mean
+    of any nullable column, since SQL AVG ignores nulls. ``count``
+    itself stays count(*) (mode="all"), the reference's event-count
+    semantics."""
     partial_needed: dict[tuple[str, str], str] = {}
     for col, op, _ in aggs:
-        fns = ("sum", "count") if op == "mean" else (_OPS[op][0],)
+        fns = ("sum", "countv") if op == "mean" else (_OPS[op][0],)
         for fn in fns:
             partial_needed.setdefault((col, fn), f"__p_{col}_{fn}")
     return partial_needed, sorted(partial_needed)
@@ -128,7 +132,9 @@ def partial_aggregate(t: pa.Table, keys: list[str],
     # fails with an ambiguous FieldRef deep inside the task
     sel = keys + sorted({c for c, _ in spec} - set(keys))
     out = pa.TableGroupBy(t.select(sel), keys).aggregate([
-        (c, f, pc.CountOptions(mode="all")) if f == "count" else (c, f)
+        (c, "count", pc.CountOptions(mode="all")) if f == "count"
+        else (c, "count", pc.CountOptions(mode="only_valid"))
+        if f == "countv" else (c, f)
         for c, f in spec
     ])
     # arrow output order: key columns first, then "<col>_<fn>" in
@@ -146,7 +152,7 @@ def merge_partials_keep(g: pa.Table, keys: list[str],
     merge_aggs = []
     for col, fn in spec:
         pname = partial_needed[(col, fn)]
-        merge_fn = "sum" if fn in ("sum", "count") else fn
+        merge_fn = "sum" if fn in ("sum", "count", "countv") else fn
         merge_aggs.append((pname, merge_fn))
     merged = pa.TableGroupBy(
         g.select(keys + [partial_needed[cf] for cf in spec]), keys
@@ -166,7 +172,7 @@ def finalize_partials(merged: pa.Table, keys: list[str],
     for col, op, alias in aggs:
         if op == "mean":
             s = merged[partial_needed[(col, "sum")]]
-            c = merged[partial_needed[(col, "count")]]
+            c = merged[partial_needed[(col, "countv")]]
             cols[alias] = pc.divide(pc.cast(s, pa.float64()),
                                     pc.cast(c, pa.float64()))
         else:
@@ -637,8 +643,10 @@ def histogram(ds, col: str, lo: float, hi: float, bins: int = 100,
         else:
             inside = (v >= lo) & (v < hi)
         v = v[inside]
-        b = np.minimum(((v - lo) / w).astype(np.int64), bins - 1) \
-            if closed_last else ((v - lo) / w).astype(np.int64)
+        # clamp BOTH paths: fp division can put v = hi−ε at index ==
+        # bins, which would emit a bins+1-length partial and break the
+        # driver reshape
+        b = np.minimum(((v - lo) / w).astype(np.int64), bins - 1)
         return pa.table({"h": pa.array(
             np.bincount(b, minlength=bins).astype(np.int64))})
 

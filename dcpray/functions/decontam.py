@@ -82,8 +82,7 @@ def _collect_bench_hashes(benchmark_ds, text_col: str, n: int | None,
     return h
 
 
-def exact_contamination(corpus_ds, benchmark_ds, id_col: str = "doc_id",
-                        text_col: str = "text",
+def exact_contamination(corpus_ds, benchmark_ds, text_col: str = "text",
                         max_bench: int = 50_000_000):
     """Corpus rows whose full ``text_col`` appears verbatim in the
     benchmark. Returns the corpus rows (all columns) that are

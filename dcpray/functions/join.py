@@ -792,7 +792,8 @@ def hash_join_skew(left_ds, right_ds, on: str | list[str],
                    right_cols: dict[str, str] | None = None,
                    how: str = "inner", partitions: int = 64,
                    hot_threshold: int = 1_000_000,
-                   max_hot_keys: int = 10_000):
+                   max_hot_keys: int = 10_000,
+                   max_hot_right_rows: int = 5_000_000):
     """``hash_join`` with EXPLICIT hot-key handling — the skew escape
     hatch for the coarse-partition contract ("one key's rows fit one
     partition task"), which a power-law fact table violates.
@@ -807,8 +808,8 @@ def hash_join_skew(left_ds, right_ds, on: str | list[str],
        threshold is wrong, not the engine);
     3. the RIGHT rows of hot keys are collected and broadcast (hot
        keys are few and dimension-like on the right by assumption —
-       the guard raises if that broadcast would exceed
-       ``max_hot_right_rows`` via the same max_hot_keys bound), and
+       ``max_hot_right_rows`` caps that collection — it raises before
+       the driver materializes an un-broadcastable right side), and
        hot LEFT rows join against them with ZERO exchange via
        ``broadcast_join``'s per-batch Acero path;
     4. cold rows take the normal coarse-partitioned ``hash_join``;
@@ -878,8 +879,17 @@ def hash_join_skew(left_ds, right_ds, on: str | list[str],
         return ds_in.map_batches(f, batch_format="pyarrow")
 
     # hot path: right rows of hot keys broadcast once, zero exchange
-    hr_batches = list(_split(right_ds, rk, True)
-                      .iter_batches(batch_size=None, batch_format="pyarrow"))
+    hr_batches = []
+    hot_right_rows = 0
+    for b in _split(right_ds, rk, True).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        hot_right_rows += b.num_rows
+        if hot_right_rows > max_hot_right_rows:
+            raise ValueError(
+                f"hot keys own > max_hot_right_rows={max_hot_right_rows} "
+                "right rows — the right side is not dimension-like for "
+                "these keys; broadcast would not fit, use hash_join")
+        hr_batches.append(b)
     rs = right_ds.schema()
     hot_right = (pa.concat_tables(hr_batches, promote_options="default")
                  if hr_batches else

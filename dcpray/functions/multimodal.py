@@ -358,8 +358,13 @@ class FrameSampler:
         import io
 
         frames = []
-        with self._av.open(io.BytesIO(payload)) as container:
-            decoded = [f for f in container.decode(video=0)]
+        try:
+            with self._av.open(io.BytesIO(payload)) as container:
+                decoded = [f for f in container.decode(video=0)]
+        except Exception:
+            # null/truncated/corrupt payloads must not kill the job —
+            # emit empty frames, mirroring the fake path's tolerance
+            decoded = []
         if not decoded:
             return [b""] * self.n
         idx = [min(len(decoded) - 1, i * len(decoded) // self.n)

@@ -449,9 +449,13 @@ def pack_sequences(ds, token_col: str, budget: int, id_col: str = "doc_id",
                    group_col: str | None = None):
     """SEQUENCE PACKING for LLM training: assign each document a
     ``pack_id`` so that documents sharing a pack total ≤ ``budget``
-    tokens (greedy sequential fill in ``id_col`` order — the standard
-    concat-and-chunk recipe's grouping step, without splitting
-    documents). A single document longer than ``budget`` gets a pack of
+    tokens — greedy sequential fill in ``id_col`` order WITHIN each
+    hash partition (or within each ``group_col`` group): the standard
+    concat-and-chunk recipe's grouping step without splitting
+    documents, partition-local rather than one global sequence (a
+    global greedy order would serialize the whole corpus through one
+    task; packing quality is equivalent, pack MEMBERSHIP differs from
+    the single-machine recipe). A single document longer than ``budget`` gets a pack of
     its own, never truncated here (filter upstream if needed). With
     ``group_col`` (a split label, a language) a pack NEVER crosses
     group boundaries — the exchange co-locates each group and the

@@ -245,6 +245,12 @@ def _rolling_arrays(gs: np.ndarray, vs: np.ndarray, window: int,
     n×window materialization). Module-level so the property tests can
     drive it directly against a brute-force reference."""
     n = len(gs)
+    if np.isnan(vs).any():
+        # the global cumsum would propagate one group's NaN into every
+        # later group's windowed sum in this partition — refuse loudly
+        # (Arrow nulls are already rejected by require_nonnull upstream)
+        raise ValueError("rolling aggregates require NaN-free values; "
+                         "drop or fill NaNs upstream")
     first = np.r_[True, gs[1:] != gs[:-1]] if n else np.zeros(0, bool)
     starts = np.flatnonzero(first)
     sizes = np.diff(np.r_[starts, n])
@@ -312,7 +318,8 @@ def rolling_agg(ds, group_col: str, order_col: str, value_col: str,
     def assign(group: pa.Table) -> pa.Table:
         require_nonnull(group, (group_col, order_col, tiebreak_col,
                                 value_col), "rolling_agg")
-        g = group[group_col].combine_chunks().to_numpy(
+        g = pc.dictionary_encode(
+            group[group_col].combine_chunks()).indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         o = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
         tb = group[tiebreak_col].combine_chunks().to_numpy(

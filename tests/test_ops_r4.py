@@ -1113,3 +1113,79 @@ def test_pack_sequences_grouped_never_crosses_groups():
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------ review-fix regressions
+
+
+def test_pivot_mean_ignores_unmatched_rows():
+    """Review fix: mean must divide by the VALID count (avg(CASE WHEN))
+    — not count(*), which counts the masked-null unmatched rows."""
+    from dcpray.functions.agg import pivot
+
+    t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "name": pa.array(["a", "b"]),
+                  "v": pa.array([10.0, 20.0])})
+    out = pivot(rd.from_arrow(t), "k", "name", "v", names=["a", "b"],
+                agg="mean").to_pandas()
+    assert out["a"].iloc[0] == 10.0 and out["b"].iloc[0] == 20.0
+
+
+def test_coarse_mean_nullable_column_vs_duckdb():
+    from dcpray.functions.agg import coarse_groupby
+
+    rng = np.random.RandomState(67)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 20, n), pa.int64()),
+        "v": pa.array([None if rng.rand() < 0.3 else float(x)
+                       for x in rng.randint(0, 100, n)], pa.float64()),
+    })
+    out = coarse_groupby(rd.from_arrow(t).repartition(4), ["k"],
+                         [("v", "mean", "m")], partitions=8).to_pandas()
+    ora = duckdb.sql("SELECT k, avg(v) AS m FROM t GROUP BY k").df()
+    a = out.sort_values("k").reset_index(drop=True)
+    b = ora.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rolling_agg_rejects_nan_and_accepts_string_keys():
+    from dcpray.functions.window import rolling_agg
+
+    t = pa.table({"k": pa.array(["a", "a", "b"]),
+                  "o": pa.array([1, 2, 1], pa.int64()),
+                  "v": pa.array([1.0, np.nan, 3.0])})
+    with pytest.raises(Exception, match="NaN"):
+        rolling_agg(rd.from_arrow(t), "k", "o", "v", window=2,
+                    tiebreak_col="o").to_pandas()
+    t2 = pa.table({"k": pa.array(["a", "a", "b"]),
+                   "o": pa.array([1, 2, 1], pa.int64()),
+                   "v": pa.array([1.0, 2.0, 3.0])})
+    out = rolling_agg(rd.from_arrow(t2), "k", "o", "v", window=2,
+                      tiebreak_col="o").to_pandas().sort_values(["k", "o"])
+    assert out["rolling_sum"].tolist() == [1.0, 3.0, 3.0]
+
+
+def test_histogram_open_last_fp_edge():
+    """Review fix: fp division can put v = hi−ε at index == bins on the
+    closed_last=False path; must clamp, not crash."""
+    from dcpray.functions.agg import histogram
+
+    lo, hi, bins = -21.44304077983405, 62.18122769754997, 9
+    v = float(np.nextafter(hi, -np.inf))
+    t = pa.table({"v": pa.array([v, lo])})
+    out = histogram(rd.from_arrow(t), "v", lo=lo, hi=hi, bins=bins,
+                    closed_last=False).to_pandas()
+    assert out["count"].sum() == 2 and len(out) == bins
+
+
+def test_hash_join_skew_right_rows_guard():
+    from dcpray.functions.join import hash_join_skew
+
+    lt = pa.table({"k": pa.array(np.zeros(500, np.int64)),
+                   "lv": pa.array(np.arange(500, dtype=np.int64))})
+    rt = pa.table({"k": pa.array(np.zeros(50, np.int64)),
+                   "rv": pa.array(np.arange(50, dtype=np.int64))})
+    with pytest.raises(ValueError, match="dimension-like"):
+        hash_join_skew(rd.from_arrow(lt), rd.from_arrow(rt), on="k",
+                       hot_threshold=100, max_hot_right_rows=10)
