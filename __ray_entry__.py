@@ -255,6 +255,101 @@ def _q_cdc_then_token_count(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def _q_cdc_scd2_history(sf_dir: str):
+    """SCD Type-2 version chain over the validated WAL stream — every
+    version of every (conv_id, turn_idx) with its validity interval
+    (the full-history view the reference's pre-compaction Kafka log
+    holds implicitly; dcpray/functions/history.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.history import version_history
+    from dcpray.sources import wal as walmod
+    from dcpray.sources.io import read_parquet_fast
+    from dcpray.stages.reject import make_reject_filter
+
+    fx = _fx(sf_dir)
+    infos = walmod.scan_wal(os.path.join(fx, "wal"))
+    ds = read_parquet_fast(
+        [i.path for i in infos],
+        columns=["vb", "seqno", "conv_id", "turn_idx", "op", "role"],
+    )
+    ds = ds.map_batches(
+        make_reject_filter(walmod.watermark_array({}, 1), None),
+        batch_format="pyarrow",
+    )
+    ds = version_history(ds, ["conv_id", "turn_idx"], "seqno")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "valid_from": pc.cast(t["seqno"], pa.int64()),
+                "valid_to": pc.cast(t["valid_to"], pa.int64()),
+                "is_current": t["is_current"],
+                "op": t["op"],
+                "role": t["role"],
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+# seqno cutoff splitting the fixture WAL into the change-feed's two
+# commits; per-vb-monotonic seqnos make `seqno <= C` a valid stream
+# prefix of every vb. Pinned so the SQL oracle can embed the same value.
+_CDF_CUTOFF = 1500
+
+
+def _q_cdc_change_feed(sf_dir: str):
+    """CHANGE DATA FEED: split the WAL at a seqno cutoff, replay both
+    halves as two commits, then ``lake_diff`` the two manifests — the
+    per-key insert/update/delete rows a downstream consumer would read
+    instead of re-scanning the table (dcpray/functions/history.py;
+    the table-form analogue of consuming the Kafka changelog between
+    two offsets)."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from dcpray import ReplayConfig, replay
+    from dcpray.functions.history import lake_diff
+    from dcpray.state.checkpoint import Lake
+
+    fx = _fx(sf_dir)
+    root = os.path.join(
+        LAKE_ROOT, os.path.basename(os.path.normpath(fx)), "cdf"
+    )
+    lake = Lake(os.path.join(root, "lake"))
+    history = lake.store.history() if os.path.exists(lake.lake_dir) else []
+    if len(history) != 2:  # (re)build the two-commit lake
+        shutil.rmtree(root, ignore_errors=True)
+        for f in glob.glob(os.path.join(fx, "wal", "*", "*.parquet")):
+            t = pq.read_table(f)
+            rel = os.path.relpath(f, os.path.join(fx, "wal"))
+            halves = (
+                ("wal_a", t.filter(pc.less_equal(t["seqno"], _CDF_CUTOFF))),
+                ("wal_b", t.filter(pc.greater(t["seqno"], _CDF_CUTOFF))),
+            )
+            for name, tt in halves:
+                if tt.num_rows:
+                    dst = os.path.join(root, name, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    pq.write_table(tt, dst)
+        lake = Lake(os.path.join(root, "lake"))
+        replay(
+            lake,
+            os.path.join(root, "wal_a"),
+            base_snapshot_dir=os.path.join(fx, "base"),
+            config=ReplayConfig(num_buckets=32),
+        )
+        replay(lake, os.path.join(root, "wal_b"),
+               config=ReplayConfig(num_buckets=32))
+    return lake_diff(lake, 1, 2)
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact content-hash dedup: one survivor (min key) per distinct text."""
     from dcpray.functions.dedup import exact_dedup
@@ -1242,6 +1337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rejected_rows": _q_cdc_rejected_rows,
         "cdc_watermarks": _q_cdc_watermarks,
         "cdc_then_token_count": _q_cdc_then_token_count,
+        "cdc_scd2_history": _q_cdc_scd2_history,
+        "cdc_change_feed": _q_cdc_change_feed,
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_text_token_count,
         "text_token_count_bpe": _q_text_token_count_bpe,
@@ -1372,6 +1469,57 @@ FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true) GROUP BY vb""",
 SELECT conv_id, turn_idx,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens
 FROM ({lww_final})""",
+        "cdc_scd2_history": f"""
+SELECT conv_id, turn_idx, CAST(seqno AS BIGINT) AS valid_from,
+       CAST(LEAD(seqno) OVER (PARTITION BY conv_id, turn_idx
+                              ORDER BY seqno) AS BIGINT) AS valid_to,
+       (LEAD(seqno) OVER (PARTITION BY conv_id, turn_idx
+                          ORDER BY seqno) IS NULL) AS is_current,
+       op, role
+FROM ({wal_valid})""",
+        "cdc_change_feed": f"""
+WITH sa AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY seqno DESC) rn
+    FROM (SELECT * FROM ({wal_valid}) WHERE seqno <= {_CDF_CUTOFF}
+          UNION ALL BY NAME
+          SELECT conv_id, turn_idx, role, text, tool, ts,
+                 CAST(NULL AS VARCHAR) tool_version,
+                 CAST(0 AS UBIGINT) seqno, 'mutation' op
+          FROM read_parquet('{fx}/base/*.parquet')))
+  WHERE rn = 1 AND op = 'mutation'
+), sb AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY seqno DESC) rn
+    FROM (SELECT * FROM ({wal_valid})
+          UNION ALL BY NAME
+          SELECT conv_id, turn_idx, role, text, tool, ts,
+                 CAST(NULL AS VARCHAR) tool_version,
+                 CAST(0 AS UBIGINT) seqno, 'mutation' op
+          FROM read_parquet('{fx}/base/*.parquet')))
+  WHERE rn = 1 AND op = 'mutation'
+)
+SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+       coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+       CASE WHEN a.conv_id IS NULL THEN 'insert'
+            WHEN b.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS _change_type,
+       CASE WHEN b.conv_id IS NULL THEN a.role ELSE b.role END AS role,
+       CASE WHEN b.conv_id IS NULL THEN a.text ELSE b.text END AS text,
+       CASE WHEN b.conv_id IS NULL THEN a.tool ELSE b.tool END AS tool,
+       CASE WHEN b.conv_id IS NULL THEN a.ts ELSE b.ts END AS ts,
+       CASE WHEN b.conv_id IS NULL THEN a.tool_version
+            ELSE b.tool_version END AS tool_version
+FROM sa a FULL OUTER JOIN sb b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+   OR a.role IS DISTINCT FROM b.role
+   OR a.text IS DISTINCT FROM b.text
+   OR a.tool IS DISTINCT FROM b.tool
+   OR a.ts IS DISTINCT FROM b.ts
+   OR a.tool_version IS DISTINCT FROM b.tool_version""",
         "dedup_exact": """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",

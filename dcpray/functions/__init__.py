@@ -30,6 +30,10 @@ from dcpray.functions.decontam import (
     exact_contamination,
     ngram_contamination,
 )
+from dcpray.functions.history import (
+    lake_diff,
+    version_history,
+)
 from dcpray.functions.dedup import (
     cluster_pairs,
     cluster_pairs_distributed,
@@ -93,6 +97,7 @@ __all__ = [
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "exact_contamination", "ngram_contamination",
+    "lake_diff", "version_history",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
     "hash_join_skew", "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",

@@ -1,0 +1,229 @@
+"""Change-history operators over versioned streams and the lake.
+
+Two CDC-native views the reference leaves implicit in its Kafka topics:
+
+- ``version_history``: SCD-Type-2 per-key version chain over any
+  (keys, version) stream — each row gains ``valid_to`` (the NEXT
+  version of the same key, NULL while current) and ``is_current``.
+  The reference's compacted topic keeps only the LAST version per key
+  (kafka/client.go:235-275); the full history is exactly what the
+  pre-compaction log holds. One coarse exchange on the key hash, one
+  lexsort + shifted-compare per partition.
+
+- ``lake_diff``: CHANGE DATA FEED between two committed manifest
+  versions of a dcpray lake — per-key insert / update / delete rows,
+  the table-form analogue of consuming the Kafka changelog between two
+  offsets. ZERO exchange: bucket files are aligned across manifests
+  (same ``bucket = hash % num_buckets`` pinning, copy-forward reuses
+  unchanged files byte-identically), so buckets whose file path is
+  unchanged are skipped without opening them, and each changed bucket
+  pair diffs independently in one task via a local Arrow full-outer
+  join. Cost scales with CHANGED buckets, not table size.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dcpray.functions.agg import _hash_key_columns, require_nonnull
+
+__all__ = ["version_history", "lake_diff"]
+
+
+def _encode_sort_key(col: pa.ChunkedArray) -> np.ndarray:
+    """int64 sort key for lexsort: group-boundary detection only needs
+    equal-values-adjacent, so dictionary indices suffice for strings."""
+    ty = col.type
+    arr = col.combine_chunks()
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+        return pc.dictionary_encode(arr).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    return pc.cast(arr, pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
+def version_history(ds, keys: list[str], version_col: str,
+                    valid_to_col: str = "valid_to",
+                    current_col: str = "is_current",
+                    partitions: int = 64):
+    """SCD Type-2 version chain: for every row, ``valid_to`` = the next
+    ``version_col`` of the same key (NULL for the key's latest version)
+    and ``is_current`` = that NULL-ness — i.e. SQL
+    ``LEAD(version) OVER (PARTITION BY keys ORDER BY version)``.
+
+    Requires non-null keys/version and a UNIQUE (keys, version) pair
+    per row (per-vb DCP seqnos guarantee this for WAL streams,
+    couchbase/event.go:20); ties would make LEAD order-dependent in SQL
+    too. Scale shape: ONE coarse exchange on the key hash, then one
+    lexsort + one shifted vectorized compare per partition — no
+    per-group loop, no global sort."""
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        pk = (_hash_key_columns(t, keys)
+              % np.uint64(partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    def assign(group: pa.Table) -> pa.Table:
+        require_nonnull(group, (*keys, version_col), "version_history")
+        enc = [_encode_sort_key(group[k]) for k in keys]
+        v = _encode_sort_key(group[version_col])
+        order = np.lexsort((v, *enc[::-1]))
+        out = group.drop_columns(["_pk"]).take(pa.array(order))
+        n = out.num_rows
+        same_next = np.zeros(n, bool)
+        if n > 1:
+            same_next[:-1] = np.logical_and.reduce(
+                [e[order][1:] == e[order][:-1] for e in enc])
+        vers = out[version_col].combine_chunks()
+        nxt = np.arange(1, n + 1)
+        nxt[-1:] = 0  # masked off below
+        valid_to = pc.if_else(
+            pa.array(same_next),
+            vers.take(pa.array(np.where(same_next, nxt, 0))),
+            pa.nulls(n, vers.type))
+        return (out.append_column(valid_to_col, valid_to)
+                .append_column(current_col, pa.array(~same_next)))
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign, batch_format="pyarrow"))
+
+
+def _manifest_at(lake, seq: int):
+    for m in lake.store.history():
+        if m.seq == seq:
+            return m
+    raise ValueError(f"no manifest with seq={seq} in {lake.lake_dir}")
+
+
+def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = {}
+    for f in schema:
+        if f.name in t.column_names:
+            cols[f.name] = pc.cast(t[f.name], f.type)
+        else:
+            cols[f.name] = pa.nulls(t.num_rows, f.type)
+    return pa.table(cols)
+
+
+def _diff_pair(old_t: pa.Table, new_t: pa.Table, keys: list[str],
+               value_cols: list[str]) -> pa.Table:
+    """Full-outer key join of one bucket's old/new states, classified
+    into insert/update/delete; payload-identical rewrites (LWW re-merge
+    with a higher seqno but equal values) emit nothing."""
+    old_t = old_t.append_column("__po", pa.array(
+        np.ones(old_t.num_rows, np.int8)))
+    new_t = new_t.append_column("__pn", pa.array(
+        np.ones(new_t.num_rows, np.int8)))
+    j = old_t.join(new_t, keys=keys, join_type="full outer",
+                   left_suffix="_o", right_suffix="_n",
+                   coalesce_keys=True)
+    in_old = pc.is_valid(j["__po"])
+    in_new = pc.is_valid(j["__pn"])
+    changed = pa.array(np.zeros(j.num_rows, bool))
+    for c in value_cols:
+        a, b = j[f"{c}_o"], j[f"{c}_n"]
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        ne = pc.if_else(both_null, False,
+                        pc.fill_null(pc.not_equal(a, b), True))
+        changed = pc.or_(changed, ne)
+    is_ins = pc.and_(in_new, pc.invert(in_old))
+    is_del = pc.and_(in_old, pc.invert(in_new))
+    is_upd = pc.and_(pc.and_(in_old, in_new), changed)
+    keep = pc.or_(pc.or_(is_ins, is_del), is_upd)
+    j = j.append_column("_change_type", pc.if_else(
+        is_ins, pa.scalar("insert", pa.string()),
+        pc.if_else(is_del, pa.scalar("delete", pa.string()),
+                   pa.scalar("update", pa.string()))))
+    # delete rows carry the OLD values (there is no new row), others NEW
+    sel = {k: j[k] for k in keys}
+    sel["_change_type"] = j["_change_type"]
+    for c in value_cols:
+        sel[c] = pc.if_else(is_del, j[f"{c}_o"], j[f"{c}_n"])
+    return pa.table(sel).filter(keep)
+
+
+def lake_diff(lake, from_seq: int, to_seq: int,
+              keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+              exclude: tuple[str, ...] = ("_op", "_seqno", "vb")):
+    """CHANGE DATA FEED between two committed manifests of a dcpray
+    lake: a Dataset of ``keys + _change_type + value columns`` with one
+    row per key inserted, updated (any payload column differs,
+    null-safe) or deleted between ``from_seq`` and ``to_seq``. Delete
+    rows carry the old values, insert/update rows the new.
+
+    Scale shape: manifests pin bucket alignment, and incremental replay
+    COPY-FORWARDS untouched buckets by reference — identical bucket
+    paths are skipped without reading a byte, so the diff costs
+    O(changed buckets), not O(table). Each changed bucket pair is one
+    independent task: two column-pruned Parquet reads + a local Arrow
+    full-outer join on the key (both files hold the same key range by
+    construction, so no exchange exists to do). Tombstoned rows
+    (``_op != 'mutation'``) are excluded from both states, matching the
+    reader contract."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    ma, mb = _manifest_at(lake, from_seq), _manifest_at(lake, to_seq)
+    if ma.num_buckets != mb.num_buckets:
+        raise ValueError(
+            f"manifests disagree on num_buckets ({ma.num_buckets} vs "
+            f"{mb.num_buckets}); diff requires aligned buckets")
+    old_by_b = {f["bucket"]: f["path"] for f in ma.files}
+    new_by_b = {f["bucket"]: f["path"] for f in mb.files}
+    pairs = []
+    for b in sorted(set(old_by_b) | set(new_by_b)):
+        po, pn = old_by_b.get(b), new_by_b.get(b)
+        if po != pn:  # copy-forwarded buckets are byte-identical: skip
+            pairs.append({"bucket": b, "old": po or "", "new": pn or ""})
+
+    # one unified value schema across every touched file (footer reads
+    # only) so every task emits identically-typed blocks even when
+    # schema evolution differs per bucket — and so empty diffs carry an
+    # explicit schema instead of a schema-less RefBundle
+    fields: dict[str, pa.DataType] = {}
+    rels = [rel for p in pairs for rel in (p["old"], p["new"]) if rel]
+    if not rels:  # nothing changed: type the empty result off any file
+        rels = [f["path"] for f in (mb.files or ma.files)[:1]]
+    for rel in rels:
+        for f in pq.read_schema(lake.abspath(rel)):
+            fields.setdefault(f.name, f.type)
+    key_list = [k for k in keys]
+    value_cols = [c for c in fields
+                  if c not in keys and c not in exclude]
+    out_schema = pa.schema(
+        [(k, fields[k]) for k in key_list]
+        + [("_change_type", pa.string())]
+        + [(c, fields[c]) for c in value_cols])
+    read_schema = pa.schema([(c, fields[c])
+                             for c in (*key_list, *value_cols)])
+    lake_dir = lake.lake_dir
+
+    def diff(batch: pa.Table) -> pa.Table:
+        import os
+
+        outs = [out_schema.empty_table()]
+        for row in batch.to_pylist():
+            sides = []
+            for rel in (row["old"], row["new"]):
+                if rel:
+                    t = pq.read_table(
+                        os.path.join(lake_dir, rel),
+                        columns=[c for c in read_schema.names
+                                 if c in pq.read_schema(
+                                     os.path.join(lake_dir, rel)).names]
+                        + ["_op"])
+                    t = t.filter(pc.equal(t["_op"], "mutation"))
+                    sides.append(_conform(t, read_schema))
+                else:
+                    sides.append(read_schema.empty_table())
+            outs.append(_diff_pair(sides[0], sides[1],
+                                   key_list, value_cols))
+        return pa.concat_tables(outs)
+
+    if not pairs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_items(pairs).map_batches(
+        diff, batch_format="pyarrow", batch_size=1)

@@ -1,0 +1,157 @@
+"""version_history (SCD2) and lake_diff (change data feed) tests."""
+import glob
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from dcpray import Lake, ReplayConfig, replay
+from dcpray.functions.history import lake_diff, version_history
+from dcpray.sources.genwal import ensure_fixture
+
+
+def _rand_versions(n=5000, seed=7):
+    rng = np.random.RandomState(seed)
+    return pa.table({
+        "cid": pa.array([f"c{rng.randint(0, 300)}" for _ in range(n)]),
+        "tix": pa.array(rng.randint(0, 5, n).astype(np.int32)),
+        # a permutation -> unique (cid, tix, seqno) triples guaranteed
+        "seqno": pa.array(np.random.RandomState(8).permutation(n)
+                          .astype(np.uint64)),
+        "payload": pa.array(rng.randint(0, 100, n)),
+    })
+
+
+def test_version_history_vs_duckdb_lead():
+    t = _rand_versions()
+    out = version_history(rd.from_arrow(t).repartition(4),
+                          ["cid", "tix"], "seqno").to_pandas()
+    out["seqno"] = out["seqno"].astype("int64")
+    out["valid_to"] = out["valid_to"].astype("float64")
+    ora = duckdb.sql("""
+SELECT cid, tix, CAST(seqno AS BIGINT) AS seqno, payload,
+       CAST(LEAD(seqno) OVER (PARTITION BY cid, tix ORDER BY seqno)
+            AS DOUBLE) AS valid_to,
+       (LEAD(seqno) OVER (PARTITION BY cid, tix ORDER BY seqno) IS NULL)
+           AS is_current
+FROM t""").df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(["cid", "tix", "seqno"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["cid", "tix", "seqno"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_version_history_single_version_is_current():
+    t = pa.table({"k": pa.array(["a", "b"]),
+                  "v": pa.array([1, 2], pa.int64())})
+    out = version_history(rd.from_arrow(t), ["k"], "v").to_pandas()
+    assert out["is_current"].all()
+    assert out["valid_to"].isna().all()
+
+
+def test_version_history_null_key_raises():
+    t = pa.table({"k": pa.array(["a", None]),
+                  "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="non-null"):
+        version_history(rd.from_arrow(t), ["k"], "v").to_pandas()
+
+
+# ----------------------------------------------------------- lake_diff
+
+
+@pytest.fixture(scope="module")
+def two_commit_lake(tmp_path_factory):
+    """sf0.001 WAL split on a seqno cutoff into two incremental replays
+    (seqno is per-vb monotonic, so ``seqno <= C`` is a valid stream
+    prefix of every vb)."""
+    fx = ensure_fixture("sf0.001")
+    root = str(tmp_path_factory.mktemp("difflake"))
+    C = 250
+    for f in glob.glob(f"{fx}/wal/*/*.parquet"):
+        t = pq.read_table(f)
+        rel = os.path.relpath(f, f"{fx}/wal")
+        for name, tt in (("wal_a", t.filter(pc.less_equal(t["seqno"], C))),
+                         ("wal_b", t.filter(pc.greater(t["seqno"], C)))):
+            if tt.num_rows:
+                dst = os.path.join(root, name, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                pq.write_table(tt, dst)
+    lake = Lake(os.path.join(root, "lake"))
+    r1 = replay(lake, f"{root}/wal_a", base_snapshot_dir=f"{fx}/base",
+                config=ReplayConfig(num_buckets=16))
+    r2 = replay(lake, f"{root}/wal_b", config=ReplayConfig(num_buckets=16))
+    assert r1.committed and r2.committed
+    return lake, fx, C
+
+
+def _lww_sql(fx: str, extra_where: str = "") -> str:
+    return f"""
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY seqno DESC) rn
+    FROM (
+      SELECT conv_id, turn_idx, role, text, tool, ts, tool_version,
+             seqno, op
+      FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true)
+      WHERE conv_id IS NOT NULL AND turn_idx >= 0
+        AND op IN ('mutation','deletion','expiration') {extra_where}
+      UNION ALL BY NAME
+      SELECT conv_id, turn_idx, role, text, tool, ts,
+             CAST(NULL AS VARCHAR) tool_version,
+             CAST(0 AS UBIGINT) seqno, 'mutation' op
+      FROM read_parquet('{fx}/base/*.parquet')))
+  WHERE rn = 1 AND op = 'mutation'"""
+
+
+def test_lake_diff_matches_sql_full_outer(two_commit_lake):
+    lake, fx, C = two_commit_lake
+    out = lake_diff(lake, 1, 2).to_pandas()
+    ora = duckdb.sql(f"""
+WITH sa AS ({_lww_sql(fx, f"AND seqno <= {C}")}),
+     sb AS ({_lww_sql(fx)})
+SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+       coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+       CASE WHEN a.conv_id IS NULL THEN 'insert'
+            WHEN b.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS _change_type,
+       CASE WHEN b.conv_id IS NULL THEN a.role ELSE b.role END AS role,
+       CASE WHEN b.conv_id IS NULL THEN a.text ELSE b.text END AS text,
+       CASE WHEN b.conv_id IS NULL THEN a.tool ELSE b.tool END AS tool,
+       CASE WHEN b.conv_id IS NULL THEN a.ts ELSE b.ts END AS ts,
+       CASE WHEN b.conv_id IS NULL THEN a.tool_version
+            ELSE b.tool_version END AS tool_version
+FROM sa a FULL OUTER JOIN sb b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+   OR a.role IS DISTINCT FROM b.role
+   OR a.text IS DISTINCT FROM b.text
+   OR a.tool IS DISTINCT FROM b.tool
+   OR a.ts IS DISTINCT FROM b.ts
+   OR a.tool_version IS DISTINCT FROM b.tool_version""").df()
+    assert len(out) == len(ora) and len(out) > 0
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype(str), b.astype(str))
+    assert set(out["_change_type"]) <= {"insert", "update", "delete"}
+
+
+def test_lake_diff_self_is_empty_with_schema(two_commit_lake):
+    lake, _, _ = two_commit_lake
+    ds = lake_diff(lake, 2, 2)
+    names = ds.schema().names  # explicit schema even with zero rows
+    assert "_change_type" in names and "conv_id" in names
+    assert ds.count() == 0
+
+
+def test_lake_diff_unknown_seq_raises(two_commit_lake):
+    lake, _, _ = two_commit_lake
+    with pytest.raises(ValueError, match="no manifest"):
+        lake_diff(lake, 1, 99)
