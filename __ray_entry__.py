@@ -1064,6 +1064,75 @@ def _q_events_rollup(sf_dir: str):
                    ("value_c", "mean", "mean_c")])
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all 4 grouping
+    levels fanned off ONE collapsed partial set — the input is read and
+    reduced exactly once (dcpray/functions/agg.py cube)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.agg import cube
+
+    ds = read_clean(os.path.join(sf_dir, "orders.parquet"),
+                    columns=["o_orderkey", "o_orderstatus",
+                             "o_orderpriority", "o_totalprice"],
+                    override_num_blocks=16)
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0),
+                                    0.5)), pa.int64())
+        return t.drop_columns(["o_totalprice"]).append_column("price_c", c)
+
+    return cube(ds.map_batches(cents, batch_format="pyarrow"),
+                ["o_orderstatus", "o_orderpriority"],
+                [("o_orderkey", "count", "n"), ("price_c", "sum", "sum_c"),
+                 ("price_c", "mean", "mean_c")])
+
+
+def _q_custkeys_intersect(sf_dir: str):
+    """SQL INTERSECT: customers that placed at least one order — both
+    sides collapse to per-batch distinct keys BEFORE the one exchange
+    (dcpray/functions/setops.py)."""
+    import pyarrow as pa
+
+    from dcpray.functions.setops import intersect_distinct
+
+    cust = read_clean(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey"], override_num_blocks=8)
+    orders = read_clean(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey"], override_num_blocks=8)
+    orders = orders.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow")
+    return intersect_distinct(cust, orders, ["c_custkey"])
+
+
+def _q_events_except_days(sf_dir: str):
+    """SQL EXCEPT on a MULTI-COLUMN key: (user, day) pairs that
+    purchased but never clicked that day."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.setops import except_distinct
+
+    def side(event_type: str):
+        ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "ts", "event_type"],
+                        override_num_blocks=16)
+
+        def prep(t: pa.Table, et=event_type) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], et))
+            return pa.table({
+                "user_id": t["user_id"],
+                "day": pc.cast(t["ts"], pa.date32()),
+            })
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return except_distinct(side("purchase"), side("click"),
+                           ["user_id", "day"])
+
+
 def _q_lineitem_melt(sf_dir: str):
     """UNPIVOT/melt: four lineitem measures into long (name, value)
     form — a pure vectorized map_batches reshape, zero exchange."""
@@ -1384,6 +1453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_lead": _q_events_lag_lead,
         "events_ntile4": _q_events_ntile4,
         "events_rollup": _q_events_rollup,
+        "orders_cube": _q_orders_cube,
+        "custkeys_intersect": _q_custkeys_intersect,
+        "events_except_days": _q_events_except_days,
         "lineitem_melt": _q_lineitem_melt,
         "events_pivot_types": _q_events_pivot_types,
         "events_forward_fill": _q_events_forward_fill,
@@ -1829,6 +1901,22 @@ SELECT event_type, user_id, grouping_id(event_type, user_id) AS gid,
        count(event_id) AS n, CAST(sum(value_c) AS BIGINT) AS sum_c,
        avg(value_c) AS mean_c
 FROM e GROUP BY ROLLUP(event_type, user_id)""",
+        "orders_cube": """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders)
+SELECT o_orderstatus, o_orderpriority,
+       grouping_id(o_orderstatus, o_orderpriority) AS gid,
+       count(o_orderkey) AS n, CAST(sum(price_c) AS BIGINT) AS sum_c,
+       avg(price_c) AS mean_c
+FROM o GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+        "custkeys_intersect": """
+SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders""",
+        "events_except_days": """
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type='purchase'
+EXCEPT
+SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type='click'""",
         "lineitem_melt": """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,
        CAST(l_quantity AS DOUBLE) AS value FROM lineitem

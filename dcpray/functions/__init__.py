@@ -10,14 +10,21 @@ from dcpray.functions.agg import (
     approx_distinct_count,
     add_coarse_pk,
     coarse_groupby,
+    cube,
     distinct_count,
     exact_quantiles,
+    grouping_sets,
     histogram,
     melt,
     pivot,
     quantiles_per_group,
     rollup,
     topk_per_group,
+)
+from dcpray.functions.setops import (
+    except_distinct,
+    intersect_distinct,
+    union_distinct,
 )
 from dcpray.functions.boilerplate import remove_repeated_paragraphs
 from dcpray.functions.ann import (
@@ -98,6 +105,8 @@ __all__ = [
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "exact_contamination", "ngram_contamination",
     "lake_diff", "version_history",
+    "cube", "grouping_sets",
+    "intersect_distinct", "except_distinct", "union_distinct",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
     "hash_join_skew", "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",

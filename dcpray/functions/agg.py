@@ -81,7 +81,11 @@ def _hash_key_columns(t: pa.Table, keys: list[str]) -> np.ndarray:
             # null-bearing vs null-free batches and land in two coarse
             # partitions); nulls are distinguished from a literal fill
             # value by mixing the validity mask in separately
-            c = pc.cast(col, pa.int64()).combine_chunks()
+            c = col
+            if pa.types.is_date32(ty) or pa.types.is_time32(ty):
+                # Arrow has no direct date32/time32 -> int64 cast
+                c = pc.cast(c, pa.int32())
+            c = pc.cast(c, pa.int64()).combine_chunks()
             v = pc.fill_null(c, 0).to_numpy(zero_copy_only=False) \
                 .astype(np.int64, copy=False)
             h = v.view(np.uint64)
@@ -666,29 +670,39 @@ def histogram(ds, col: str, lo: float, hi: float, bins: int = 100,
     })
 
 
-def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
-           partitions: int = 64, gid_col: str = "gid"):
-    """``GROUP BY ROLLUP(keys...)``: the aggregate at EVERY key-prefix
-    level — finest (all keys) up to the grand total — in one pass over
-    the data. Rolled-up key columns are NULL and ``gid_col`` carries
-    DuckDB's ``grouping_id`` (bit per key, set when rolled up; prefix
-    level L ⇒ gid = 2^(n−L) − 1), which disambiguates rollup NULLs from
-    data NULLs exactly as in SQL.
+def _grouping_sets_impl(ds, keys: list[str],
+                        aggs: list[tuple[str, str, str]],
+                        subsets: list[tuple[int, ...]],
+                        partitions: int, gid_col: str):
+    """Shared core of ``rollup`` / ``cube`` / ``grouping_sets``: the
+    aggregate at every requested key SUBSET in one pass over the data.
+    Rolled-up key columns are NULL and ``gid_col`` carries DuckDB's
+    ``grouping_id`` (bit per key in declaration order, MSB first, set
+    when rolled up), which disambiguates rollup NULLs from data NULLs
+    exactly as in SQL.
 
     Scale shape: the input is reduced ONCE by per-batch
     ``partial_aggregate`` on the full key set and merged ONCE at the
     finest level (the only exchange that sees O(batch-partials) rows);
     the collapsed finest-level partials — O(distinct full-key combos) —
-    are materialized in the OBJECT STORE and every coarser level
+    are materialized in the OBJECT STORE and every other subset
     re-merges THOSE (the partial algebra is associative —
     re-aggregating finalized values would be wrong for ``mean``), all
-    coarser levels streaming concurrently off the one barrier. Total
-    exchanged rows: O(batch-partials + levels × distinct), not the
-    naive O(levels × batch-partials)."""
+    subsets streaming concurrently off the one barrier. Total exchanged
+    rows: O(batch-partials + subsets × distinct), not the naive
+    O(subsets × batch-partials)."""
     _validate_aggs(aggs)
     n = len(keys)
     if n == 0:
-        raise ValueError("rollup needs at least one key")
+        raise ValueError("grouping sets need at least one key")
+    seen = set()
+    for s in subsets:
+        if tuple(s) in seen:
+            raise ValueError(f"duplicate grouping set {s}")
+        seen.add(tuple(s))
+        if any(i < 0 or i >= n for i in s) or list(s) != sorted(s):
+            raise ValueError(
+                f"grouping set {s} must be sorted indices into keys")
     key_fields = {f.name: f.type for f in
                   (ds.schema().base_schema
                    if hasattr(ds.schema(), "base_schema")
@@ -712,13 +726,15 @@ def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
                     batch_format="pyarrow"))
 
     # the one big exchange + barrier: collapsed partials per full key
+    full = tuple(range(n))
     finest = _merge_keep(part, keys, partitions).materialize()
 
-    def level(L: int):
-        gid = (1 << (n - L)) - 1
-        if L == n:
+    def level(sub: tuple[int, ...]):
+        gid = sum(1 << (n - 1 - i) for i in range(n) if i not in sub)
+        skeys = [keys[i] for i in sub]
+        if sub == full:
             merged = finest
-        elif L == 0:
+        elif not sub:
             def allk(t: pa.Table) -> pa.Table:
                 return t.append_column(
                     "_all", pa.array(np.zeros(t.num_rows, np.int8)))
@@ -727,22 +743,66 @@ def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
                 finest.map_batches(allk, batch_format="pyarrow"),
                 ["_all"], 1)
         else:
-            merged = _merge_keep(finest, keys[:L], partitions)
+            merged = _merge_keep(finest, skeys, partitions)
 
         def finish(t: pa.Table) -> pa.Table:
-            t = finalize_partials(t, keys[:L] if L else ["_all"], aggs)
+            t = finalize_partials(t, skeys if sub else ["_all"], aggs)
             if "_all" in t.column_names:
                 t = t.drop_columns(["_all"])
-            for k in keys[L:]:
-                t = t.append_column(k, pa.nulls(t.num_rows, key_fields[k]))
+            for i, k in enumerate(keys):
+                if i not in sub:
+                    t = t.append_column(
+                        k, pa.nulls(t.num_rows, key_fields[k]))
             t = t.append_column(
                 gid_col, pa.array(np.full(t.num_rows, gid, np.int64)))
             return t.select(keys + [gid_col] + aliases)
 
         return merged.map_batches(finish, batch_format="pyarrow")
 
-    outs = [level(L) for L in range(n, -1, -1)]
-    return outs[0].union(*outs[1:])
+    outs = [level(tuple(s)) for s in subsets]
+    return outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]
+
+
+def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+           partitions: int = 64, gid_col: str = "gid"):
+    """``GROUP BY ROLLUP(keys...)``: every key-PREFIX level, finest
+    (all keys) up to the grand total. See ``_grouping_sets_impl`` for
+    the one-reduce scale shape and gid semantics."""
+    n = len(keys)
+    return _grouping_sets_impl(
+        ds, keys, aggs, [tuple(range(L)) for L in range(n, -1, -1)],
+        partitions, gid_col)
+
+
+def cube(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+         partitions: int = 64, gid_col: str = "gid"):
+    """``GROUP BY CUBE(keys...)``: every SUBSET of the keys — 2^n
+    levels, all fanned off the ONE collapsed finest-level partial set
+    (the input is still read and reduced exactly once). Capped at 5
+    keys (32 levels) — beyond that the union fan-out itself is the
+    bottleneck and an explicit ``grouping_sets`` choice is saner."""
+    n = len(keys)
+    if n > 5:
+        raise ValueError("cube supports at most 5 keys (2^n levels); "
+                         "use grouping_sets for a curated subset list")
+    subs = [tuple(i for i in range(n) if not (mask >> (n - 1 - i)) & 1)
+            for mask in range(1 << n)]
+    return _grouping_sets_impl(ds, keys, aggs, subs, partitions, gid_col)
+
+
+def grouping_sets(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+                  sets: list[list[str]], partitions: int = 64,
+                  gid_col: str = "gid"):
+    """``GROUP BY GROUPING SETS ((...), ...)``: explicit subset list,
+    each named by key columns (subset of ``keys``, any order)."""
+    pos = {k: i for i, k in enumerate(keys)}
+    subs = []
+    for s in sets:
+        unknown = [k for k in s if k not in pos]
+        if unknown:
+            raise ValueError(f"grouping set {s} names non-keys {unknown}")
+        subs.append(tuple(sorted(pos[k] for k in s)))
+    return _grouping_sets_impl(ds, keys, aggs, subs, partitions, gid_col)
 
 
 def melt(ds, id_cols: list[str], value_cols: list[str],
