@@ -1089,6 +1089,69 @@ def _q_orders_cube(sf_dir: str):
                  ("price_c", "mean", "mean_c")])
 
 
+def _q_events_value_stats(sf_dir: str):
+    """Per-user variance/stddev through the partial-aggregate algebra
+    (sum + countv + sumsq partials; E[x²]−E[x]² finalize whose float64
+    op order the SQL oracle mirrors exactly — bit-identical on integer
+    cents)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.agg import coarse_groupby
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["user_id", "value"], override_num_blocks=16)
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return pa.table({"user_id": t["user_id"], "value_c": c})
+
+    return coarse_groupby(ds.map_batches(cents, batch_format="pyarrow"),
+                          ["user_id"],
+                          [("value_c", "count", "n"),
+                           ("value_c", "var", "var_c"),
+                           ("value_c", "std", "std_c")])
+
+
+def _q_events_corr_value_hour(sf_dir: str):
+    """Pearson corr(value, hour-of-day) per event type — five exact
+    integer sums per (group, batch) before the one exchange; the SQL
+    oracle writes the identical expression tree (agg.py
+    corr_per_group)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.agg import corr_per_group
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_type", "ts", "value"],
+                    override_num_blocks=16)
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        h = pc.cast(pc.hour(t["ts"]), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value_c": c, "hour": h})
+
+    return corr_per_group(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type"], "value_c", "hour",
+                          alias="corr_vh")
+
+
+def _q_embeddings_unnest(sf_dir: str):
+    """UNNEST the embedding list column to (vec_id, pos, val) long form
+    — pure vectorized reshape on Arrow list buffers, zero exchange
+    (agg.py explode)."""
+    from dcpray.functions.agg import explode
+
+    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                    columns=["vec_id", "embedding"],
+                    override_num_blocks=8)
+    return explode(ds, "embedding", pos_col="pos", value_col="val")
+
+
 def _q_custkeys_intersect(sf_dir: str):
     """SQL INTERSECT: customers that placed at least one order — both
     sides collapse to per-batch distinct keys BEFORE the one exchange
@@ -1454,6 +1517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile4": _q_events_ntile4,
         "events_rollup": _q_events_rollup,
         "orders_cube": _q_orders_cube,
+        "events_value_stats": _q_events_value_stats,
+        "events_corr_value_hour": _q_events_corr_value_hour,
+        "embeddings_unnest": _q_embeddings_unnest,
         "custkeys_intersect": _q_custkeys_intersect,
         "events_except_days": _q_events_except_days,
         "lineitem_melt": _q_lineitem_melt,
@@ -1911,6 +1977,38 @@ SELECT o_orderstatus, o_orderpriority,
        count(o_orderkey) AS n, CAST(sum(price_c) AS BIGINT) AS sum_c,
        avg(price_c) AS mean_c
 FROM o GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+        "events_value_stats": """
+WITH e AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vc*vc) AS DOUBLE)/count(vc)
+         - (CAST(sum(vc) AS DOUBLE)/count(vc))
+           * (CAST(sum(vc) AS DOUBLE)/count(vc)) AS var_c,
+       sqrt(CAST(sum(vc*vc) AS DOUBLE)/count(vc)
+         - (CAST(sum(vc) AS DOUBLE)/count(vc))
+           * (CAST(sum(vc) AS DOUBLE)/count(vc))) AS std_c
+FROM e GROUP BY user_id""",
+        "events_corr_value_hour": """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
+SELECT event_type,
+       (CAST(count(*) AS DOUBLE) * sum(x*y)
+          - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+       / (sqrt(CAST(count(*) AS DOUBLE) * sum(x*x)
+               - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+          * sqrt(CAST(count(*) AS DOUBLE) * sum(y*y)
+                 - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+         AS corr_vh
+FROM e GROUP BY event_type""",
+        "embeddings_unnest": """
+SELECT vec_id,
+       unnest(list_transform(generate_series(1, len(embedding)),
+                             i -> CAST(i - 1 AS BIGINT))) AS pos,
+       unnest(embedding) AS val
+FROM embeddings""",
         "custkeys_intersect": """
 SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders""",
         "events_except_days": """

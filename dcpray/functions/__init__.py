@@ -10,9 +10,11 @@ from dcpray.functions.agg import (
     approx_distinct_count,
     add_coarse_pk,
     coarse_groupby,
+    corr_per_group,
     cube,
     distinct_count,
     exact_quantiles,
+    explode,
     grouping_sets,
     histogram,
     melt,
@@ -105,7 +107,7 @@ __all__ = [
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "exact_contamination", "ngram_contamination",
     "lake_diff", "version_history",
-    "cube", "grouping_sets",
+    "cube", "grouping_sets", "corr_per_group", "explode",
     "intersect_distinct", "except_distinct", "union_distinct",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
     "hash_join_skew", "range_join", "range_join_broadcast",

@@ -29,7 +29,9 @@ _OPS = {
     "sum": ("sum", "sum"),
     "min": ("min", "min"),
     "max": ("max", "max"),
-    "mean": (None, None),  # handled via sum + count
+    "mean": (None, None),  # handled via sum + countv
+    "var": (None, None),   # handled via sum + countv + sumsq
+    "std": (None, None),   # sqrt(var)
 }
 
 
@@ -116,7 +118,12 @@ def _resolve_partials(aggs):
     semantics."""
     partial_needed: dict[tuple[str, str], str] = {}
     for col, op, _ in aggs:
-        fns = ("sum", "countv") if op == "mean" else (_OPS[op][0],)
+        if op == "mean":
+            fns = ("sum", "countv")
+        elif op in ("var", "std"):
+            fns = ("sum", "countv", "sumsq")
+        else:
+            fns = (_OPS[op][0],)
         for fn in fns:
             partial_needed.setdefault((col, fn), f"__p_{col}_{fn}")
     return partial_needed, sorted(partial_needed)
@@ -135,10 +142,21 @@ def partial_aggregate(t: pa.Table, keys: list[str],
     # (e.g. count of the key itself) must appear once, or Acero
     # fails with an ambiguous FieldRef deep inside the task
     sel = keys + sorted({c for c, _ in spec} - set(keys))
-    out = pa.TableGroupBy(t.select(sel), keys).aggregate([
+    t = t.select(sel)
+    # sumsq has no Arrow grouped kernel: square into a derived float64
+    # column and SUM that (float64 from the partial on — int64 squares
+    # of large values would overflow silently)
+    for c, f in spec:
+        if f == "sumsq":
+            sq = pc.multiply(pc.cast(t[c], pa.float64()),
+                             pc.cast(t[c], pa.float64()))
+            t = t.append_column(f"__sq_{c}", sq)
+    out = pa.TableGroupBy(t, keys).aggregate([
         (c, "count", pc.CountOptions(mode="all")) if f == "count"
         else (c, "count", pc.CountOptions(mode="only_valid"))
-        if f == "countv" else (c, f)
+        if f == "countv"
+        else (f"__sq_{c}", "sum") if f == "sumsq"
+        else (c, f)
         for c, f in spec
     ])
     # arrow output order: key columns first, then "<col>_<fn>" in
@@ -156,7 +174,8 @@ def merge_partials_keep(g: pa.Table, keys: list[str],
     merge_aggs = []
     for col, fn in spec:
         pname = partial_needed[(col, fn)]
-        merge_fn = "sum" if fn in ("sum", "count", "countv") else fn
+        merge_fn = "sum" if fn in ("sum", "count", "countv", "sumsq") \
+            else fn
         merge_aggs.append((pname, merge_fn))
     merged = pa.TableGroupBy(
         g.select(keys + [partial_needed[cf] for cf in spec]), keys
@@ -179,6 +198,21 @@ def finalize_partials(merged: pa.Table, keys: list[str],
             c = merged[partial_needed[(col, "countv")]]
             cols[alias] = pc.divide(pc.cast(s, pa.float64()),
                                     pc.cast(c, pa.float64()))
+        elif op in ("var", "std"):
+            # POPULATION variance by the E[x²]−E[x]² identity, evaluated
+            # in this exact float64 op order — an oracle writing
+            # sum(x*x)/n - (sum(x)/n)*(sum(x)/n) is bit-identical.
+            # Exact while the integer sums stay ≤ 2^53 (integer inputs
+            # like cents); beyond that, like any one-pass identity, it
+            # loses precision — shift/center upstream if that matters.
+            s = pc.cast(merged[partial_needed[(col, "sum")]], pa.float64())
+            c = pc.cast(merged[partial_needed[(col, "countv")]],
+                        pa.float64())
+            s2 = pc.cast(merged[partial_needed[(col, "sumsq")]],
+                         pa.float64())
+            m = pc.divide(s, c)
+            v = pc.subtract(pc.divide(s2, c), pc.multiply(m, m))
+            cols[alias] = pc.sqrt(v) if op == "std" else v
         else:
             v = merged[partial_needed[(col, _OPS[op][0])]]
             cols[alias] = pc.cast(v, pa.int64()) if op == "count" else v
@@ -220,7 +254,8 @@ def coarse_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     """Groupby-aggregate for HIGH-cardinality keys.
 
     ``aggs`` is a list of ``(column, op, alias)`` with op in
-    ``{"count", "sum", "min", "max", "mean"}``. Returns a Dataset with
+    ``{"count", "sum", "min", "max", "mean", "var", "std"}`` (var/std
+    are population variants). Returns a Dataset with
     the key columns plus one column per alias. ``count`` counts all rows
     of the group (including nulls in ``column``), matching SQL
     ``count(*)``.
@@ -803,6 +838,100 @@ def grouping_sets(ds, keys: list[str], aggs: list[tuple[str, str, str]],
             raise ValueError(f"grouping set {s} names non-keys {unknown}")
         subs.append(tuple(sorted(pos[k] for k in s)))
     return _grouping_sets_impl(ds, keys, aggs, subs, partitions, gid_col)
+
+
+def corr_per_group(ds, keys: list[str], x_col: str, y_col: str,
+                   alias: str = "corr", partitions: int = 64):
+    """Pearson correlation per group via the one-pass sums identity
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx·Σx) · √(n·Σy² − Σy·Σy))`` —
+    the sample/population normalizations cancel, so this equals SQL
+    ``corr(x, y)``. Rows where EITHER side is NULL are dropped first
+    (SQL pairwise semantics). Constant x or y within a group → NULL.
+
+    The five sums are exact integers while inputs are integers and the
+    sums stay ≤ 2^53 (use cents); every later float64 op follows this
+    exact expression-tree order, so an oracle writing the same
+    arithmetic is bit-identical. Scale shape: per-batch sums collapse
+    each batch to one row per (group, batch) BEFORE the one coarse
+    exchange — identical to ``coarse_groupby``."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+        t = t.filter(m)
+        x = pc.cast(t[x_col], pa.float64())
+        y = pc.cast(t[y_col], pa.float64())
+        d = t.select(keys)
+        d = d.append_column("__x", x).append_column("__y", y)
+        d = d.append_column("__xx", pc.multiply(x, x))
+        d = d.append_column("__yy", pc.multiply(y, y))
+        d = d.append_column("__xy", pc.multiply(x, y))
+        g = pa.TableGroupBy(d, keys).aggregate(
+            [("__x", "count", pc.CountOptions(mode="all")),
+             ("__x", "sum"), ("__y", "sum"), ("__xx", "sum"),
+             ("__yy", "sum"), ("__xy", "sum")])
+        g = g.rename_columns(keys + ["__n", "__sx", "__sy", "__sxx",
+                                     "__syy", "__sxy"])
+        pk = (_hash_key_columns(g, keys)
+              % np.uint64(partitions)).astype(np.int32)
+        return g.append_column("_pk", pa.array(pk))
+
+    def combine(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.drop_columns(["_pk"]), keys).aggregate(
+            [(c, "sum") for c in ("__n", "__sx", "__sy", "__sxx",
+                                  "__syy", "__sxy")])
+        m = m.rename_columns(keys + ["__n", "__sx", "__sy", "__sxx",
+                                     "__syy", "__sxy"])
+        n = pc.cast(m["__n"], pa.float64())
+        sx, sy = m["__sx"], m["__sy"]
+        num = pc.subtract(pc.multiply(n, m["__sxy"]),
+                          pc.multiply(sx, sy))
+        dx = pc.sqrt(pc.subtract(pc.multiply(n, m["__sxx"]),
+                                 pc.multiply(sx, sx)))
+        dy = pc.sqrt(pc.subtract(pc.multiply(n, m["__syy"]),
+                                 pc.multiply(sy, sy)))
+        den = pc.multiply(dx, dy)
+        out = pc.if_else(pc.equal(den, 0.0),
+                         pa.nulls(m.num_rows, pa.float64()),
+                         pc.divide(num, den))
+        return pa.table({**{k: m[k] for k in keys}, alias: out})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(combine, batch_format="pyarrow"))
+
+
+def explode(ds, list_col: str, keep_cols: list[str] | None = None,
+            pos_col: str | None = None, value_col: str | None = None):
+    """UNNEST a list column: one output row per list element, kept
+    columns repeated by gather. NULL and empty lists emit nothing
+    (SQL ``UNNEST`` semantics). With ``pos_col``, adds the 0-based
+    element index. Pure vectorized reshape — ``list_flatten`` +
+    ``list_parent_indices`` on Arrow buffers, zero exchange, streams
+    at any scale."""
+    value_col = value_col or list_col
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[list_col].combine_chunks()
+        vals = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col)
+        keep = keep_cols if keep_cols is not None \
+            else [c for c in t.column_names if c != list_col]
+        cols = {c: t[c].combine_chunks().take(parents) for c in keep}
+        if pos_col is not None:
+            # element index = arange minus each row's start offset,
+            # gathered per parent
+            starts = np.zeros(len(parents), np.int64)
+            if len(parents):
+                p = parents.to_numpy(zero_copy_only=False)
+                first = np.r_[True, p[1:] != p[:-1]]
+                idx = np.arange(len(p), dtype=np.int64)
+                starts = idx - np.maximum.accumulate(
+                    np.where(first, idx, 0))
+            cols[pos_col] = pa.array(starts)
+        cols[value_col] = vals
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def melt(ds, id_cols: list[str], value_cols: list[str],

@@ -170,3 +170,86 @@ def test_bit_length_u64_exact_near_boundaries():
     got = _bit_length_u64(np.array(vals, np.uint64))
     exp = [v.bit_length() for v in vals]
     assert got.tolist() == exp
+
+
+# ------------------------------------------------- var/std/corr/explode
+
+
+def test_var_std_bit_exact_vs_formula_and_close_to_var_pop():
+    import duckdb
+
+    from dcpray.functions.agg import coarse_groupby as cgb
+
+    rng = np.random.RandomState(5)
+    n = 30000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 40, n), pa.int64()),
+        "y": pa.array([None if rng.rand() < 0.1 else int(v)
+                       for v in rng.randint(0, 10000, n)], pa.int64()),
+    })
+    out = cgb(rd.from_arrow(t).repartition(6), ["k"],
+              [("y", "var", "v"), ("y", "std", "s")],
+              partitions=8).to_pandas()
+    ora = duckdb.sql("""
+SELECT k,
+  CAST(sum(y*y) AS DOUBLE)/count(y)
+    - (CAST(sum(y) AS DOUBLE)/count(y))*(CAST(sum(y) AS DOUBLE)/count(y)) AS v,
+  sqrt(CAST(sum(y*y) AS DOUBLE)/count(y)
+    - (CAST(sum(y) AS DOUBLE)/count(y))*(CAST(sum(y) AS DOUBLE)/count(y))) AS s
+FROM t GROUP BY k""").df()
+    a = out.sort_values("k").reset_index(drop=True)[["k", "v", "s"]]
+    b = ora.sort_values("k").reset_index(drop=True)[["k", "v", "s"]]
+    pd.testing.assert_frame_equal(a, b)  # EXACT: same float64 op order
+    native = duckdb.sql(
+        "SELECT k, var_pop(y) AS v FROM t GROUP BY k"
+    ).df().sort_values("k").reset_index(drop=True)
+    assert np.allclose(a["v"], native["v"], rtol=1e-9)
+
+
+def test_corr_per_group_vs_duckdb_corr():
+    import duckdb
+
+    from dcpray.functions.agg import corr_per_group
+
+    rng = np.random.RandomState(6)
+    n = 20000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 10, n), pa.int64()),
+        "x": pa.array(rng.randint(0, 10000, n), pa.int64()),
+        "y": pa.array([None if rng.rand() < 0.1 else int(v)
+                       for v in rng.randint(0, 100, n)], pa.int64()),
+    })
+    out = corr_per_group(rd.from_arrow(t).repartition(4), ["k"],
+                         "x", "y", alias="c", partitions=4).to_pandas()
+    native = duckdb.sql(
+        "SELECT k, corr(x, y) AS c FROM t GROUP BY k"
+    ).df().sort_values("k").reset_index(drop=True)
+    a = out.sort_values("k").reset_index(drop=True)
+    assert np.allclose(a["c"], native["c"], rtol=1e-9)
+
+
+def test_corr_constant_column_is_null():
+    from dcpray.functions.agg import corr_per_group
+
+    t = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                  "x": pa.array([5, 5, 5], pa.int64()),
+                  "y": pa.array([1, 2, 3], pa.int64())})
+    out = corr_per_group(rd.from_arrow(t), ["k"], "x", "y",
+                         alias="c").to_pandas()
+    assert out["c"].isna().all()
+
+
+def test_explode_positions_and_empty_lists():
+    from dcpray.functions.agg import explode
+
+    lt = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([[1.5, 2.5], [], [7.0], None],
+                      pa.list_(pa.float64())),
+    })
+    out = explode(rd.from_arrow(lt), "v", pos_col="pos",
+                  value_col="val").to_pandas()
+    out = out.sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out["id"].tolist() == [1, 1, 3]
+    assert out["pos"].tolist() == [0, 1, 0]
+    assert out["val"].tolist() == [1.5, 2.5, 7.0]
