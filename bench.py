@@ -66,6 +66,12 @@ SECONDARY = [
     "events_rollup",
     "events_pivot_types",
     "events_forward_fill",
+    "cdc_scd2_history",
+    "cdc_change_feed",
+    "orders_cube",
+    "events_value_stats",
+    "custkeys_intersect",
+    "embeddings_unnest",
 ]
 
 
