@@ -982,6 +982,75 @@ def _q_events_rolling7(sf_dir: str):
     return out
 
 
+def _q_events_rolling_30min(sf_dir: str):
+    """TIME-RANGE moving aggregates: trailing 30 MINUTES per user — SQL
+    RANGE BETWEEN INTERVAL 1800 SECONDS PRECEDING AND CURRENT ROW
+    (frame by time distance, peers included; window.py
+    rolling_agg_range's marker-merge resolves every variable frame
+    start in one extra lexsort)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.window import rolling_agg_range
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["user_id", "ts", "value"],
+                    override_num_blocks=16)
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return t.drop_columns(["value"]).append_column("value_c", c)
+
+    out = rolling_agg_range(ds.map_batches(cents, batch_format="pyarrow"),
+                            "user_id", "ts", "value_c", interval_s=1800,
+                            aggs=("sum", "count")).to_pandas()
+    out["rolling_sum"] = out["rolling_sum"].astype("int64")
+    return out
+
+
+def _q_lineitem_part_semi(sf_dir: str):
+    """Broadcast SEMI join (EXISTS): lineitem rows whose part is
+    oversized — the broadcast is the filtered part side's DISTINCT keys
+    only, the fact table never shuffles (join.py broadcast_join
+    how='semi')."""
+    import pyarrow.compute as pc
+
+    from dcpray.functions.join import broadcast_join
+
+    li = read_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber", "l_partkey"],
+                    override_num_blocks=16)
+    part = read_clean(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_size"],
+                      override_num_blocks=4)
+    part = part.map_batches(
+        lambda t: t.filter(pc.greater(t["p_size"], 40)),
+        batch_format="pyarrow")
+    return broadcast_join(li, part, on="l_partkey", right_on="p_partkey",
+                          how="semi")
+
+
+def _q_lineitem_part_anti(sf_dir: str):
+    """Broadcast ANTI join (NOT EXISTS): the complement of
+    lineitem_part_semi, same zero-exchange shape."""
+    import pyarrow.compute as pc
+
+    from dcpray.functions.join import broadcast_join
+
+    li = read_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber", "l_partkey"],
+                    override_num_blocks=16)
+    part = read_clean(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_size"],
+                      override_num_blocks=4)
+    part = part.map_batches(
+        lambda t: t.filter(pc.greater(t["p_size"], 40)),
+        batch_format="pyarrow")
+    return broadcast_join(li, part, on="l_partkey", right_on="p_partkey",
+                          how="anti")
+
+
 def _q_events_type_quantiles(sf_dir: str):
     """Per-group EXACT quantiles (quantile_disc GROUP BY): one coarse
     exchange on the group key, one lexsort + rank gather per partition
@@ -1511,6 +1580,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_customer_skewjoin": _q_events_customer_skewjoin,
         "cdc_conversations": _q_cdc_conversations,
         "events_rolling7": _q_events_rolling7,
+        "events_rolling_30min": _q_events_rolling_30min,
+        "lineitem_part_semi": _q_lineitem_part_semi,
+        "lineitem_part_anti": _q_lineitem_part_anti,
         "events_type_quantiles": _q_events_type_quantiles,
         "docs_contamination_exact": _q_docs_contamination_exact,
         "events_lag_lead": _q_events_lag_lead,
@@ -2052,6 +2124,24 @@ SELECT event_id, user_id, ts, value_c,
        MAX(value_c)   OVER w AS rolling_max
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+        "events_rolling_30min": """
+WITH e AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT user_id, ts, value_c,
+       CAST(SUM(value_c) OVER w AS BIGINT) AS rolling_sum,
+       COUNT(value_c) OVER w AS rolling_count
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1800 SECONDS PRECEDING
+                          AND CURRENT ROW)""",
+        "lineitem_part_semi": """
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM part p
+              WHERE p.p_partkey = l.l_partkey AND p.p_size > 40)""",
+        "lineitem_part_anti": """
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p
+                  WHERE p.p_partkey = l.l_partkey AND p.p_size > 40)""",
         "events_rank_running": """
 WITH e AS (
   SELECT event_id, user_id, ts,

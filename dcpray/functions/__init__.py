@@ -93,6 +93,7 @@ from dcpray.functions.window import (
     ntile_in_group,
     rank_in_group,
     rolling_agg,
+    rolling_agg_range,
     session_stats,
     sessionize,
 )
@@ -118,6 +119,6 @@ __all__ = [
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
     "lang_id_batch", "quality_score_batch", "text_stats",
     "token_count", "token_count_bpe",
-    "forward_fill", "hopping_window", "lag_lead", "ntile_in_group", "rank_in_group", "rolling_agg", "session_stats", "sessionize",
+    "forward_fill", "hopping_window", "lag_lead", "ntile_in_group", "rank_in_group", "rolling_agg", "rolling_agg_range", "session_stats", "sessionize",
     "remove_repeated_paragraphs",
 ]

@@ -511,16 +511,22 @@ def broadcast_join(left_ds, right, on: str | list[str],
     coarse-partition machinery instead when the right side is not a
     lookup table.
 
-    ``how`` is ``"inner"`` or ``"left"`` (SQL LEFT OUTER). Null join
-    keys follow SQL: they never match (inner drops them, left emits
-    null payload). ``right_cols`` maps right column → output name and
-    defaults to every non-key right column under its own name; a name
-    colliding with a left column raises.
+    ``how`` is ``"inner"``, ``"left"`` (SQL LEFT OUTER), ``"semi"``
+    (EXISTS — left rows with a match, left columns only) or ``"anti"``
+    (NOT EXISTS — left rows without one; null-key left rows are KEPT,
+    matching SQL NOT EXISTS, same convention as ``hash_join``). Null
+    join keys otherwise never match (inner/semi drop them, left emits
+    null payload). For semi/anti the broadcast is the right side's
+    DISTINCT keys only — the cheapest possible membership filter.
+    ``right_cols`` maps right column → output name and defaults to
+    every non-key right column under its own name; a name colliding
+    with a left column raises.
     """
     import ray
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner'/'left'/'semi'/'anti', got {how!r}")
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
         if right_on is not None else lkeys
@@ -530,6 +536,9 @@ def broadcast_join(left_ds, right, on: str | list[str],
         right = pa.concat_tables(
             list(right.iter_batches(batch_size=None, batch_format="pyarrow"))
         )
+    if how in ("semi", "anti"):
+        right_cols = {}
+        right = pa.TableGroupBy(right.select(rkeys), rkeys).aggregate([])
     if right_cols is None:
         right_cols = {c: c for c in right.schema.names if c not in rkeys}
     left_names = set(left_ds.schema().names)
@@ -542,7 +551,8 @@ def broadcast_join(left_ds, right, on: str | list[str],
         rkeys + [right_cols[c] for c in right_cols])
     # pre-combine so every worker joins against contiguous buffers
     ref = ray.put(payload.combine_chunks())
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
 
     def match(batch: pa.Table, rref) -> pa.Table:
         from dcpray.rayutil import worker_memo

@@ -339,6 +339,167 @@ def rolling_agg(ds, group_col: str, order_col: str, value_col: str,
             .map_groups(assign, batch_format="pyarrow"))
 
 
+def _sparse_table_minmax(vs: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                         want_min: bool, want_max: bool):
+    """min/max over the per-row VARIABLE ranges [lo, hi] (inclusive) in
+    O(n log n): classic sparse table, fully vectorized — level k holds
+    the running extreme of 2^k consecutive values; each query is the
+    extreme of two overlapping power-of-two blocks."""
+    n = len(vs)
+    res = {}
+    if n == 0:
+        if want_min:
+            res["min"] = vs
+        if want_max:
+            res["max"] = vs
+        return res
+    lengths = hi - lo + 1
+    kmax = int(np.log2(max(int(lengths.max()), 1)))
+    mins = [vs] if want_min else None
+    maxs = [vs] if want_max else None
+    for k in range(1, kmax + 1):
+        h = 1 << (k - 1)
+        if mins is not None:
+            mins.append(np.fmin(mins[-1][:-h], mins[-1][h:]))
+        if maxs is not None:
+            maxs.append(np.fmax(maxs[-1][:-h], maxs[-1][h:]))
+    k = np.floor(np.log2(lengths)).astype(np.int64)
+    out_min = np.empty(n) if want_min else None
+    out_max = np.empty(n) if want_max else None
+    for kk in range(kmax + 1):
+        m = k == kk
+        if not m.any():
+            continue
+        w = 1 << kk
+        l2 = hi[m] - w + 1
+        if want_min:
+            out_min[m] = np.fmin(mins[kk][lo[m]], mins[kk][l2])
+        if want_max:
+            out_max[m] = np.fmax(maxs[kk][lo[m]], maxs[kk][l2])
+    if want_min:
+        res["min"] = out_min
+    if want_max:
+        res["max"] = out_max
+    return res
+
+
+def _rolling_range_arrays(gs: np.ndarray, ts: np.ndarray, vs: np.ndarray,
+                          delta: int, aggs) -> dict:
+    """RANGE-frame kernel over arrays ALREADY sorted by (key, ts):
+    per row, aggregate every same-key row with
+    ``ts_j ∈ [ts_i − delta, ts_i]`` — including FOLLOWING peers with
+    ``ts_j == ts_i``, exactly SQL's ``RANGE ... AND CURRENT ROW``.
+
+    The variable lower bound comes from ONE extra lexsort: each row
+    emits a marker at value ``ts_i − delta`` that sorts BEFORE data
+    rows at equal value; a cumulative data-count at the marker's merged
+    position IS the global index of the first in-window row (clamped to
+    the group start — markers that underflow into earlier groups clamp
+    there). The upper bound is the row's (key, ts) run end. sum/mean/
+    count via prefix-sum differences; min/max via a vectorized sparse
+    table (the ROWS kernel's shifted passes need a FIXED width)."""
+    n = len(gs)
+    if np.isnan(vs).any():
+        raise ValueError("rolling aggregates require NaN-free values; "
+                         "drop or fill NaNs upstream")
+    first = np.r_[True, gs[1:] != gs[:-1]] if n else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.r_[starts, n])
+    seg_start = np.repeat(starts, sizes)
+    idx = np.arange(n)
+
+    # lower bound: marker-merge (flag 0 = marker sorts before data at
+    # equal value -> bound is INCLUSIVE)
+    a_g = np.r_[gs, gs]
+    a_val = np.r_[ts, ts - delta]
+    a_flag = np.r_[np.ones(n, np.int8), np.zeros(n, np.int8)]
+    a_idx = np.r_[idx, idx]
+    order2 = np.lexsort((a_flag, a_val, a_g))
+    data_before = np.cumsum(a_flag[order2]) - a_flag[order2]
+    is_marker = a_flag[order2] == 0
+    lo = np.empty(n, np.int64)
+    lo[a_idx[order2][is_marker]] = data_before[is_marker]
+    lo = np.maximum(lo, seg_start)
+
+    # upper bound: end of the (key, ts) run (SQL peer rows)
+    new_run = np.r_[True, (gs[1:] != gs[:-1]) | (ts[1:] != ts[:-1])] \
+        if n else np.zeros(0, bool)
+    run_id = np.cumsum(new_run) - 1
+    ends = np.flatnonzero(np.r_[new_run[1:], True]) if n \
+        else np.zeros(0, np.int64)
+    hi = ends[run_id] if n else np.zeros(0, np.int64)
+
+    cnt = hi - lo + 1
+    res: dict = {}
+    if {"sum", "mean"} & set(aggs):
+        cs = np.cumsum(vs)
+        win_sum = cs[hi] - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0.0)
+        if "sum" in aggs:
+            res["sum"] = win_sum
+        if "mean" in aggs:
+            res["mean"] = win_sum / np.maximum(cnt, 1)
+    if "count" in aggs:
+        res["count"] = cnt.astype(np.int64)
+    if {"min", "max"} & set(aggs):
+        res.update(_sparse_table_minmax(vs, lo, hi, "min" in aggs,
+                                        "max" in aggs))
+    return res
+
+
+def rolling_agg_range(ds, group_col: str, ts_col: str, value_col: str,
+                      interval_s: float,
+                      aggs: tuple[str, ...] = ("sum", "mean"),
+                      partitions: int = 64, prefix: str = "rolling_"):
+    """Per-key TIME-RANGE moving aggregates — SQL
+    ``agg(value) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    INTERVAL interval PRECEDING AND CURRENT ROW)`` — distributed.
+    The frame is defined by TIME distance, not row count (the ROWS
+    sibling is ``rolling_agg``), and includes CURRENT ROW's peers
+    (equal ts), exactly as in SQL.
+
+    Scale shape: ONE coarse exchange on the group key, then per
+    partition one lexsort of the rows plus one lexsort of a 2n
+    marker-merge resolving every variable window start — no per-row or
+    per-group loop (see ``_rolling_range_arrays``). Pass integer values
+    (cents) when bit-exactness vs a SQL oracle matters. Nulls in
+    key/ts/value raise loudly."""
+    from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    if interval_s < 0:
+        raise ValueError("interval_s must be >= 0")
+    bad = set(aggs) - {"sum", "mean", "count", "min", "max"}
+    if bad:
+        raise ValueError(f"unsupported rolling aggs: {sorted(bad)}")
+
+    def assign(group: pa.Table) -> pa.Table:
+        require_nonnull(group, (group_col, ts_col, value_col),
+                        "rolling_agg_range")
+        g = pc.dictionary_encode(
+            group[group_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ty = group[ts_col].type
+        tsv = group[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ty):
+            tsv = pc.cast(tsv, pa.int64())
+        t = tsv.to_numpy(zero_copy_only=False).astype(np.int64)
+        delta = _gap_threshold(ty, interval_s) if pa.types.is_timestamp(ty) \
+            else np.int64(round(interval_s))
+        v = group[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((t, g))
+        res = _rolling_range_arrays(g[order], t[order], v[order],
+                                    int(delta), aggs)
+        out = group.drop_columns(["_pk"]).take(pa.array(order))
+        for name, arr in res.items():
+            out = out.append_column(prefix + name, pa.array(arr))
+        return out
+
+    return (ds.map_batches(add_coarse_pk, fn_args=(group_col, partitions),
+                           batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(assign, batch_format="pyarrow"))
+
+
 def lag_lead(ds, group_col: str, order_col: str, value_col: str,
              tiebreak_col: str, lags: tuple[int, ...] = (1,),
              leads: tuple[int, ...] = (1,), partitions: int = 64):

@@ -1189,3 +1189,30 @@ def test_hash_join_skew_right_rows_guard():
     with pytest.raises(ValueError, match="dimension-like"):
         hash_join_skew(rd.from_arrow(lt), rd.from_arrow(rt), on="k",
                        hot_threshold=100, max_hot_right_rows=10)
+
+
+def test_broadcast_join_semi_anti_match_hash_join_and_keep_null_anti():
+    from dcpray.functions.join import broadcast_join, hash_join
+
+    rng = np.random.RandomState(2)
+    lt = pa.table({
+        "k": pa.array([None if rng.rand() < 0.05 else int(v)
+                       for v in rng.randint(0, 100, 3000)], pa.int64()),
+        "lv": pa.array(np.arange(3000, dtype=np.int64)),
+    })
+    rt = pa.table({"k": pa.array(rng.randint(50, 150, 300), pa.int64()),
+                   "rv": pa.array(np.arange(300, dtype=np.int64))})
+    for how in ("semi", "anti"):
+        out = broadcast_join(rd.from_arrow(lt).repartition(4), rt,
+                             on="k", how=how).to_pandas()
+        ref = hash_join(rd.from_arrow(lt).repartition(4),
+                        rd.from_arrow(rt), on="k", how=how).to_pandas()
+        a = out.sort_values(["k", "lv"]).reset_index(drop=True)
+        b = ref[a.columns].sort_values(["k", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    anti = broadcast_join(rd.from_arrow(lt), rt, on="k",
+                          how="anti").to_pandas()
+    assert anti["k"].isna().sum() == lt.to_pandas()["k"].isna().sum()
+    semi = broadcast_join(rd.from_arrow(lt), rt, on="k",
+                          how="semi").to_pandas()
+    assert semi["k"].notna().all()

@@ -50,3 +50,64 @@ def test_rolling_kernel_matches_brute_force(n, window, data):
         np.testing.assert_allclose(res[k], ref[k], rtol=1e-9, atol=1e-6)
     for k in ("min", "max"):
         np.testing.assert_array_equal(res[k], ref[k])
+
+
+# --------------------------------------------- RANGE-frame kernel
+
+
+def test_rolling_range_kernel_vs_brute_force():
+    from dcpray.functions.window import _rolling_range_arrays
+
+    for seed in range(8):
+        r = np.random.RandomState(seed)
+        m = r.randint(1, 400)
+        g = np.sort(r.randint(0, 5, m))
+        tt = r.randint(0, 60, m)
+        o = np.lexsort((tt, g))
+        g, tt = g[o], tt[o]
+        v = r.randint(0, 100, m).astype(np.float64)
+        delta = int(r.randint(0, 20))
+        res = _rolling_range_arrays(
+            g, tt, v, delta, ("sum", "mean", "count", "min", "max"))
+        for i in range(m):
+            mask = (g == g[i]) & (tt >= tt[i] - delta) & (tt <= tt[i])
+            assert res["count"][i] == mask.sum()
+            assert abs(res["sum"][i] - v[mask].sum()) < 1e-9
+            assert abs(res["mean"][i] - v[mask].mean()) < 1e-9
+            assert res["min"][i] == v[mask].min()
+            assert res["max"][i] == v[mask].max()
+
+
+def test_rolling_agg_range_vs_duckdb_interval_frame():
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dcpray.functions.window import rolling_agg_range
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.randint(0, 3600 * 3, n).astype(
+        "timedelta64[s]").astype("timedelta64[us]")
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 20, n), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "v": pa.array(rng.randint(0, 1000, n).astype(np.float64)),
+    })
+    out = rolling_agg_range(
+        rd.from_arrow(t).repartition(4), "k", "ts", "v",
+        interval_s=900, aggs=("sum", "mean", "count", "min", "max"),
+        partitions=8).to_pandas()
+    ora = duckdb.sql("""
+SELECT k, ts, v, sum(v) OVER w AS rolling_sum, avg(v) OVER w AS rolling_mean,
+       CAST(count(v) OVER w AS BIGINT) AS rolling_count,
+       min(v) OVER w AS rolling_min, max(v) OVER w AS rolling_max
+FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+    RANGE BETWEEN INTERVAL 900 SECONDS PRECEDING AND CURRENT ROW)""").df()
+    cols = ["k", "ts", "v", "rolling_sum", "rolling_mean",
+            "rolling_count", "rolling_min", "rolling_max"]
+    a = out[cols].sort_values(["k", "ts", "v"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["k", "ts", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
