@@ -720,12 +720,13 @@ def _grouping_sets_impl(ds, keys: list[str],
     ``partial_aggregate`` on the full key set and merged ONCE at the
     finest level (the only exchange that sees O(batch-partials) rows);
     the collapsed finest-level partials — O(distinct full-key combos) —
-    are materialized in the OBJECT STORE and every other subset
-    re-merges THOSE (the partial algebra is associative —
-    re-aggregating finalized values would be wrong for ``mean``), all
-    subsets streaming concurrently off the one barrier. Total exchanged
-    rows: O(batch-partials + subsets × distinct), not the naive
-    O(subsets × batch-partials)."""
+    then FAN OUT once (one tagged copy per coarser subset, partition
+    key = hash(level, subset keys)) through ONE more exchange, and each
+    partition task merges every level slice it holds (the partial
+    algebra is associative — re-aggregating finalized values would be
+    wrong for ``mean``). TWO exchanges total regardless of how many
+    subsets; rows exchanged: O(batch-partials + subsets × distinct),
+    not the naive O(subsets × batch-partials)."""
     _validate_aggs(aggs)
     n = len(keys)
     if n == 0:
@@ -762,40 +763,71 @@ def _grouping_sets_impl(ds, keys: list[str],
 
     # the one big exchange + barrier: collapsed partials per full key
     full = tuple(range(n))
-    finest = _merge_keep(part, keys, partitions).materialize()
+    subs = [tuple(s) for s in subsets]
+    levels = {li: s for li, s in enumerate(subs)}
 
-    def level(sub: tuple[int, ...]):
+    def _finish(t: pa.Table, sub: tuple[int, ...]) -> pa.Table:
         gid = sum(1 << (n - 1 - i) for i in range(n) if i not in sub)
         skeys = [keys[i] for i in sub]
-        if sub == full:
-            merged = finest
-        elif not sub:
-            def allk(t: pa.Table) -> pa.Table:
-                return t.append_column(
-                    "_all", pa.array(np.zeros(t.num_rows, np.int8)))
+        t = finalize_partials(t, skeys, aggs)
+        for i, k in enumerate(keys):
+            if i not in sub:
+                t = t.append_column(k, pa.nulls(t.num_rows, key_fields[k]))
+        t = t.append_column(
+            gid_col, pa.array(np.full(t.num_rows, gid, np.int64)))
+        return t.select(keys + [gid_col] + aliases)
 
-            merged = _merge_keep(
-                finest.map_batches(allk, batch_format="pyarrow"),
-                ["_all"], 1)
-        else:
-            merged = _merge_keep(finest, skeys, partitions)
+    finest = _merge_keep(part, keys, partitions)
+    coarser = [(li, s) for li, s in levels.items() if s != full]
+    if not coarser:
+        return finest.map_batches(lambda t: _finish(t, full),
+                                  batch_format="pyarrow")
+    finest = finest.materialize()
 
-        def finish(t: pa.Table) -> pa.Table:
-            t = finalize_partials(t, skeys if sub else ["_all"], aggs)
-            if "_all" in t.column_names:
-                t = t.drop_columns(["_all"])
-            for i, k in enumerate(keys):
-                if i not in sub:
-                    t = t.append_column(
-                        k, pa.nulls(t.num_rows, key_fields[k]))
-            t = t.append_column(
-                gid_col, pa.array(np.full(t.num_rows, gid, np.int64)))
-            return t.select(keys + [gid_col] + aliases)
+    # ONE fan-out exchange for every coarser subset: tag each collapsed
+    # finest partial with (level, hash(level, subset keys)) — the level
+    # id is mixed into the partition key, so the grand total's single
+    # group and every other level co-schedule in the same sort
+    def fan(t: pa.Table) -> pa.Table:
+        outs = []
+        for li, s in coarser:
+            skeys = [keys[i] for i in s]
+            h = _hash_key_columns(t, skeys) if skeys \
+                else np.zeros(t.num_rows, np.uint64)
+            with np.errstate(over="ignore"):
+                h = splitmix64(h ^ (np.uint64(li + 1) * _GOLDEN))
+            pk = (h % np.uint64(partitions * max(len(coarser), 1))) \
+                .astype(np.int32)
+            outs.append(t.append_column(
+                "_lvl", pa.array(np.full(t.num_rows, li, np.int16)))
+                .append_column("_pk", pa.array(pk)))
+        return pa.concat_tables(outs)
 
-        return merged.map_batches(finish, batch_format="pyarrow")
+    def combine(g: pa.Table) -> pa.Table:
+        lv = g["_lvl"].to_numpy(zero_copy_only=False)
+        outs = []
+        for li in np.unique(lv):
+            s = levels[int(li)]
+            skeys = [keys[i] for i in s]
+            rows = g.filter(pa.array(lv == li)).drop_columns(
+                ["_lvl", "_pk"])
+            if skeys:
+                merged = merge_partials_keep(rows, skeys, aggs)
+            else:
+                rows = rows.append_column(
+                    "_all", pa.array(np.zeros(rows.num_rows, np.int8)))
+                merged = merge_partials_keep(rows, ["_all"], aggs) \
+                    .drop_columns(["_all"])
+            outs.append(_finish(merged, s))
+        return pa.concat_tables(outs)
 
-    outs = [level(tuple(s)) for s in subsets]
-    return outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]
+    fanned = (finest.map_batches(fan, batch_format="pyarrow")
+              .groupby("_pk")
+              .map_groups(combine, batch_format="pyarrow"))
+    if full in subs:
+        return fanned.union(finest.map_batches(
+            lambda t: _finish(t, full), batch_format="pyarrow"))
+    return fanned
 
 
 def rollup(ds, keys: list[str], aggs: list[tuple[str, str, str]],
