@@ -1051,6 +1051,57 @@ def _q_lineitem_part_anti(sf_dir: str):
                           how="anti")
 
 
+def _q_events_props_extract(sf_dir: str):
+    """Semi-structured payload extraction: pull the int field ``k``
+    out of the JSON props column with ONE vectorized RE2 extract per
+    batch (textprep.extract_json_field — the oracle runs the identical
+    pattern, so values are exact), then aggregate mean value per k."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.agg import coarse_groupby
+    from dcpray.functions.textprep import extract_json_field
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "props", "value"],
+                    override_num_blocks=16)
+    ds = extract_json_field(ds, "props", "k", kind="int")
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return pa.table({"k": t["k"], "event_id": t["event_id"],
+                         "value_c": c})
+
+    return coarse_groupby(ds.map_batches(cents, batch_format="pyarrow"),
+                          ["k"], [("event_id", "count", "n"),
+                                  ("value_c", "mean", "mean_c")])
+
+
+def _q_events_latest_per_user(sf_dir: str):
+    """arg_max: each user's latest event (max ts, event_id tiebreak) —
+    topk_per_group with k=1, i.e. the per-batch local top-k combiner
+    means the exchange moves at most one row per (user, batch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.agg import topk_per_group
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "ts", "event_type"],
+                    override_num_blocks=16)
+
+    def enc(t: pa.Table) -> pa.Table:
+        return t.append_column("ts_us", pc.cast(t["ts"], pa.int64()))
+
+    out = topk_per_group(ds.map_batches(enc, batch_format="pyarrow"),
+                         "user_id", "ts_us", k=1,
+                         tiebreak_col="event_id", descending=True)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "ts", "event_type"]),
+        batch_format="pyarrow")
+
+
 def _q_events_type_quantiles(sf_dir: str):
     """Per-group EXACT quantiles (quantile_disc GROUP BY): one coarse
     exchange on the group key, one lexsort + rank gather per partition
@@ -1581,6 +1632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_conversations": _q_cdc_conversations,
         "events_rolling7": _q_events_rolling7,
         "events_rolling_30min": _q_events_rolling_30min,
+        "events_props_extract": _q_events_props_extract,
+        "events_latest_per_user": _q_events_latest_per_user,
         "lineitem_part_semi": _q_lineitem_part_semi,
         "lineitem_part_anti": _q_lineitem_part_anti,
         "events_type_quantiles": _q_events_type_quantiles,
@@ -2134,6 +2187,19 @@ SELECT user_id, ts, value_c,
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
                     RANGE BETWEEN INTERVAL 1800 SECONDS PRECEDING
                           AND CURRENT ROW)""",
+        "events_props_extract": r"""
+WITH e AS (
+  SELECT CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k,
+         event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT k, CAST(count(*) AS BIGINT) AS n, avg(value_c) AS mean_c
+FROM e GROUP BY k""",
+        "events_latest_per_user": """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id) rn
+  FROM events) WHERE rn = 1""",
         "lineitem_part_semi": """
 SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
 WHERE EXISTS (SELECT 1 FROM part p

@@ -536,3 +536,39 @@ def pack_sequences(ds, token_col: str, budget: int, id_col: str = "doc_id",
             .groupby("_pk")
             .map_groups(pack, batch_format="pyarrow"))
 
+
+
+def extract_json_field(ds, col: str, key: str, out_col: str | None = None,
+                       kind: str = "int"):
+    """Extract a FLAT scalar field from a JSON-string column — the
+    semi-structured payload pattern (the reference's opaque []byte
+    Value is typically JSON it never parses, SURVEY §1.1; this is the
+    vectorized extraction a table engine adds on top).
+
+    Deliberately REGEX-based (``pc.extract_regex``, RE2) rather than a
+    per-row json.loads loop: fully vectorized, and an oracle running
+    the SAME pattern via ``regexp_extract`` is exact by construction.
+    Handles flat ``{"key": 123}`` / ``{"key": "str"}`` objects — for
+    nested JSON use a real parser in an actor stage instead. Missing
+    key / null input → null. ``kind``: "int" (casts to int64) or
+    "str" (unescapes nothing — raw string group, matching
+    regexp_extract)."""
+    import re as _re
+
+    if kind not in ("int", "str"):
+        raise ValueError("kind must be 'int' or 'str'")
+    k = _re.escape(key)
+    # pc.extract_regex requires NAMED groups
+    pattern = (rf'"{k}":\s*(?P<v>-?\d+)' if kind == "int"
+               else rf'"{k}":\s*"(?P<v>[^"]*)"')
+    out_col = out_col or key
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t[col].combine_chunks()
+        m = pc.extract_regex(s, pattern)
+        v = pc.struct_field(m, "v")
+        if kind == "int":
+            v = pc.cast(v, pa.int64())
+        return t.append_column(out_col, v)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1216,3 +1216,19 @@ def test_broadcast_join_semi_anti_match_hash_join_and_keep_null_anti():
     semi = broadcast_join(rd.from_arrow(lt), rt, on="k",
                           how="semi").to_pandas()
     assert semi["k"].notna().all()
+
+
+def test_extract_json_field_int_str_missing_null():
+    from dcpray.functions.textprep import extract_json_field
+
+    t = pa.table({"p": pa.array(['{"k": 42, "s": "hi"}', '{"s": "x"}',
+                                 None, '{"k": -7}'])})
+    out = extract_json_field(rd.from_arrow(t), "p", "k",
+                             kind="int").to_pandas()
+    assert out["k"].tolist()[0] == 42 and out["k"].tolist()[3] == -7
+    assert pd.isna(out["k"][1]) and pd.isna(out["k"][2])
+    out2 = extract_json_field(rd.from_arrow(t), "p", "s", out_col="sv",
+                              kind="str").to_pandas()
+    assert out2["sv"].tolist()[:2] == ["hi", "x"]
+    with pytest.raises(ValueError, match="kind"):
+        extract_json_field(rd.from_arrow(t), "p", "k", kind="float")
