@@ -31,3 +31,16 @@ def test_example_pipeline_end_to_end(tiny_fixture, tmp_path):
     for n in ("train", "val", "test"):
         files = glob.glob(os.path.join(out, "corpus", f"split={n}", "*.parquet"))
         assert (len(files) > 0) == (counts[f"split_{n}"] > 0)
+
+
+def test_incremental_sync_example(tiny_fixture, tmp_path):
+    """Change-feed consumer: a downstream mirror maintained purely from
+    lake_diff feeds must equal the lake's final state."""
+    from incremental_sync import run_sync
+
+    out = str(tmp_path / "sync")
+    res = run_sync(os.path.join(tiny_fixture, "wal"),
+                   os.path.join(tiny_fixture, "base"), out, num_buckets=8)
+    assert res["in_sync"] and res["commits"] == 2
+    assert res["mirror_rows"] == res["lake_rows"] > 0
+    assert res["update"] + res["delete"] > 0  # the feed did real work
