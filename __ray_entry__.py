@@ -716,6 +716,30 @@ def _q_events_asof_click(sf_dir: str):
                      right_cols={"ts": "click_ts"})
 
 
+def _q_events_asof_next_click(sf_dir: str):
+    """FORWARD as-of join: each event attached to the same user's next
+    at-or-after 'click' timestamp — direction='forward' reduces to the
+    backward merge by negating the internal int64 ts (join.py). Oracle
+    is a correlated min() subquery (DuckDB's native ASOF is
+    backward-only)."""
+    import pyarrow.compute as pc
+
+    from dcpray.functions.join import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    left = read_clean(path, columns=["event_id", "user_id", "ts"],
+                      override_num_blocks=16)
+    right = read_clean(path, columns=["user_id", "ts", "event_type"],
+                       override_num_blocks=16).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    return asof_join(left, right, key_col="user_id", ts_col="ts",
+                     right_cols={"ts": "next_click_ts"},
+                     direction="forward")
+
+
 def _q_sample_docs_hash(sf_dir: str):
     """Deterministic content-hash 1-in-10 sample — bit-compatible with
     DuckDB's md5_number_lower, so the oracle checks the exact row set."""
@@ -1599,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_asof_click": _q_events_asof_click,
+        "events_asof_next_click": _q_events_asof_next_click,
         "events_top3_by_value": _q_events_top3_by_value,
         "events_range_click": _q_events_range_click,
         "events_range_click_broadcast": _q_events_range_click_broadcast,
@@ -1950,6 +1975,13 @@ SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
 FROM events l
 ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_asof_next_click": """
+SELECT l.event_id, l.user_id, l.ts,
+       (SELECT min(r.ts)
+        FROM events r
+        WHERE r.event_type = 'click' AND r.user_id = l.user_id
+          AND r.ts >= l.ts) AS next_click_ts
+FROM events l""",
         "sample_docs_hash": """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE md5_number_lower(text) % 10 = 3""",

@@ -72,6 +72,10 @@ SECONDARY = [
     "events_value_stats",
     "custkeys_intersect",
     "embeddings_unnest",
+    "events_rolling_30min",
+    "lineitem_part_semi",
+    "events_props_extract",
+    "events_latest_per_user",
 ]
 
 

@@ -168,19 +168,34 @@ def _plan_temporal_join(left_ds, right_ds, key_col: str, ts_col: str,
 
 
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
-              right_cols: dict[str, str], partitions: int = 64):
-    """Backward as-of left join.
+              right_cols: dict[str, str], partitions: int = 64,
+              direction: str = "backward"):
+    """As-of left join — ``direction="backward"`` (default) matches
+    each left row with the LATEST same-key right row at
+    ``right.ts <= left.ts``; ``"forward"`` with the EARLIEST at
+    ``right.ts >= left.ts`` (implemented by negating the internal
+    int64 timestamp, which reduces forward to the same vectorized
+    segment-cummax merge — zero extra machinery).
 
     ``right_cols`` maps right-side column → output name (e.g.
     ``{"ts": "click_ts", "value": "click_value"}``). Returns all left
-    columns plus the renamed right columns (null where no right row of
-    the same key has ts ≤ the left row's ts). Equal timestamps match
-    (``>=``); among equal-ts right rows the last in (key, ts) order
-    wins — emit only tie-invariant right columns if that matters."""
+    columns plus the renamed right columns (null where no right row
+    qualifies). Equal timestamps match in BOTH directions; among
+    equal-ts right rows the last in (key, ts) order wins — emit only
+    tie-invariant right columns if that matters."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
     tagged, left_names, out_right, _ = _plan_temporal_join(
         left_ds, right_ds, key_col, ts_col, right_cols, partitions,
         drop_invalid_left=False,
     )
+    if direction == "forward":
+        def negate_ts(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("_ts")
+            return t.set_column(i, "_ts", pc.negate(t["_ts"]))
+
+        tagged = tagged.map_batches(negate_ts, batch_format="pyarrow")
 
     def merge(group: pa.Table) -> pa.Table:
         k = group["_k"].combine_chunks().to_numpy(zero_copy_only=False)

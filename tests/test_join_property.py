@@ -72,3 +72,38 @@ def test_asof_merge_matches_brute_force(n, data):
             assert ri is not None, f"left {li}: expected a match"
             assert side[ri] == 0
             assert k[ri] == k[li] and ts[ri] == ts[want[li]]
+
+
+def test_asof_forward_matches_brute_force_and_flips_backward():
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dcpray.functions.join import asof_join
+
+    rng = np.random.RandomState(4)
+    n = 3000
+    lt = pa.table({"k": pa.array(rng.randint(0, 25, n), pa.int64()),
+                   "ts": pa.array(rng.randint(0, 500, n), pa.int64()),
+                   "lid": pa.array(np.arange(n, dtype=np.int64))})
+    rt = pa.table({"k": pa.array(rng.randint(0, 25, 800), pa.int64()),
+                   "ts": pa.array(rng.randint(0, 500, 800), pa.int64())})
+    out = asof_join(rd.from_arrow(lt).repartition(4),
+                    rd.from_arrow(rt).repartition(3),
+                    key_col="k", ts_col="ts",
+                    right_cols={"ts": "next_ts"},
+                    direction="forward").to_pandas()
+    ora = duckdb.sql("""
+SELECT l.k, l.ts, l.lid,
+       (SELECT min(r.ts) FROM rt r
+        WHERE r.k = l.k AND r.ts >= l.ts) AS next_ts
+FROM lt l""").df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(["lid"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["lid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt), key_col="k",
+                  ts_col="ts", right_cols={"ts": "x"}, direction="up")
