@@ -259,26 +259,21 @@ def _q_cdc_scd2_history(sf_dir: str):
     """SCD Type-2 version chain over the validated WAL stream — every
     version of every (conv_id, turn_idx) with its validity interval
     (the full-history view the reference's pre-compaction Kafka log
-    holds implicitly; dcpray/functions/history.py)."""
+    holds implicitly). ZERO exchange: key → vb is a pure function, so
+    each wal/vb=NNNN/ directory computes its chains in one independent
+    task (history.wal_version_history — the same
+    inherit-the-stream-partitioning trick as the aligned LWW merge)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from dcpray.functions.history import version_history
-    from dcpray.sources import wal as walmod
-    from dcpray.sources.io import read_parquet_fast
-    from dcpray.stages.reject import make_reject_filter
+    from dcpray.functions.history import wal_version_history
 
     fx = _fx(sf_dir)
-    infos = walmod.scan_wal(os.path.join(fx, "wal"))
-    ds = read_parquet_fast(
-        [i.path for i in infos],
-        columns=["vb", "seqno", "conv_id", "turn_idx", "op", "role"],
+    ds = wal_version_history(
+        os.path.join(fx, "wal"),
+        keys=("conv_id", "turn_idx"), version_col="seqno",
+        columns=["conv_id", "turn_idx", "seqno", "op", "role"],
     )
-    ds = ds.map_batches(
-        make_reject_filter(walmod.watermark_array({}, 1), None),
-        batch_format="pyarrow",
-    )
-    ds = version_history(ds, ["conv_id", "turn_idx"], "seqno")
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table(

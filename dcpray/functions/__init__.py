@@ -42,6 +42,7 @@ from dcpray.functions.decontam import (
 from dcpray.functions.history import (
     lake_diff,
     version_history,
+    wal_version_history,
 )
 from dcpray.functions.dedup import (
     cluster_pairs,
@@ -108,7 +109,7 @@ __all__ = [
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "exact_contamination", "ngram_contamination",
-    "lake_diff", "version_history",
+    "lake_diff", "version_history", "wal_version_history",
     "cube", "grouping_sets", "corr_per_group", "explode",
     "intersect_distinct", "except_distinct", "union_distinct",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",

@@ -65,29 +65,90 @@ def version_history(ds, keys: list[str], version_col: str,
         return t.append_column("_pk", pa.array(pk))
 
     def assign(group: pa.Table) -> pa.Table:
-        require_nonnull(group, (*keys, version_col), "version_history")
-        enc = [_encode_sort_key(group[k]) for k in keys]
-        v = _encode_sort_key(group[version_col])
-        order = np.lexsort((v, *enc[::-1]))
-        out = group.drop_columns(["_pk"]).take(pa.array(order))
-        n = out.num_rows
-        same_next = np.zeros(n, bool)
-        if n > 1:
-            same_next[:-1] = np.logical_and.reduce(
-                [e[order][1:] == e[order][:-1] for e in enc])
-        vers = out[version_col].combine_chunks()
-        nxt = np.arange(1, n + 1)
-        nxt[-1:] = 0  # masked off below
-        valid_to = pc.if_else(
-            pa.array(same_next),
-            vers.take(pa.array(np.where(same_next, nxt, 0))),
-            pa.nulls(n, vers.type))
-        return (out.append_column(valid_to_col, valid_to)
-                .append_column(current_col, pa.array(~same_next)))
+        return _assign_history(group.drop_columns(["_pk"]), keys,
+                               version_col, valid_to_col, current_col)
 
     return (ds.map_batches(add_pk, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign, batch_format="pyarrow"))
+
+
+def _assign_history(group: pa.Table, keys: list[str], version_col: str,
+                    valid_to_col: str, current_col: str) -> pa.Table:
+    """The per-partition SCD2 kernel: lexsort by (keys, version), one
+    shifted vectorized compare for the validity chain. Requires every
+    row of a key to be present in ``group``."""
+    require_nonnull(group, (*keys, version_col), "version_history")
+    enc = [_encode_sort_key(group[k]) for k in keys]
+    v = _encode_sort_key(group[version_col])
+    order = np.lexsort((v, *enc[::-1]))
+    out = group.take(pa.array(order))
+    n = out.num_rows
+    same_next = np.zeros(n, bool)
+    if n > 1:
+        same_next[:-1] = np.logical_and.reduce(
+            [e[order][1:] == e[order][:-1] for e in enc])
+    vers = out[version_col].combine_chunks()
+    nxt = np.arange(1, n + 1)
+    nxt[-1:] = 0  # masked off below
+    valid_to = pc.if_else(
+        pa.array(same_next),
+        vers.take(pa.array(np.where(same_next, nxt, 0))),
+        pa.nulls(n, vers.type))
+    return (out.append_column(valid_to_col, valid_to)
+            .append_column(current_col, pa.array(~same_next)))
+
+
+def wal_version_history(wal_dir: str, keys=("conv_id", "turn_idx"),
+                        version_col: str = "seqno",
+                        columns: list[str] | None = None,
+                        valid_to_col: str = "valid_to",
+                        current_col: str = "is_current",
+                        validate: bool = True):
+    """``version_history`` over a vb-partitioned WAL with ZERO
+    exchange: the key → vb mapping is a pure function (Couchbase:
+    crc32(key) % 1024, SURVEY §4), so every version of a key already
+    lives in ONE ``wal/vb=NNNN/`` directory — each vb directory is one
+    independent task (read → validate → SCD2 kernel), inheriting the
+    stream's partitioning exactly like the aligned LWW merge
+    (dcpray/stages/aligned.py). Use the generic ``version_history``
+    when the input is not key-partitioned."""
+    import os
+
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    from dcpray.sources import wal as walmod
+    from dcpray.stages.reject import make_reject_filter
+
+    infos = walmod.scan_wal(wal_dir)
+    by_vb: dict[str, list[str]] = {}
+    for i in infos:
+        by_vb.setdefault(os.path.dirname(i.path), []).append(i.path)
+    items = [{"paths": sorted(ps)} for _, ps in sorted(by_vb.items())]
+    rej = make_reject_filter(walmod.watermark_array({}, 1), None) \
+        if validate else None
+    key_list = list(keys)
+    need = columns
+    if need is not None:
+        need = sorted({*need, *key_list, version_col}
+                      | ({"vb", "op"} if validate else set()))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            t = pa.concat_tables(
+                [pq.read_table(p, columns=need) for p in row["paths"]],
+                promote_options="default")
+            if rej is not None:
+                t = rej(t)
+            outs.append(_assign_history(t, key_list, version_col,
+                                        valid_to_col, current_col))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.from_items(items).map_batches(
+        hist, batch_format="pyarrow", batch_size=1)
 
 
 def _manifest_at(lake, seq: int):

@@ -155,3 +155,40 @@ def test_lake_diff_unknown_seq_raises(two_commit_lake):
     lake, _, _ = two_commit_lake
     with pytest.raises(ValueError, match="no manifest"):
         lake_diff(lake, 1, 99)
+
+
+def test_wal_version_history_equals_generic():
+    """The zero-exchange vb-aligned path must equal the generic
+    exchange path on the same WAL."""
+    import os
+
+    from dcpray.functions.history import (
+        version_history,
+        wal_version_history,
+    )
+    from dcpray.sources import wal as walmod
+    from dcpray.sources.io import read_parquet_fast
+    from dcpray.stages.reject import make_reject_filter
+
+    fx = ensure_fixture("sf0.001")
+    wal = os.path.join(fx, "wal")
+    cols = ["conv_id", "turn_idx", "seqno", "op"]
+    a = wal_version_history(wal, columns=cols).to_pandas()
+
+    infos = walmod.scan_wal(wal)
+    ds = read_parquet_fast(
+        [i.path for i in infos],
+        columns=["vb", "seqno", "conv_id", "turn_idx", "op"])
+    ds = ds.map_batches(
+        make_reject_filter(walmod.watermark_array({}, 1), None),
+        batch_format="pyarrow")
+    b = version_history(ds, ["conv_id", "turn_idx"], "seqno").to_pandas()
+
+    ka = a[["conv_id", "turn_idx", "seqno", "valid_to", "is_current"]]
+    kb = b[["conv_id", "turn_idx", "seqno", "valid_to", "is_current"]]
+    sa = ka.sort_values(["conv_id", "turn_idx", "seqno"]).reset_index(
+        drop=True)
+    sb = kb.sort_values(["conv_id", "turn_idx", "seqno"]).reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
+    assert len(sa) > 0
