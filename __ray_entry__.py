@@ -1291,6 +1291,66 @@ def _q_embeddings_unnest(sf_dir: str):
     return explode(ds, "embedding", pos_col="pos", value_col="val")
 
 
+def _q_events_describe(sf_dir: str):
+    """describe(): one-pass per-column count/mean/std/min/max — each
+    batch collapses to ONE partial row, no exchange (agg.py describe;
+    std by the pinned-op-order identity, bit-exact vs the oracle's
+    explicit arithmetic on integer cents)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.agg import describe
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["user_id", "value"], override_num_blocks=16)
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return pa.table({"user_id": t["user_id"], "value_c": c})
+
+    return describe(ds.map_batches(cents, batch_format="pyarrow"),
+                    ["user_id", "value_c"])
+
+
+def _q_customer_updates_diff(sf_dir: str):
+    """Generic table_diff (SQL MERGE classification): customer vs a
+    deterministically perturbed copy (balance bumped for custkey%7,
+    custkey%13 rows dropped) → per-key update/delete change set
+    (history.py table_diff — the exchange-based sibling of the lake's
+    zero-exchange lake_diff)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.history import table_diff
+
+    def base():
+        ds = read_clean(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+                        override_num_blocks=8)
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.add(pc.multiply(t["c_acctbal"], 100.0),
+                                        0.5)), pa.int64())
+            return pa.table({"c_custkey": t["c_custkey"], "bal_c": c,
+                             "c_mktsegment": t["c_mktsegment"]})
+
+        return ds.map_batches(cents, batch_format="pyarrow")
+
+    def perturb(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 13 != 0))
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        bump = pa.array((k % 7 == 0) * np.int64(1000))
+        return t.set_column(t.schema.get_field_index("bal_c"), "bal_c",
+                            pc.add(t["bal_c"], bump))
+
+    new = base().map_batches(perturb, batch_format="pyarrow")
+    return table_diff(base(), new, keys=["c_custkey"])
+
+
 def _q_custkeys_intersect(sf_dir: str):
     """SQL INTERSECT: customers that placed at least one order — both
     sides collapse to per-batch distinct keys BEFORE the one exchange
@@ -1665,6 +1725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": _q_events_value_stats,
         "events_corr_value_hour": _q_events_corr_value_hour,
         "embeddings_unnest": _q_embeddings_unnest,
+        "events_describe": _q_events_describe,
+        "customer_updates_diff": _q_customer_updates_diff,
         "custkeys_intersect": _q_custkeys_intersect,
         "events_except_days": _q_events_except_days,
         "lineitem_melt": _q_lineitem_melt,
@@ -2161,6 +2223,46 @@ SELECT vec_id,
                              i -> CAST(i - 1 AS BIGINT))) AS pos,
        unnest(embedding) AS val
 FROM embeddings""",
+        "events_describe": """
+WITH e AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT 'user_id' AS column, CAST(count(*) AS DOUBLE) AS n,
+       avg(user_id) AS mean,
+       sqrt(CAST(sum(user_id*user_id) AS DOUBLE)/count(user_id)
+            - (CAST(sum(user_id) AS DOUBLE)/count(user_id))
+              * (CAST(sum(user_id) AS DOUBLE)/count(user_id))) AS std,
+       CAST(min(user_id) AS DOUBLE) AS min,
+       CAST(max(user_id) AS DOUBLE) AS max
+FROM e
+UNION ALL
+SELECT 'value_c', CAST(count(*) AS DOUBLE), avg(value_c),
+       sqrt(CAST(sum(value_c*value_c) AS DOUBLE)/count(value_c)
+            - (CAST(sum(value_c) AS DOUBLE)/count(value_c))
+              * (CAST(sum(value_c) AS DOUBLE)/count(value_c))),
+       CAST(min(value_c) AS DOUBLE), CAST(max(value_c) AS DOUBLE)
+FROM e""",
+        "customer_updates_diff": """
+WITH o AS (
+  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+         c_mktsegment
+  FROM customer),
+nw AS (
+  SELECT c_custkey,
+         bal_c + CASE WHEN c_custkey % 7 = 0 THEN 1000 ELSE 0 END AS bal_c,
+         c_mktsegment
+  FROM o WHERE c_custkey % 13 <> 0)
+SELECT coalesce(o.c_custkey, nw.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN nw.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS _change_type,
+       CASE WHEN nw.c_custkey IS NULL THEN o.bal_c ELSE nw.bal_c END AS bal_c,
+       CASE WHEN nw.c_custkey IS NULL THEN o.c_mktsegment
+            ELSE nw.c_mktsegment END AS c_mktsegment
+FROM o FULL OUTER JOIN nw ON o.c_custkey = nw.c_custkey
+WHERE o.c_custkey IS NULL OR nw.c_custkey IS NULL
+   OR o.bal_c IS DISTINCT FROM nw.bal_c
+   OR o.c_mktsegment IS DISTINCT FROM nw.c_mktsegment""",
         "custkeys_intersect": """
 SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders""",
         "events_except_days": """

@@ -11,6 +11,7 @@ from dcpray.functions.agg import (
     add_coarse_pk,
     coarse_groupby,
     corr_per_group,
+    describe,
     cube,
     distinct_count,
     exact_quantiles,
@@ -41,6 +42,7 @@ from dcpray.functions.decontam import (
 )
 from dcpray.functions.history import (
     lake_diff,
+    table_diff,
     version_history,
     wal_version_history,
 )
@@ -109,8 +111,8 @@ __all__ = [
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "exact_contamination", "ngram_contamination",
-    "lake_diff", "version_history", "wal_version_history",
-    "cube", "grouping_sets", "corr_per_group", "explode",
+    "lake_diff", "table_diff", "version_history", "wal_version_history",
+    "cube", "grouping_sets", "corr_per_group", "describe", "explode",
     "intersect_distinct", "except_distinct", "union_distinct",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
     "hash_join_skew", "range_join", "range_join_broadcast",

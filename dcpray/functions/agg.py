@@ -872,6 +872,45 @@ def grouping_sets(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     return _grouping_sets_impl(ds, keys, aggs, subs, partitions, gid_col)
 
 
+def describe(ds, cols: list[str]):
+    """One-pass per-column summary (count / mean / std / min / max) —
+    the dataframe ``describe()`` of the partial algebra: every batch
+    collapses to ONE partial row (five partials per column), the tiny
+    partial stream merges in a single task, and the result is one row
+    per column. count is count(*) including nulls (row count); mean/
+    std ignore nulls (SQL semantics); std is the POPULATION std via
+    the pinned-op-order identity (see ``finalize_partials``), so a SQL
+    oracle writing the same arithmetic matches bit-exactly on integer
+    inputs. No exchange: the only movement is one partial row per
+    batch."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = ([(c, "count", f"__n_{c}") for c in cols]
+            + [(c, "mean", f"__mean_{c}") for c in cols]
+            + [(c, "std", f"__std_{c}") for c in cols]
+            + [(c, "min", f"__min_{c}") for c in cols]
+            + [(c, "max", f"__max_{c}") for c in cols])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.select(cols).append_column(
+            "_all", pa.array(np.zeros(t.num_rows, np.int8)))
+        return partial_aggregate(t, ["_all"], aggs)
+
+    def finish(g: pa.Table) -> pa.Table:
+        f = merge_partials(g, ["_all"], aggs)
+        rows = {"column": pa.array(cols, pa.string())}
+        for stat in ("n", "mean", "std", "min", "max"):
+            rows[stat] = pa.array(
+                [pc.cast(f[f"__{stat if stat != 'n' else 'n'}_{c}"],
+                         pa.float64())[0].as_py() for c in cols],
+                pa.float64())
+        return pa.table(rows)
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_all")
+            .map_groups(finish, batch_format="pyarrow"))
+
+
 def corr_per_group(ds, keys: list[str], x_col: str, y_col: str,
                    alias: str = "corr", partitions: int = 64):
     """Pearson correlation per group via the one-pass sums identity

@@ -151,6 +151,48 @@ def wal_version_history(wal_dir: str, keys=("conv_id", "turn_idx"),
         hist, batch_format="pyarrow", batch_size=1)
 
 
+def table_diff(old_ds, new_ds, keys: list[str],
+               value_cols: list[str] | None = None,
+               partitions: int = 64):
+    """Generic CHANGE-SET between two datasets sharing a key: per-key
+    insert / update / delete rows (SQL MERGE's source-vs-target
+    classification). ``lake_diff`` is the zero-exchange special case
+    for committed lake manifests; this generic form pays ONE coarse
+    exchange on the key hash, then full-outer-joins each partition's
+    old/new slices locally with the same ``_diff_pair`` kernel
+    (value-identical rows emit nothing; delete rows carry old values).
+    Requires non-null keys (use lake_diff's reader contract upstream)
+    and assumes each key appears at most once per side."""
+    old_schema = (old_ds.schema().base_schema
+                  if hasattr(old_ds.schema(), "base_schema")
+                  else old_ds.schema())
+    if value_cols is None:
+        value_cols = [c for c in old_schema.names if c not in keys]
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select(list(keys) + value_cols)
+            pk = (_hash_key_columns(t, list(keys))
+                  % np.uint64(partitions)).astype(np.int32)
+            return (t.append_column("_pk", pa.array(pk))
+                    .append_column("_side", pa.array(
+                        np.full(t.num_rows, side, np.int8))))
+
+        return f
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def diff(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        g = g.drop_columns(["_pk", "_side"])
+        return _diff_pair(g.filter(pa.array(side == 0)),
+                          g.filter(pa.array(side == 1)),
+                          list(keys), value_cols)
+
+    return both.groupby("_pk").map_groups(diff, batch_format="pyarrow")
+
+
 def _manifest_at(lake, seq: int):
     for m in lake.store.history():
         if m.seq == seq:

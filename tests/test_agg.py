@@ -253,3 +253,33 @@ def test_explode_positions_and_empty_lists():
     assert out["id"].tolist() == [1, 1, 3]
     assert out["pos"].tolist() == [0, 1, 0]
     assert out["val"].tolist() == [1.5, 2.5, 7.0]
+
+
+def test_describe_bit_exact_vs_sql_formula():
+    import duckdb
+
+    from dcpray.functions.agg import describe
+
+    rng = np.random.RandomState(3)
+    t = pa.table({
+        "a": pa.array(rng.randint(0, 1000, 5000), pa.int64()),
+        "b": pa.array([None if rng.rand() < 0.1 else int(v)
+                       for v in rng.randint(0, 500, 5000)], pa.int64()),
+    })
+    out = describe(rd.from_arrow(t).repartition(5),
+                   ["a", "b"]).to_pandas()
+    ora = duckdb.sql("""
+SELECT 'a' AS column, CAST(count(*) AS DOUBLE) AS n, avg(a) AS mean,
+  sqrt(CAST(sum(a*a) AS DOUBLE)/count(a)
+       - (CAST(sum(a) AS DOUBLE)/count(a))*(CAST(sum(a) AS DOUBLE)/count(a)))
+    AS std,
+  CAST(min(a) AS DOUBLE) AS min, CAST(max(a) AS DOUBLE) AS max FROM t
+UNION ALL
+SELECT 'b', CAST(count(*) AS DOUBLE), avg(b),
+  sqrt(CAST(sum(b*b) AS DOUBLE)/count(b)
+       - (CAST(sum(b) AS DOUBLE)/count(b))*(CAST(sum(b) AS DOUBLE)/count(b))),
+  CAST(min(b) AS DOUBLE), CAST(max(b) AS DOUBLE) FROM t""").df()
+    cols = ["column", "n", "mean", "std", "min", "max"]
+    a = out[cols].sort_values("column").reset_index(drop=True)
+    b = ora[cols].sort_values("column").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

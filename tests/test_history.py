@@ -192,3 +192,35 @@ def test_wal_version_history_equals_generic():
         drop=True)
     pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
     assert len(sa) > 0
+
+
+def test_table_diff_generic_vs_duckdb():
+    from dcpray.functions.history import table_diff
+
+    rng = np.random.RandomState(3)
+    kk = np.arange(2000)
+    old = pa.table({"k": pa.array(kk, pa.int64()),
+                    "v": pa.array(rng.randint(0, 50, 2000), pa.int64())})
+    keep = kk % 13 != 0
+    vv = old["v"].to_numpy().copy()
+    vv[kk % 7 == 0] += 1000
+    new = pa.table({
+        "k": pa.array(np.r_[kk[keep], np.arange(2000, 2100)]),
+        "v": pa.array(np.r_[vv[keep], np.zeros(100, np.int64)])})
+    out = table_diff(rd.from_arrow(old).repartition(4),
+                     rd.from_arrow(new).repartition(3),
+                     keys=["k"]).to_pandas()
+    ora = duckdb.sql("""
+SELECT coalesce(o.k, nw.k) AS k,
+       CASE WHEN o.k IS NULL THEN 'insert'
+            WHEN nw.k IS NULL THEN 'delete' ELSE 'update' END
+         AS _change_type,
+       CASE WHEN nw.k IS NULL THEN o.v ELSE nw.v END AS v
+FROM old o FULL OUTER JOIN new nw ON o.k = nw.k
+WHERE o.k IS NULL OR nw.k IS NULL
+   OR o.v IS DISTINCT FROM nw.v""").df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype(str), b.astype(str))
+    assert set(out["_change_type"]) == {"insert", "update", "delete"}
