@@ -76,6 +76,9 @@ SECONDARY = [
     "lineitem_part_semi",
     "events_props_extract",
     "events_latest_per_user",
+    "events_asof_next_click",
+    "customer_updates_diff",
+    "events_describe",
 ]
 
 
