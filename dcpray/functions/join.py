@@ -99,7 +99,7 @@ def _asof_merge_arrays(k: np.ndarray, ts: np.ndarray, side: np.ndarray,
 
 def _plan_temporal_join(left_ds, right_ds, key_col: str, ts_col: str,
                         right_cols: dict[str, str], partitions: int,
-                        drop_invalid_left: bool):
+                        drop_invalid_left: bool, negate_ts: bool = False):
     """Shared front half of the temporal joins: resolve schemas and the
     common ts type, and build the tagged union Dataset both sides feed
     into one coarse-partition exchange. ``drop_invalid_left`` picks the
@@ -129,6 +129,8 @@ def _plan_temporal_join(left_ds, right_ds, key_col: str, ts_col: str,
 
     def tag_left(t: pa.Table) -> pa.Table:
         k, ts, valid = _key_ts_arrays(t, key_col, ts_col, ts_common)
+        if negate_ts:  # forward as-of = backward on -ts, done in-tag
+            ts = -ts
         if drop_invalid_left:
             t = t.filter(pa.array(valid))
             k, ts = k[valid], ts[valid]
@@ -146,6 +148,8 @@ def _plan_temporal_join(left_ds, right_ds, key_col: str, ts_col: str,
 
     def tag_right(t: pa.Table) -> pa.Table:
         k, ts, valid = _key_ts_arrays(t, key_col, ts_col, ts_common)
+        if negate_ts:
+            ts = -ts
         # null key/ts right rows can never match: drop them here
         t = t.filter(pa.array(valid))
         k, ts = k[valid], ts[valid]
@@ -188,14 +192,8 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
             f"direction must be 'backward' or 'forward', got {direction!r}")
     tagged, left_names, out_right, _ = _plan_temporal_join(
         left_ds, right_ds, key_col, ts_col, right_cols, partitions,
-        drop_invalid_left=False,
+        drop_invalid_left=False, negate_ts=(direction == "forward"),
     )
-    if direction == "forward":
-        def negate_ts(t: pa.Table) -> pa.Table:
-            i = t.schema.get_field_index("_ts")
-            return t.set_column(i, "_ts", pc.negate(t["_ts"]))
-
-        tagged = tagged.map_batches(negate_ts, batch_format="pyarrow")
 
     def merge(group: pa.Table) -> pa.Table:
         k = group["_k"].combine_chunks().to_numpy(zero_copy_only=False)
