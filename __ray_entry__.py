@@ -1291,6 +1291,35 @@ def _q_embeddings_unnest(sf_dir: str):
     return explode(ds, "embedding", pos_col="pos", value_col="val")
 
 
+def _q_events_rank_family(sf_dir: str):
+    """The full SQL rank family in one pass: row_number (tiebreak-
+    deterministic) plus tie-aware rank / dense_rank / percent_rank /
+    cume_dist ordered by hour-of-day (deliberately tie-rich) per user
+    (window.py rank_in_group ranks=...). percent_rank and cume_dist
+    are single float64 divisions of exact integers — bit-identical to
+    SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dcpray.functions.window import rank_in_group
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "user_id", "ts"],
+                    override_num_blocks=16)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+        })
+
+    return rank_in_group(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", "hour", tiebreak_col="event_id",
+                         out_col="row_number",
+                         ranks=("rank", "dense_rank", "percent_rank",
+                                "cume_dist"))
+
+
 def _q_events_describe(sf_dir: str):
     """describe(): one-pass per-column count/mean/std/min/max — each
     batch collapses to ONE partial row, no exchange (agg.py describe;
@@ -1725,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": _q_events_value_stats,
         "events_corr_value_hour": _q_events_corr_value_hour,
         "embeddings_unnest": _q_embeddings_unnest,
+        "events_rank_family": _q_events_rank_family,
         "events_describe": _q_events_describe,
         "customer_updates_diff": _q_customer_updates_diff,
         "custkeys_intersect": _q_custkeys_intersect,
@@ -2223,6 +2253,17 @@ SELECT vec_id,
                              i -> CAST(i - 1 AS BIGINT))) AS pos,
        unnest(embedding) AS val
 FROM embeddings""",
+        "events_rank_family": """
+WITH e AS (
+  SELECT event_id, user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events)
+SELECT event_id, user_id, hour,
+       row_number() OVER (PARTITION BY user_id ORDER BY hour, event_id)
+         AS row_number,
+       rank() OVER w AS rank,
+       dense_rank() OVER w AS dense_rank,
+       percent_rank() OVER w AS percent_rank,
+       cume_dist() OVER w AS cume_dist
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY hour)""",
         "events_describe": """
 WITH e AS (
   SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c

@@ -192,11 +192,19 @@ def rank_in_group(ds, group_col: str, order_col: str,
                   tiebreak_col: str, descending: bool = False,
                   out_col: str = "rank", partitions: int = 64,
                   cumsum_col: str | None = None,
-                  cumsum_out: str = "running_sum"):
+                  cumsum_out: str = "running_sum",
+                  ranks: tuple[str, ...] = ()):
     """SQL window functions over a distributed table: per-group
     ``row_number()`` (1-based, ordered by ``order_col`` with a
     deterministic ``tiebreak_col``) and, optionally, the running
-    ``SUM(cumsum_col)`` over the same frame (ROWS UNBOUNDED PRECEDING).
+    ``SUM(cumsum_col)`` over the same frame (ROWS UNBOUNDED PRECEDING)
+    plus any of ``ranks`` ⊆ {"rank", "dense_rank", "percent_rank",
+    "cume_dist"} — the tie-aware family, where PEERS are rows with
+    equal ``order_col`` only (the tiebreak does NOT split peers,
+    matching SQL ``OVER (ORDER BY order_col)``; row_number alone uses
+    the tiebreak). percent_rank = (rank−1)/(n−1) and cume_dist =
+    peers_through_current/n as single float64 divisions of exact
+    integers — bit-identical to SQL.
 
     Scale shape: the standard ONE coarse-partition exchange on the
     group key, then one lexsort + cumsum per partition — Python once
@@ -204,6 +212,14 @@ def rank_in_group(ds, group_col: str, order_col: str,
     sessionize (a key's rows fit one partition task); nulls in
     group/order/tiebreak raise loudly (see ``require_nonnull``)."""
     from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    bad = set(ranks) - {"rank", "dense_rank", "percent_rank", "cume_dist"}
+    if bad:
+        raise ValueError(f"unsupported ranks: {sorted(bad)}")
+    if "rank" in ranks and out_col == "rank":
+        raise ValueError("out_col='rank' collides with ranks=('rank',...); "
+                         "name the row_number column differently "
+                         "(e.g. out_col='row_number')")
 
     def assign(group: pa.Table) -> pa.Table:
         require_nonnull(group, (group_col, order_col, tiebreak_col),
@@ -216,12 +232,41 @@ def rank_in_group(ds, group_col: str, order_col: str,
         vkey = -v if descending else v
         order = np.lexsort((tb, vkey, g))
         gs = g[order]
-        first = np.r_[True, gs[1:] != gs[:-1]]
+        n = len(gs)
+        first = np.r_[True, gs[1:] != gs[:-1]] if n else np.zeros(0, bool)
         starts = np.flatnonzero(first)
-        sizes = np.diff(np.r_[starts, len(gs)])
-        rank = np.arange(len(gs)) - np.repeat(starts, sizes) + 1
+        sizes = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, sizes)
+        idx = np.arange(n)
+        rownum = idx - seg_start + 1
         out = group.drop_columns(["_pk"]).take(pa.array(order))
-        out = out.append_column(out_col, pa.array(rank, pa.int64()))
+        out = out.append_column(out_col, pa.array(rownum, pa.int64()))
+        if ranks:
+            vs = vkey[order]
+            # value-run boundaries WITHIN each group (peers share a run)
+            vr_first = first.copy()
+            if n > 1:
+                vr_first[1:] |= vs[1:] != vs[:-1]
+            vr_starts = np.flatnonzero(vr_first)
+            vr_sizes = np.diff(np.r_[vr_starts, n])
+            run_start = np.repeat(vr_starts, vr_sizes)
+            run_end = np.repeat(vr_starts + vr_sizes - 1, vr_sizes)
+            grp_size = np.repeat(sizes, sizes)
+            rk = run_start - seg_start + 1
+            if "rank" in ranks:
+                out = out.append_column("rank", pa.array(rk, pa.int64()))
+            if "dense_rank" in ranks:
+                dense = np.cumsum(vr_first)
+                dense = dense - np.repeat(dense[starts] - 1, sizes)
+                out = out.append_column("dense_rank",
+                                        pa.array(dense, pa.int64()))
+            if "percent_rank" in ranks:
+                pr = np.where(grp_size > 1,
+                              (rk - 1) / np.maximum(grp_size - 1, 1), 0.0)
+                out = out.append_column("percent_rank", pa.array(pr))
+            if "cume_dist" in ranks:
+                cd = (run_end - seg_start + 1) / grp_size
+                out = out.append_column("cume_dist", pa.array(cd))
         if cumsum_col is not None:
             vals = group[cumsum_col].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.float64)[order]

@@ -111,3 +111,37 @@ FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
     a = out[cols].sort_values(["k", "ts", "v"]).reset_index(drop=True)
     b = ora[cols].sort_values(["k", "ts", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rank_family_vs_duckdb_with_ties():
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dcpray.functions.window import rank_in_group
+
+    rng = np.random.RandomState(12)
+    n = 5000
+    t = pa.table({"k": pa.array(rng.randint(0, 20, n), pa.int64()),
+                  "v": pa.array(rng.randint(0, 8, n), pa.int64()),  # ties
+                  "tb": pa.array(np.arange(n, dtype=np.int64))})
+    out = rank_in_group(rd.from_arrow(t).repartition(4), "k", "v",
+                        tiebreak_col="tb", out_col="row_number",
+                        ranks=("rank", "dense_rank", "percent_rank",
+                               "cume_dist")).to_pandas()
+    ora = duckdb.sql("""
+SELECT k, v, tb,
+       row_number() OVER (PARTITION BY k ORDER BY v, tb) AS row_number,
+       rank() OVER w AS rank, dense_rank() OVER w AS dense_rank,
+       percent_rank() OVER w AS percent_rank,
+       cume_dist() OVER w AS cume_dist
+FROM t WINDOW w AS (PARTITION BY k ORDER BY v)""").df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(["k", "tb"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["k", "tb"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    with pytest.raises(ValueError, match="collides"):
+        rank_in_group(rd.from_arrow(t), "k", "v", tiebreak_col="tb",
+                      ranks=("rank",))
