@@ -901,8 +901,8 @@ def describe(ds, cols: list[str]):
         rows = {"column": pa.array(cols, pa.string())}
         for stat in ("n", "mean", "std", "min", "max"):
             rows[stat] = pa.array(
-                [pc.cast(f[f"__{stat if stat != 'n' else 'n'}_{c}"],
-                         pa.float64())[0].as_py() for c in cols],
+                [pc.cast(f[f"__{stat}_{c}"], pa.float64())[0].as_py()
+                 for c in cols],
                 pa.float64())
         return pa.table(rows)
 

@@ -389,7 +389,11 @@ def _sparse_table_minmax(vs: np.ndarray, lo: np.ndarray, hi: np.ndarray,
     """min/max over the per-row VARIABLE ranges [lo, hi] (inclusive) in
     O(n log n): classic sparse table, fully vectorized — level k holds
     the running extreme of 2^k consecutive values; each query is the
-    extreme of two overlapping power-of-two blocks."""
+    extreme of two overlapping power-of-two blocks. Memory is
+    n · log2(max frame length) · 8 bytes per requested extreme within
+    the partition task — size ``partitions`` so a partition's rows ×
+    ~20 levels fit the worker heap, or restrict ``aggs`` to
+    sum/mean/count (prefix sums, O(n)) for very wide frames."""
     n = len(vs)
     res = {}
     if n == 0:
