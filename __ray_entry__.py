@@ -345,6 +345,25 @@ def _q_cdc_change_feed(sf_dir: str):
     return lake_diff(lake, 1, 2)
 
 
+def _q_cdc_changefeed_persisted(sf_dir: str):
+    """The PERSISTED change feed (the reference's Kafka-topic output
+    made durable as Parquet): write commit 2's feed once
+    (idempotent, atomic dir rename), then serve consumers from the
+    files — same oracle as cdc_change_feed, but reading
+    <lake>/changefeed/seq=2/ instead of recomputing the diff."""
+    from dcpray.functions.history import read_changefeed, write_changefeed
+    from dcpray.state.checkpoint import Lake
+
+    _q_cdc_change_feed(sf_dir)  # ensure the two-commit lake exists
+    fx = _fx(sf_dir)
+    root = os.path.join(
+        LAKE_ROOT, os.path.basename(os.path.normpath(fx)), "cdf"
+    )
+    lake = Lake(os.path.join(root, "lake"))
+    write_changefeed(lake, 2)
+    return read_changefeed(lake, 1, 2)
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact content-hash dedup: one survivor (min key) per distinct text."""
     from dcpray.functions.dedup import exact_dedup
@@ -1699,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_then_token_count": _q_cdc_then_token_count,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_change_feed": _q_cdc_change_feed,
+        "cdc_changefeed_persisted": _q_cdc_changefeed_persisted,
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_text_token_count,
         "text_token_count_bpe": _q_text_token_count_bpe,
@@ -1816,43 +1836,7 @@ WITH wal AS ({wal_valid}
 )
 SELECT conv_id, turn_idx, role, text, tool, ts, tool_version
 FROM ranked WHERE rn = 1 AND op = 'mutation'"""
-    return {
-        "cdc_replay_full": lww_final,
-        "cdc_resume_equivalence": lww_final,
-        "cdc_view_role_stats": f"""
-SELECT role, CAST(count(*) AS BIGINT) n_turns,
-       round(avg(turn_idx), 6) mean_turn_idx, max(ts) last_ts
-FROM ({lww_final}) GROUP BY role""",
-        "cdc_skew_unsalted": lww_final,
-        "cdc_replay_shuffle": lww_final,
-        "cdc_schema_evolution": f"""
-SELECT conv_id, turn_idx, tool_version FROM ({lww_final})
-WHERE tool_version IS NOT NULL""",
-        "cdc_mutations_stream": f"""
-SELECT conv_id, turn_idx, CAST(seqno AS BIGINT) seqno, role, text
-FROM ({wal_valid.strip()}) WHERE op = 'mutation'""",
-        "cdc_op_counts": f"""
-SELECT op, CAST(count(*) AS BIGINT) n FROM ({wal_valid.strip()}) GROUP BY op""",
-        "cdc_rejected_rows": f"""
-SELECT CAST(count(*) AS BIGINT) n_rejected
-FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true)
-WHERE conv_id IS NULL OR turn_idx < 0 OR op NOT IN ('mutation','deletion','expiration')""",
-        "cdc_watermarks": f"""
-SELECT CAST(vb AS BIGINT) vb, CAST(max(seqno) AS BIGINT) watermark
-FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true) GROUP BY vb""",
-        "cdc_then_token_count": rf"""
-SELECT conv_id, turn_idx,
-       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens
-FROM ({lww_final})""",
-        "cdc_scd2_history": f"""
-SELECT conv_id, turn_idx, CAST(seqno AS BIGINT) AS valid_from,
-       CAST(LEAD(seqno) OVER (PARTITION BY conv_id, turn_idx
-                              ORDER BY seqno) AS BIGINT) AS valid_to,
-       (LEAD(seqno) OVER (PARTITION BY conv_id, turn_idx
-                          ORDER BY seqno) IS NULL) AS is_current,
-       op, role
-FROM ({wal_valid})""",
-        "cdc_change_feed": f"""
+    cdc_change_feed_sql = f"""
 WITH sa AS (
   SELECT * EXCLUDE (rn) FROM (
     SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
@@ -1894,7 +1878,45 @@ WHERE a.conv_id IS NULL OR b.conv_id IS NULL
    OR a.text IS DISTINCT FROM b.text
    OR a.tool IS DISTINCT FROM b.tool
    OR a.ts IS DISTINCT FROM b.ts
-   OR a.tool_version IS DISTINCT FROM b.tool_version""",
+   OR a.tool_version IS DISTINCT FROM b.tool_version"""
+    return {
+        "cdc_replay_full": lww_final,
+        "cdc_resume_equivalence": lww_final,
+        "cdc_view_role_stats": f"""
+SELECT role, CAST(count(*) AS BIGINT) n_turns,
+       round(avg(turn_idx), 6) mean_turn_idx, max(ts) last_ts
+FROM ({lww_final}) GROUP BY role""",
+        "cdc_skew_unsalted": lww_final,
+        "cdc_replay_shuffle": lww_final,
+        "cdc_schema_evolution": f"""
+SELECT conv_id, turn_idx, tool_version FROM ({lww_final})
+WHERE tool_version IS NOT NULL""",
+        "cdc_mutations_stream": f"""
+SELECT conv_id, turn_idx, CAST(seqno AS BIGINT) seqno, role, text
+FROM ({wal_valid.strip()}) WHERE op = 'mutation'""",
+        "cdc_op_counts": f"""
+SELECT op, CAST(count(*) AS BIGINT) n FROM ({wal_valid.strip()}) GROUP BY op""",
+        "cdc_rejected_rows": f"""
+SELECT CAST(count(*) AS BIGINT) n_rejected
+FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true)
+WHERE conv_id IS NULL OR turn_idx < 0 OR op NOT IN ('mutation','deletion','expiration')""",
+        "cdc_watermarks": f"""
+SELECT CAST(vb AS BIGINT) vb, CAST(max(seqno) AS BIGINT) watermark
+FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true) GROUP BY vb""",
+        "cdc_then_token_count": rf"""
+SELECT conv_id, turn_idx,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens
+FROM ({lww_final})""",
+        "cdc_scd2_history": f"""
+SELECT conv_id, turn_idx, CAST(seqno AS BIGINT) AS valid_from,
+       CAST(LEAD(seqno) OVER (PARTITION BY conv_id, turn_idx
+                              ORDER BY seqno) AS BIGINT) AS valid_to,
+       (LEAD(seqno) OVER (PARTITION BY conv_id, turn_idx
+                          ORDER BY seqno) IS NULL) AS is_current,
+       op, role
+FROM ({wal_valid})""",
+        "cdc_changefeed_persisted": cdc_change_feed_sql,
+        "cdc_change_feed": cdc_change_feed_sql,
         "dedup_exact": """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",

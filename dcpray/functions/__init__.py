@@ -42,9 +42,11 @@ from dcpray.functions.decontam import (
 )
 from dcpray.functions.history import (
     lake_diff,
+    read_changefeed,
     table_diff,
     version_history,
     wal_version_history,
+    write_changefeed,
 )
 from dcpray.functions.dedup import (
     cluster_pairs,
@@ -112,6 +114,7 @@ __all__ = [
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
     "exact_contamination", "ngram_contamination",
     "lake_diff", "table_diff", "version_history", "wal_version_history",
+    "read_changefeed", "write_changefeed",
     "cube", "grouping_sets", "corr_per_group", "describe", "explode",
     "intersect_distinct", "except_distinct", "union_distinct",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",

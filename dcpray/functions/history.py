@@ -330,3 +330,86 @@ def lake_diff(lake, from_seq: int, to_seq: int,
         return ray.data.from_arrow(out_schema.empty_table())
     return ray.data.from_items(pairs).map_batches(
         diff, batch_format="pyarrow", batch_size=1)
+
+
+def write_changefeed(lake, seq: int,
+                     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+                     exclude: tuple[str, ...] = ("_op", "_seqno", "vb")
+                     ) -> dict:
+    """Persist commit ``seq``'s CHANGE FEED to
+    ``<lake>/changefeed/seq=<seq>/`` as Parquet — the durable analogue
+    of the reference PRODUCING each change to its Kafka topic
+    (connector.go:103-123): downstream consumers read the feed files
+    instead of recomputing diffs or rescanning the table. The first
+    commit (no parent manifest) is the bootstrap feed: the full state
+    as ``insert`` rows, exactly what a consumer starting from the
+    topic's beginning would see.
+
+    Idempotent and crash-safe: written to a tmp dir then atomically
+    renamed; an existing feed dir is left untouched (returns
+    ``{"skipped": True}``). Cost: O(changed buckets) like
+    ``lake_diff``."""
+    import os
+    import shutil
+    import uuid
+
+    out_dir = os.path.join(lake.lake_dir, "changefeed", f"seq={seq}")
+    if os.path.exists(out_dir):
+        return {"seq": seq, "skipped": True}
+    seqs = sorted(m.seq for m in lake.store.history())
+    if seq not in seqs:
+        raise ValueError(f"no manifest with seq={seq}")
+    if seq == seqs[0]:
+        ds = lake.read_at(seq)
+        names = ds.schema().names
+
+        def boot(t: pa.Table) -> pa.Table:
+            cols = {k: t[k] for k in keys}
+            cols["_change_type"] = pa.array(
+                ["insert"] * t.num_rows, pa.string())
+            for c in names:
+                if c not in keys and c not in exclude:
+                    cols[c] = t[c]
+            return pa.table(cols)
+
+        feed = ds.map_batches(boot, batch_format="pyarrow")
+    else:
+        parent = seqs[seqs.index(seq) - 1]
+        feed = lake_diff(lake, parent, seq, keys=keys, exclude=exclude)
+    tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        feed.write_parquet(tmp)
+        os.rename(tmp, out_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return {"seq": seq, "skipped": False, "dir": out_dir}
+
+
+def read_changefeed(lake, from_seq: int, to_seq: int):
+    """Dataset of the persisted change feeds for commits in
+    ``(from_seq, to_seq]`` — "the messages between two offsets". Raises
+    if any feed in the range was never written (write_changefeed or
+    ``PipelineBuilder.attach_changefeed`` produce them per commit)."""
+    import glob
+    import os
+
+    import ray.data
+
+    seqs = sorted(m.seq for m in lake.store.history()
+                  if from_seq < m.seq <= to_seq)
+    dirs = []
+    for s in seqs:
+        d = os.path.join(lake.lake_dir, "changefeed", f"seq={s}")
+        if not os.path.isdir(d):
+            raise ValueError(f"no persisted changefeed for seq={s}; "
+                             "write_changefeed it first")
+        dirs.append(d)
+    files = [f for d in dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    if not files:
+        raise ValueError(
+            f"no committed seqs in ({from_seq}, {to_seq}]")
+    # partitioning=None: the seq=N dir name must not hive-infer a
+    # phantom `seq` column into the feed schema
+    return ray.data.read_parquet(files, partitioning=None)

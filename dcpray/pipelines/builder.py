@@ -48,7 +48,8 @@ class Pipeline:
     """A configured CDC replay pipeline bound to one lake."""
 
     def __init__(self, lake: Lake, config: ReplayConfig, mapper, handler,
-                 completion, logger, metrics_handler=None, views=()):
+                 completion, logger, metrics_handler=None, views=(),
+                 changefeed=False):
         from dcpray.state.views import IncrementalView
 
         self.lake = lake
@@ -56,6 +57,7 @@ class Pipeline:
         self.mapper = mapper
         self.handler = handler
         self.completion = completion
+        self.changefeed = changefeed
         self.log = logger
         self.metrics_handler = metrics_handler
         self.views = [IncrementalView(lake, spec) for spec in views]
@@ -180,6 +182,24 @@ class Pipeline:
                 except Exception as e:
                     self.log.warning("view %s refresh failed (stale until "
                                      "next refresh): %s", v.spec.name, e)
+            # persisted change feed: one <lake>/changefeed/seq=N/ dir
+            # per commit — the durable analogue of the reference
+            # producing each change to its topic (connector.go:103-123).
+            # BEST-EFFORT like views: write_changefeed is idempotent, a
+            # missing feed raises loudly at read_changefeed, and the
+            # run itself is already durably committed
+            if self.changefeed:
+                try:
+                    from dcpray.functions.history import write_changefeed
+
+                    cm = write_changefeed(self.lake, res.manifest.seq)
+                    self.log.info("changefeed seq=%s written%s",
+                                  res.manifest.seq,
+                                  " (already present)"
+                                  if cm.get("skipped") else "")
+                except Exception as e:
+                    self.log.warning("changefeed write failed (recover "
+                                     "with write_changefeed): %s", e)
         if self.completion:
             self.completion(res)
         return res
@@ -196,6 +216,7 @@ class PipelineBuilder:
         self._store = None
         self._metrics_handler: Callable[[RunResult], None] | None = None
         self._views: list = []
+        self._changefeed = False
 
     def set_metadata_store(self, store) -> "PipelineBuilder":
         """Swap the manifest backend (reference: the Kafka metadata store
@@ -238,9 +259,19 @@ class PipelineBuilder:
         self._views.append(spec)
         return self
 
+    def attach_changefeed(self) -> "PipelineBuilder":
+        """Persist a change feed per commit (incl. each tail-mode
+        commit) under ``<lake>/changefeed/seq=N/`` — the downstream-
+        consumer surface: read with ``read_changefeed(lake, a, b)``
+        instead of recomputing diffs (the reference's Kafka-topic
+        output, made durable as Parquet)."""
+        self._changefeed = True
+        return self
+
     def build(self) -> Pipeline:
         return Pipeline(
             Lake(self._lake_dir, store=self._store), self._config, self._mapper,
             self._handler, self._completion, self._logger,
             metrics_handler=self._metrics_handler, views=self._views,
+            changefeed=self._changefeed,
         )

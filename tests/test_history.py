@@ -224,3 +224,30 @@ WHERE o.k IS NULL OR nw.k IS NULL
     b = ora[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a.astype(str), b.astype(str))
     assert set(out["_change_type"]) == {"insert", "update", "delete"}
+
+
+def test_changefeed_persisted_roundtrip(two_commit_lake):
+    from dcpray.functions.history import (
+        read_changefeed,
+        write_changefeed,
+    )
+
+    lake, _, _ = two_commit_lake
+    m1 = write_changefeed(lake, 1)
+    m2 = write_changefeed(lake, 2)
+    assert not m1["skipped"] and not m2["skipped"]
+    boot = read_changefeed(lake, 0, 1).to_pandas()
+    assert len(boot) > 0 and (boot["_change_type"] == "insert").all()
+    feed2 = read_changefeed(lake, 1, 2).to_pandas()
+    ref = lake_diff(lake, 1, 2).to_pandas()
+    cols = sorted(ref.columns)
+    a = feed2[cols].sort_values(cols).reset_index(drop=True)
+    b = ref[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype(str), b.astype(str))
+    # idempotent: second write skips; unknown seq raises
+    assert write_changefeed(lake, 2)["skipped"]
+    with pytest.raises(ValueError, match="no manifest"):
+        write_changefeed(lake, 99)
+    with pytest.raises(ValueError, match="no persisted changefeed"):
+        shutil.rmtree(os.path.join(lake.lake_dir, "changefeed", "seq=1"))
+        read_changefeed(lake, 0, 1)
