@@ -79,6 +79,8 @@ SECONDARY = [
     "events_asof_next_click",
     "customer_updates_diff",
     "events_describe",
+    "events_rank_family",
+    "cdc_changefeed_persisted",
 ]
 
 
