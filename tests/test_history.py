@@ -251,3 +251,61 @@ def test_changefeed_persisted_roundtrip(two_commit_lake):
     with pytest.raises(ValueError, match="no persisted changefeed"):
         shutil.rmtree(os.path.join(lake.lake_dir, "changefeed", "seq=1"))
         read_changefeed(lake, 0, 1)
+
+
+def test_diff_pair_property_vs_brute_force():
+    """_diff_pair (the kernel under lake_diff AND table_diff) vs a
+    pandas brute force across random overlaps, null payloads, and an
+    evolution column present on one side only."""
+    from dcpray.functions.history import _conform, _diff_pair
+
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        n_old, n_new = rng.randint(0, 120, 2)
+        ko = rng.choice(np.arange(150), size=n_old, replace=False)
+        kn = rng.choice(np.arange(150), size=n_new, replace=False)
+
+        def payload(k, with_extra):
+            cols = {
+                "k": pa.array(k.astype(np.int64)),
+                "v": pa.array([None if rng.rand() < 0.2 else int(x)
+                               for x in rng.randint(0, 5, len(k))],
+                              pa.int64()),
+            }
+            cols["x"] = pa.array(
+                [None if rng.rand() < 0.5 else float(x)
+                 for x in rng.randint(0, 3, len(k))], pa.float64()) \
+                if with_extra else pa.nulls(len(k), pa.float64())
+            return pa.table(cols)
+
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                            ("x", pa.float64())])
+        old_t = _conform(payload(ko, with_extra=False), schema)
+        new_t = _conform(payload(kn, with_extra=True), schema)
+        out = _diff_pair(old_t, new_t, ["k"], ["v", "x"]).to_pandas()
+
+        om = old_t.to_pandas().set_index("k")
+        nm = new_t.to_pandas().set_index("k")
+        expect = {}
+        for k in set(om.index) | set(nm.index):
+            if k not in om.index:
+                expect[k] = ("insert", nm.loc[k])
+            elif k not in nm.index:
+                expect[k] = ("delete", om.loc[k])
+            else:
+                a, b = om.loc[k], nm.loc[k]
+                differs = any(
+                    not ((pd.isna(a[c]) and pd.isna(b[c]))
+                         or (not pd.isna(a[c]) and not pd.isna(b[c])
+                             and a[c] == b[c]))
+                    for c in ("v", "x"))
+                if differs:
+                    expect[k] = ("update", b)
+        assert len(out) == len(expect), seed
+        for _, row in out.iterrows():
+            ct, vals = expect[row["k"]]
+            assert row["_change_type"] == ct, (seed, row["k"])
+            for c in ("v", "x"):
+                same = (pd.isna(row[c]) and pd.isna(vals[c])) or \
+                       (not pd.isna(row[c]) and row[c] == vals[c])
+                assert same, (seed, row["k"], c)
