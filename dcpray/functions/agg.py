@@ -736,9 +736,10 @@ def _grouping_sets_impl(ds, keys: list[str],
         if tuple(s) in seen:
             raise ValueError(f"duplicate grouping set {s}")
         seen.add(tuple(s))
-        if any(i < 0 or i >= n for i in s) or list(s) != sorted(s):
+        if (any(i < 0 or i >= n for i in s) or list(s) != sorted(s)
+                or len(set(s)) != len(s)):
             raise ValueError(
-                f"grouping set {s} must be sorted indices into keys")
+                f"grouping set {s} must be sorted UNIQUE indices into keys")
     key_fields = {f.name: f.type for f in
                   (ds.schema().base_schema
                    if hasattr(ds.schema(), "base_schema")

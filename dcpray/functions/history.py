@@ -28,19 +28,20 @@ import pyarrow.compute as pc
 
 from dcpray.functions.agg import _hash_key_columns, require_nonnull
 
-__all__ = ["version_history", "lake_diff"]
+__all__ = ["version_history", "wal_version_history", "lake_diff",
+           "table_diff", "write_changefeed", "read_changefeed"]
 
 
-def _encode_sort_key(col: pa.ChunkedArray) -> np.ndarray:
-    """int64 sort key for lexsort: group-boundary detection only needs
-    equal-values-adjacent, so dictionary indices suffice for strings."""
-    ty = col.type
+def _adjacent_equal(col: pa.ChunkedArray) -> np.ndarray:
+    """bool[n-1]: row i equals row i+1 — Arrow-native, so strings and
+    timestamps compare by VALUE (dictionary indices would only give
+    first-appearance order)."""
     arr = col.combine_chunks()
-    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
-        return pc.dictionary_encode(arr).indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-    return pc.cast(arr, pa.int64()).to_numpy(
-        zero_copy_only=False).astype(np.int64)
+    n = len(arr)
+    if n < 2:
+        return np.zeros(0, bool)
+    return pc.equal(arr.slice(1), arr.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False)
 
 
 def version_history(ds, keys: list[str], version_col: str,
@@ -75,19 +76,19 @@ def version_history(ds, keys: list[str], version_col: str,
 
 def _assign_history(group: pa.Table, keys: list[str], version_col: str,
                     valid_to_col: str, current_col: str) -> pa.Table:
-    """The per-partition SCD2 kernel: lexsort by (keys, version), one
-    shifted vectorized compare for the validity chain. Requires every
-    row of a key to be present in ``group``."""
+    """The per-partition SCD2 kernel: Arrow sort by (keys, version) —
+    VALUE order for every orderable type, including string versions —
+    then one shifted vectorized compare for the validity chain.
+    Requires every row of a key to be present in ``group``."""
     require_nonnull(group, (*keys, version_col), "version_history")
-    enc = [_encode_sort_key(group[k]) for k in keys]
-    v = _encode_sort_key(group[version_col])
-    order = np.lexsort((v, *enc[::-1]))
-    out = group.take(pa.array(order))
+    order = pc.sort_indices(
+        group, sort_keys=[(k, "ascending") for k in (*keys, version_col)])
+    out = group.take(order)
     n = out.num_rows
     same_next = np.zeros(n, bool)
     if n > 1:
         same_next[:-1] = np.logical_and.reduce(
-            [e[order][1:] == e[order][:-1] for e in enc])
+            [_adjacent_equal(out[k]) for k in keys])
     vers = out[version_col].combine_chunks()
     nxt = np.arange(1, n + 1)
     nxt[-1:] = 0  # masked off below
@@ -132,8 +133,11 @@ def wal_version_history(wal_dir: str, keys=("conv_id", "turn_idx"),
     key_list = list(keys)
     need = columns
     if need is not None:
-        need = sorted({*need, *key_list, version_col}
-                      | ({"vb", "op"} if validate else set()))
+        # the reject filter's contract is fixed: it reads
+        # vb/seqno/conv_id/turn_idx/op regardless of this op's keys
+        filter_cols = {"vb", "seqno", "conv_id", "turn_idx", "op"} \
+            if validate else set()
+        need = sorted({*need, *key_list, version_col} | filter_cols)
 
     def hist(batch: pa.Table) -> pa.Table:
         outs = []
@@ -227,8 +231,15 @@ def _diff_pair(old_t: pa.Table, new_t: pa.Table, keys: list[str],
     changed = pa.array(np.zeros(j.num_rows, bool))
     for c in value_cols:
         a, b = j[f"{c}_o"], j[f"{c}_n"]
-        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
-        ne = pc.if_else(both_null, False,
+        same = pc.and_(pc.is_null(a), pc.is_null(b))
+        if pa.types.is_floating(a.type):
+            # SQL IS DISTINCT FROM treats NaN = NaN as equal; Arrow's
+            # not_equal(NaN, NaN) is true — special-case it or a
+            # NaN-carrying no-op commit emits spurious updates
+            same = pc.or_(same, pc.and_(
+                pc.is_nan(pc.fill_null(a, 0.0)),
+                pc.is_nan(pc.fill_null(b, 0.0))))
+        ne = pc.if_else(same, False,
                         pc.fill_null(pc.not_equal(a, b), True))
         changed = pc.or_(changed, ne)
     is_ins = pc.and_(in_new, pc.invert(in_old))
@@ -312,12 +323,12 @@ def lake_diff(lake, from_seq: int, to_seq: int,
             sides = []
             for rel in (row["old"], row["new"]):
                 if rel:
+                    path = os.path.join(lake_dir, rel)
+                    have = set(pq.read_schema(path).names)
                     t = pq.read_table(
-                        os.path.join(lake_dir, rel),
+                        path,
                         columns=[c for c in read_schema.names
-                                 if c in pq.read_schema(
-                                     os.path.join(lake_dir, rel)).names]
-                        + ["_op"])
+                                 if c in have] + ["_op"])
                     t = t.filter(pc.equal(t["_op"], "mutation"))
                     sides.append(_conform(t, read_schema))
                 else:
@@ -378,7 +389,22 @@ def write_changefeed(lake, seq: int,
         feed = lake_diff(lake, parent, seq, keys=keys, exclude=exclude)
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     try:
+        os.makedirs(tmp, exist_ok=True)
         feed.write_parquet(tmp)
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(tmp, "*.parquet")):
+            # a NO-CHANGE commit (e.g. compact, idempotent re-replay)
+            # has an empty feed, and Ray's write_parquet emits no file
+            # for 0 rows — persist an explicit empty file so the feed's
+            # existence and schema survive for consumers
+            import pyarrow.parquet as _pq
+
+            sch = feed.schema()
+            sch = sch.base_schema if hasattr(sch, "base_schema") else sch
+            _pq.write_table(sch.empty_table(),
+                            os.path.join(tmp, "part-empty.parquet"))
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
         os.rename(tmp, out_dir)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -405,11 +431,11 @@ def read_changefeed(lake, from_seq: int, to_seq: int):
             raise ValueError(f"no persisted changefeed for seq={s}; "
                              "write_changefeed it first")
         dirs.append(d)
-    files = [f for d in dirs
-             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
-    if not files:
+    if not dirs:
         raise ValueError(
             f"no committed seqs in ({from_seq}, {to_seq}]")
+    files = [f for d in dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
     # partitioning=None: the seq=N dir name must not hive-infer a
     # phantom `seq` column into the feed schema
     return ray.data.read_parquet(files, partitioning=None)

@@ -70,6 +70,21 @@ def except_distinct(a_ds, b_ds, cols: list[str], partitions: int = 64):
 
 
 def union_distinct(a_ds, b_ds, cols: list[str], partitions: int = 64):
-    """``a UNION b`` (DISTINCT): every distinct row of either input."""
-    return _set_op(a_ds, b_ds, cols,
-                   lambda lo, hi: pc.greater_equal(lo, 0), partitions)
+    """``a UNION b`` (DISTINCT): every distinct row of either input —
+    no side bookkeeping (unlike intersect/except, membership is
+    irrelevant), just per-batch distinct → one exchange → per-partition
+    distinct."""
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols, use_threads=False).aggregate([])
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        pk = (_hash_key_columns(t, cols)
+              % np.uint64(partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    both = a_ds.map_batches(distinct, batch_format="pyarrow").union(
+        b_ds.map_batches(distinct, batch_format="pyarrow"))
+    return (both.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(lambda g: distinct(g.drop_columns(["_pk"])),
+                        batch_format="pyarrow"))

@@ -220,6 +220,14 @@ def rank_in_group(ds, group_col: str, order_col: str,
         raise ValueError("out_col='rank' collides with ranks=('rank',...); "
                          "name the row_number column differently "
                          "(e.g. out_col='row_number')")
+    in_names = set(ds.schema().names)
+    clash = sorted(({out_col, *ranks}
+                    | ({cumsum_out} if cumsum_col is not None else set()))
+                   & in_names)
+    if clash:
+        raise ValueError(
+            f"output column(s) {clash} already exist in the input; "
+            "rename them upstream or pick different output names")
 
     def assign(group: pa.Table) -> pa.Table:
         require_nonnull(group, (group_col, order_col, tiebreak_col),

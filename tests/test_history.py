@@ -350,3 +350,68 @@ def test_changefeed_on_cas_store(tmp_path):
     feed = read_changefeed(lake, 0, lake.store.load_current().seq)
     assert feed.count() > 0
     assert set(feed.to_pandas()["_change_type"]) == {"insert"}
+
+
+# -------------------------------------------- code-review regressions
+
+
+def test_changefeed_empty_feed_roundtrip(two_commit_lake):
+    """Review fix: a no-change commit (compact) has an EMPTY feed —
+    write must still create the seq dir (Ray writes no file for 0
+    rows) and read must return an empty, schema-bearing dataset."""
+    from dcpray.functions.history import read_changefeed, write_changefeed
+    from dcpray.pipelines.compact import compact
+
+    lake, _, _ = two_commit_lake
+    compact(lake, force=True)
+    seqs = sorted(m.seq for m in lake.store.history())
+    m = write_changefeed(lake, seqs[-1])
+    assert m.get("skipped") in (False, True)  # idempotent either way
+    feed = read_changefeed(lake, seqs[-2], seqs[-1])
+    assert feed.count() == 0
+    assert "_change_type" in feed.schema().names
+
+
+def test_version_history_string_version_orders_by_value():
+    """Review fix: a STRING version column (ISO timestamps) must order
+    by VALUE, not dictionary first-appearance order."""
+    import duckdb as _dd
+
+    t = pa.table({
+        "k": pa.array(["a"] * 3 + ["b"] * 2),
+        # deliberately out of order within the table
+        "ver": pa.array(["2024-03-01", "2024-01-01", "2024-02-01",
+                         "2024-09-09", "2024-05-05"]),
+    })
+    out = version_history(rd.from_arrow(t), ["k"], "ver").to_pandas()
+    ora = _dd.sql("""
+SELECT k, ver, LEAD(ver) OVER (PARTITION BY k ORDER BY ver) AS valid_to,
+       (LEAD(ver) OVER (PARTITION BY k ORDER BY ver) IS NULL) AS is_current
+FROM t""").df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(["k", "ver"]).reset_index(drop=True)
+    b = ora[cols].sort_values(["k", "ver"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_wal_version_history_pruned_columns_keep_filter_contract():
+    """Review fix: explicit `columns` must not prune out the reject
+    filter's fixed inputs (vb/seqno/conv_id/turn_idx/op)."""
+    from dcpray.functions.history import wal_version_history
+
+    fx = ensure_fixture("tiny")
+    out = wal_version_history(os.path.join(fx, "wal"),
+                              columns=["role"]).to_pandas()
+    assert len(out) > 0 and "role" in out.columns
+
+
+def test_table_diff_nan_payload_is_not_an_update():
+    """Review fix: NaN == NaN must compare EQUAL (SQL IS DISTINCT FROM
+    semantics) — a NaN-carrying no-op diff emits nothing."""
+    from dcpray.functions.history import table_diff
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([float("nan"), 1.5], pa.float64())})
+    out = table_diff(rd.from_arrow(t), rd.from_arrow(t),
+                     keys=["k"]).to_pandas()
+    assert len(out) == 0

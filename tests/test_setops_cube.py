@@ -126,3 +126,11 @@ def test_set_ops_multi_column_string_keys():
     a = out.sort_values(["x", "y"]).reset_index(drop=True)
     b = ora.sort_values(["x", "y"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a.astype(str), b.astype(str))
+
+
+def test_grouping_set_duplicate_index_raises():
+    t = pa.table({"a": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="UNIQUE"):
+        grouping_sets(rd.from_arrow(t), ["a", "v"], [("v", "sum", "s")],
+                      sets=[["a", "a"]])

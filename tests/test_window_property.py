@@ -145,3 +145,18 @@ FROM t WINDOW w AS (PARTITION BY k ORDER BY v)""").df()
     with pytest.raises(ValueError, match="collides"):
         rank_in_group(rd.from_arrow(t), "k", "v", tiebreak_col="tb",
                       ranks=("rank",))
+
+
+def test_rank_in_group_output_name_collision_raises():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dcpray.functions.window import rank_in_group
+
+    t = pa.table({"k": pa.array([1], "int64"), "v": pa.array([1], "int64"),
+                  "tb": pa.array([1], "int64"),
+                  "dense_rank": pa.array([9], "int64")})
+    with pytest.raises(ValueError, match="already exist"):
+        rank_in_group(rd.from_arrow(t), "k", "v", tiebreak_col="tb",
+                      out_col="row_number", ranks=("dense_rank",))
