@@ -42,16 +42,35 @@ class WalFileInfo:
 def _scan_footer(path: str) -> WalFileInfo:
     f = pq.ParquetFile(path)
     md = f.metadata
+    if md.num_rows == 0:
+        # an external producer's empty flush is a legitimate tail-mode
+        # artifact: zero events, nothing to prune or replay from it
+        return WalFileInfo(path, -1, 0, -1, 0, f.schema_arrow)
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     vb_lo = vb_hi = sq_lo = sq_hi = None
+    have_stats = True
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         s_vb = g.column(idx["vb"]).statistics
         s_sq = g.column(idx["seqno"]).statistics
+        if s_vb is None or s_sq is None or not s_vb.has_min_max \
+                or not s_sq.has_min_max:
+            have_stats = False
+            break
         vb_lo = s_vb.min if vb_lo is None else min(vb_lo, s_vb.min)
         vb_hi = s_vb.max if vb_hi is None else max(vb_hi, s_vb.max)
         sq_lo = s_sq.min if sq_lo is None else min(sq_lo, s_sq.min)
         sq_hi = s_sq.max if sq_hi is None else max(sq_hi, s_sq.max)
+    if not have_stats:
+        # writer disabled column statistics: read just the two routing
+        # columns (tiny) instead of crashing the whole scan
+        t = f.read(columns=["vb", "seqno"])
+        import pyarrow.compute as _pc
+
+        vb_lo = _pc.min(t["vb"]).as_py()
+        vb_hi = _pc.max(t["vb"]).as_py()
+        sq_lo = _pc.min(t["seqno"]).as_py()
+        sq_hi = _pc.max(t["seqno"]).as_py()
     if vb_lo != vb_hi:
         # multi-vb file: no file-level pruning possible, mark vb=-1
         vb_lo = -1

@@ -423,5 +423,8 @@ def partial_reduce(spec: dict, bucket: int, wal_paths: list[str]) -> pa.Table:
         out = payload_schema.empty_table()
     else:
         out = lww_filter(pa.concat_tables(partials, promote_options="none"))
-    # rows_in travels as table metadata so the merge task can report it
-    return out.replace_schema_metadata({b"rows_in": str(rows_in).encode()})
+    # rows_in accounting for split buckets happens in _run_aligned
+    # (patched from rows_of) — the merge path rebuilds tables through
+    # normalize_to, which drops schema metadata, so no per-table channel
+    # exists here
+    return out

@@ -141,15 +141,18 @@ def route_column(batch: pa.Table, mapping: dict[str, str], default: str | None =
     """Resolve each row's destination table from its collection — the
     analogue of collectionTopicMapping; unknown collection raises unless a
     default is given (the reference panics, connector.go:136-138)."""
-    coll = batch["collection"]
+    coll = batch["collection"].combine_chunks()
     uniq = pc.unique(coll).to_pylist()
     unknown = [c for c in uniq if c not in mapping]
     if unknown and default is None:
         raise KeyError(f"no table mapping for collections {unknown}")
-    lookup = {c: mapping.get(c, default) for c in uniq}
-    routes = pa.array([lookup[c] for c in coll.to_pylist()], type=pa.string()) \
-        if len(uniq) > 1 else pa.nulls(batch.num_rows, pa.string()).fill_null(lookup[uniq[0]]) \
-        if uniq else pa.nulls(0, pa.string())
+    # vectorized resolve: index each row into the (tiny) unique list,
+    # then one take from the resolved route array — no per-row Python
+    route_of = pa.array([mapping.get(c, default) for c in uniq],
+                        pa.string())
+    idx = pc.index_in(coll, value_set=pa.array(uniq, coll.type))
+    routes = route_of.take(idx) if uniq \
+        else pa.nulls(batch.num_rows, pa.string())
     return batch.append_column("route", routes)
 
 

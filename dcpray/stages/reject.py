@@ -38,29 +38,39 @@ def make_reject_filter(
     beyond the small broadcast watermark array captured in the closure)."""
 
     def _filter(batch: pa.Table) -> pa.Table:
-        vb = batch["vb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        seq = batch["seqno"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # vb/seqno are the engine's own routing columns: a null there is
+        # a structurally invalid event that must be DEAD-LETTERED, not
+        # crash the merge task (and nullable-int to_numpy would decode
+        # through float64, corrupting large seqnos) — fill AFTER masking
+        vb_ok = pc.is_valid(batch["vb"]).to_numpy(zero_copy_only=False)
+        seq_ok = pc.is_valid(batch["seqno"]).to_numpy(zero_copy_only=False)
+        vb = pc.fill_null(pc.cast(batch["vb"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = pc.fill_null(pc.cast(batch["seqno"], pa.uint64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
         if len(wm_arr) == 0:  # no committed watermark: everything is live
             live = np.ones(len(seq), dtype=bool)
         else:
             wm = np.where(vb < len(wm_arr), wm_arr[np.minimum(vb, len(wm_arr) - 1)], 0)
             live = seq > wm
+        live |= ~(vb_ok & seq_ok)  # invalid rows are always "live": DLQ them
 
         conv_ok = pc.is_valid(batch["conv_id"]).to_numpy(zero_copy_only=False)
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
         turn_ok = np.where(pc.is_valid(batch["turn_idx"]).to_numpy(zero_copy_only=False), turn >= 0, False)
         op_ok = pc.is_in(batch["op"], value_set=pa.array(OPS)).to_numpy(zero_copy_only=False)
-        valid = conv_ok & turn_ok & op_ok
+        valid = conv_ok & turn_ok & op_ok & vb_ok & seq_ok
 
         bad = live & ~valid
         if bad.any() and rejected_dir is not None:
             rej = batch.filter(pa.array(bad))
             reasons = np.select(
                 [
+                    ~(vb_ok & seq_ok)[bad],
                     ~conv_ok[bad],
                     ~turn_ok[bad],
                 ],
-                ["null conv_id", "invalid turn_idx"],
+                ["null vb/seqno", "null conv_id", "invalid turn_idx"],
                 default="unknown op",
             )
             cols = {

@@ -133,7 +133,8 @@ class ConcurrentCommitError(RuntimeError):
 class ManifestStore:
     """Load/commit manifests under <lake_dir>/manifests with a CURRENT
     pointer. ``Save``/``Load`` parity with metadata.Metadata
-    (kafka_metadata.go); ``Clear`` is dropping CURRENT.
+    (kafka_metadata.go); ``Clear`` wipes the checkpoint state (pointer
+    AND manifests, so a cleared store accepts a fresh seq-1 commit).
 
     Commits are optimistically concurrent: the manifest file is named by
     its sequence number and created with link-if-absent, so two writers
@@ -169,18 +170,42 @@ class ManifestStore:
         try:
             os.link(tmp, final)  # fails with EEXIST if a racer won seq
         except FileExistsError:
-            os.unlink(tmp)
-            raise ConcurrentCommitError(
-                f"seq {manifest.seq} already committed by another writer; "
-                "reload the manifest and rerun"
-            ) from None
+            cur = self.load_current()
+            if cur is not None and cur.seq >= manifest.seq:
+                os.unlink(tmp)
+                raise ConcurrentCommitError(
+                    f"seq {manifest.seq} already committed by another "
+                    "writer; reload the manifest and rerun"
+                ) from None
+            # CURRENT still points below this seq: the existing file is
+            # an ORPHAN from a writer that crashed between link and the
+            # CURRENT write (it was never made current, so no reader
+            # ever saw it). Replace it — otherwise the lake is wedged
+            # forever on EEXIST. Post-publish read-back below still
+            # detects the degenerate two-LIVE-writers-in-the-gap race.
+            os.replace(tmp, final)
+            _atomic_write(self.current_path, name)
+            with open(final) as f:
+                if Manifest.from_json(f.read()).run_id != manifest.run_id:
+                    raise ConcurrentCommitError(
+                        f"seq {manifest.seq} was concurrently replaced "
+                        "while recovering an orphaned manifest; rerun"
+                    )
+            return name
         os.unlink(tmp)
         _atomic_write(self.current_path, name)
         return name
 
     def clear(self) -> None:
+        """Drop ALL checkpoint state: the pointer and every manifest
+        file (Metadata.Clear parity — a cleared store must accept a
+        fresh seq-1 commit; leaving old manifest files would wedge it
+        on the seq-name collision)."""
         if os.path.exists(self.current_path):
             os.remove(self.current_path)
+        for n in os.listdir(self.manifest_dir):
+            if n.startswith("manifest-"):
+                os.remove(os.path.join(self.manifest_dir, n))
 
     def history(self) -> list[Manifest]:
         """Commit lineage, oldest → newest (still-retained manifests; gc
@@ -397,10 +422,9 @@ class Lake:
 
         files = [self.abspath(f["path"]) for f in file_entries]
         if not files:
-            schema = pa.schema(
-                [*zip(TRANSCRIPT_COLUMNS, [pa.string(), pa.int32(), pa.string(), pa.string(), pa.string(), pa.timestamp("us")])]
-            )
-            return rd.from_arrow(schema.empty_table())
+            from dcpray.schema import TRANSCRIPT_SCHEMA
+
+            return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
         schema = pa.unify_schemas([pq.read_schema(f) for f in files], promote_options="permissive")
         from dcpray.sources.io import read_parquet_fast
 

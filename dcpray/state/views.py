@@ -230,12 +230,15 @@ class IncrementalView:
     def read(self, at: int | None = None, partitions: int = 16):
         """The merged view as a lazy Dataset — one coarse exchange over
         sidecar partials, O(view size), independent of table size."""
-        import ray.data as rd
-
         from dcpray.functions.agg import merge_partial_dataset
+        from dcpray.sources.io import read_parquet_fast
         paths = self._part_paths(at)
+        # read_parquet_fast: plain read_parquet's per-fragment footer
+        # prefetch costs seconds at hundreds of sidecar files (io.py)
+        schema = pa.unify_schemas([pq.read_schema(p) for p in paths],
+                                  promote_options="permissive")
         return merge_partial_dataset(
-            rd.read_parquet(paths), list(self.spec.keys),
+            read_parquet_fast(paths, schema=schema), list(self.spec.keys),
             [tuple(a) for a in self.spec.aggs], partitions=partitions)
 
     def read_table(self, at: int | None = None) -> pa.Table:
@@ -243,7 +246,10 @@ class IncrementalView:
         call (use ``read()`` when group count is large)."""
         from dcpray.functions.agg import merge_partials
         paths = self._part_paths(at)
+        # "permissive": sidecars carried forward from BEFORE a type
+        # evolution (e.g. int32 -> int64 partials) must still concat —
+        # reuse is keyed on file existence, not schema
         parts = pa.concat_tables([pq.read_table(p) for p in paths],
-                                 promote_options="default")
+                                 promote_options="permissive")
         return merge_partials(parts, list(self.spec.keys),
                               [tuple(a) for a in self.spec.aggs])

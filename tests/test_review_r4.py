@@ -1,0 +1,121 @@
+"""Regressions for the round-4 self-review findings on the core engine
+(manifest-store wedge, DLQ null routing columns, footer-scan crashes,
+fixture meta counts)."""
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dcpray.state.checkpoint import (
+    CasManifestStore,
+    Lake,
+    Manifest,
+    ManifestStore,
+)
+
+
+def _manifest(seq: int, run_id: str) -> Manifest:
+    return Manifest(run_id=run_id, seq=seq, parent=None, num_buckets=4,
+                    salted=False, watermarks={}, files=[])
+
+
+def test_manifest_store_recovers_from_crashed_gap(tmp_path):
+    """Review fix: a writer that died between the manifest link and the
+    CURRENT write used to wedge the store forever (EEXIST on every
+    future seq-N commit). The orphan was never visible, so replacing it
+    is safe."""
+    d = str(tmp_path)
+    store = ManifestStore(d)
+    store.commit(_manifest(1, "r-one"))
+    # simulate the crash: manifest-000002.json exists, CURRENT still
+    # points at seq 1
+    orphan = os.path.join(store.manifest_dir, "manifest-000002.json")
+    with open(orphan, "w") as f:
+        f.write(_manifest(2, "r-crashed").to_json())
+    assert store.load_current().seq == 1
+    name = store.commit(_manifest(2, "r-recovered"))
+    assert name == "manifest-000002.json"
+    assert store.load_current().run_id == "r-recovered"
+
+
+def test_manifest_store_still_rejects_true_concurrent_commit(tmp_path):
+    from dcpray.state.checkpoint import ConcurrentCommitError
+
+    store = ManifestStore(str(tmp_path))
+    store.commit(_manifest(1, "r-one"))
+    store.commit(_manifest(2, "r-two"))
+    with pytest.raises(ConcurrentCommitError):
+        store.commit(_manifest(2, "r-late"))  # CURRENT already at 2
+
+
+@pytest.mark.parametrize("mk", [ManifestStore,
+                                lambda d: CasManifestStore(d)])
+def test_clear_accepts_fresh_seq1_commit(tmp_path, mk):
+    """Review fix: POSIX clear() left old manifest files, so the next
+    seq-1 commit wedged on the name collision."""
+    store = mk(str(tmp_path))
+    store.commit(_manifest(1, "r-a"))
+    store.commit(_manifest(2, "r-b"))
+    store.clear()
+    assert store.load_current() is None
+    store.commit(_manifest(1, "r-fresh"))
+    assert store.load_current().run_id == "r-fresh"
+
+
+def test_reject_filter_dead_letters_null_vb_seqno(tmp_path):
+    """Review fix: a null vb used to crash the merge task with
+    IndexError instead of routing the row to the DLQ."""
+    from dcpray.sources.wal import watermark_array
+    from dcpray.stages.reject import make_reject_filter
+
+    rej_dir = str(tmp_path / "rejected")
+    os.makedirs(rej_dir)
+    batch = pa.table({
+        "vb": pa.array([0, None, 1], pa.int64()),
+        "seqno": pa.array([5, 6, None], pa.uint64()),
+        "conv_id": pa.array(["a", "b", "c"]),
+        "turn_idx": pa.array([0, 0, 0], pa.int32()),
+        "op": pa.array(["mutation"] * 3),
+    })
+    f = make_reject_filter(watermark_array({}, 4), rej_dir)
+    out = f(batch)
+    assert out.num_rows == 1 and out["conv_id"][0].as_py() == "a"
+    import glob
+
+    rej = pa.concat_tables([pq.read_table(p) for p in
+                            glob.glob(os.path.join(rej_dir, "*.parquet"))])
+    assert rej.num_rows == 2
+    assert set(rej["error"].to_pylist()) == {"null vb/seqno"}
+
+
+def test_scan_footer_tolerates_empty_and_statless_segments(tmp_path):
+    """Review fix: a zero-row segment (empty producer flush) or a file
+    written without column statistics crashed every subsequent scan."""
+    from dcpray.sources.wal import _scan_footer
+
+    sch = pa.schema([("vb", pa.int32()), ("seqno", pa.uint64()),
+                     ("conv_id", pa.string())])
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(sch.empty_table(), empty)
+    info = _scan_footer(empty)
+    assert info.rows == 0 and info.max_seqno < info.min_seqno
+
+    nostats = str(tmp_path / "nostats.parquet")
+    t = pa.table({"vb": pa.array([3, 3], pa.int32()),
+                  "seqno": pa.array([7, 9], pa.uint64()),
+                  "conv_id": pa.array(["x", "y"])})
+    pq.write_table(t, nostats, write_statistics=False)
+    info = _scan_footer(nostats)
+    assert (info.vb, info.min_seqno, info.max_seqno, info.rows) == (3, 7, 9, 2)
+
+
+def test_genwal_meta_op_counts_sum_to_n_events(tmp_path):
+    """Review fix: mutation count was taken from the PERMUTED
+    events+poison array, so sum(op_counts) exceeded n_events."""
+    from dcpray.sources.genwal import FixtureSpec, generate_fixture
+
+    spec = FixtureSpec(num_vbuckets=8, num_convs=120, files_per_vb=2)
+    meta = generate_fixture(str(tmp_path / "fx"), spec)
+    assert sum(meta["op_counts"].values()) == meta["n_events"]
