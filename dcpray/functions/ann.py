@@ -70,6 +70,12 @@ class BatchScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty block (empty corpus file / upstream filter): _stack
+            # loses the dim at n=0 and the matmul would crash
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         emb = _normalize(_stack(batch["embedding"]))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         scores = self.qmat @ emb.T  # Q × B

@@ -405,10 +405,15 @@ class PairVerifier:
         self.threshold = threshold
         self._cache: dict[int, np.ndarray] = {}
 
-    def _sh(self, i: int) -> np.ndarray:
+    def _sh(self, i: int) -> np.ndarray | None:
+        """None for ids with no corpus text — jaccard("", "") is 1.0
+        and would report a false-positive duplicate (same contract as
+        the join verifier's missing-text -1 sentinel)."""
+        if i not in self.texts or self.texts[i] is None:
+            return None
         s = self._cache.get(i)
         if s is None:
-            s = char_shingle_hashes(self.texts.get(i, "") or "", self.k)
+            s = char_shingle_hashes(self.texts[i], self.k)
             if len(self._cache) < 50_000:
                 self._cache[i] = s
         return s
@@ -416,7 +421,12 @@ class PairVerifier:
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        j = np.array([jaccard(self._sh(int(x)), self._sh(int(y))) for x, y in zip(a, b)])
+
+        def score(x: int, y: int) -> float:
+            sx, sy = self._sh(int(x)), self._sh(int(y))
+            return -1.0 if sx is None or sy is None else jaccard(sx, sy)
+
+        j = np.array([score(x, y) for x, y in zip(a, b)])
         keep = j >= self.threshold
         return pa.table(
             {
@@ -751,9 +761,18 @@ def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50):
         ln, lv = ln[order], lv[order]
         en = edge_rows["node"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         ep = edge_rows["peer"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ln) == 0:
+            # a partition with edges but no labels (co-partitioning
+            # normally prevents it) — & is bitwise, not short-circuit,
+            # so the ln[pos] below would IndexError before any guard
+            return pa.table({"pk": pa.array([], pa.int32()),
+                             "node": pa.array([], pa.int64()),
+                             "peer": pa.nulls(0, pa.int64()),
+                             "label": pa.array([], pa.int64())},
+                            schema=edge_schema)
         pos = np.searchsorted(ln, en)
         pos = np.minimum(pos, max(len(ln) - 1, 0))
-        found = (len(ln) > 0) & (ln[pos] == en)
+        found = ln[pos] == en
         cand_node = ep[found].astype(np.int64)
         cand_lab = lv[pos[found]].astype(np.int64)
         n = len(cand_node)
@@ -985,7 +1004,20 @@ def simhash_dup_pairs(ds, max_hamming=3, text_col="text", key_col="doc_id",
             gi, gs = ids[s:e], sh[s:e]
             uniq = np.r_[True, gi[1:] != gi[:-1]]  # ids sorted within run
             gi, gs = gi[uniq], gs[uniq]
-            if len(gi) < 2 or len(gi) > 512:
+            if len(gi) < 2:
+                continue
+            if len(gi) > 512:
+                # pathological bucket (e.g. hundreds of identical docs):
+                # a full pairwise emit is quadratic — emit the STAR from
+                # the min id instead, which preserves dedup CONNECTIVITY
+                # (every member still pairs with one representative)
+                # rather than silently dropping the bucket
+                x = gs[0] ^ gs[1:]
+                ham = _popcount64(x)
+                keep = ham <= max_hamming
+                a_p.append(np.full(int(keep.sum()), gi[0], gi.dtype))
+                b_p.append(gi[1:][keep])
+                h_p.append(ham[keep].astype(np.int64))
                 continue
             iu = np.triu_indices(len(gi), k=1)
             x = gs[iu[0]] ^ gs[iu[1]]
@@ -1087,7 +1119,10 @@ class ExactCosinePairs:
             {
                 "a": pa.array(ids[r].astype(np.int64)),
                 "b": pa.array(self.ids[c].astype(np.int64)),
-                "cosine": pa.array(np.round(cos[r, c], 4)),
+                # half-up 4dp like DuckDB round(): np.round is half-even
+                # and flips exact .5 ties vs the oracle (kept values are
+                # >= threshold > 0, so the non-negative form applies)
+                "cosine": pa.array(np.floor(cos[r, c] * 1e4 + 0.5) / 1e4),
             }
         )
 
@@ -1167,6 +1202,8 @@ def ngram_jaccard_exact_pairs(ds, threshold: float = 0.5, n: int = 3,
         codes_list.append(np.fromiter((vocab[g] for g in s), np.int64,
                                       count=len(s)))
         indptr[i + 1] = indptr[i] + len(s)
+        if len(vocab) > max_vocab:  # fail DURING the build, before OOM
+            break
     if len(vocab) > max_vocab:
         raise ValueError(
             f"n-gram vocabulary {len(vocab)} exceeds max_vocab={max_vocab}; "

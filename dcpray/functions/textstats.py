@@ -274,10 +274,16 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic 64-bit document fingerprint: rolling polynomial hash
     of the whitespace-normalized text (stable content identity for dedup
     joins / lineage). Vectorized via pandas string hash + mixing."""
-    norm = pc.replace_substring_regex(batch[text_col], r"\s+", " ")
+    # null text -> "" BEFORE hashing: pandas' object hash maps None to
+    # the same value as the literal string "None" (verified), which
+    # would merge a null doc with a real "None" doc — and the md5
+    # sibling already maps null to ""
+    norm = pc.fill_null(batch[text_col], "")
+    norm = pc.replace_substring_regex(norm, r"\s+", " ")
     norm = pc.utf8_trim_whitespace(norm)
-    h = pd.util.hash_array(np.asarray(norm.to_pylist(), dtype=object), categorize=False)
-    fp = splitmix64(h)
+    from dcpray.hashing import hash_strings
+
+    fp = splitmix64(hash_strings(norm))
     return pa.table(
         {
             "doc_id": batch["doc_id"],

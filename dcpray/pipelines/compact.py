@@ -161,6 +161,11 @@ def gc(lake: Lake, keep_manifests: int = 5, grace_s: float = 3600.0) -> dict[str
     removed_metrics = 0
     if os.path.isdir(metrics_root):
         for f in os.listdir(metrics_root):
+            # ONLY per-run dumps (<run_id>.json) are gc-able; anything
+            # else in metrics/ — notably the live stream.jsonl commit
+            # log — must survive maintenance
+            if not f.endswith(".json"):
+                continue
             p = os.path.join(metrics_root, f)
             if f.removesuffix(".json") not in live_run_ids and os.path.getmtime(p) < cutoff:
                 os.remove(p)

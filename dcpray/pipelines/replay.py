@@ -522,17 +522,11 @@ def _run_shuffle(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     # (measured 3.1s vs 5.4s pull-based on the sf0.1 merge); scoped around
     # plan construction AND execution so the caller's DataContext is
     # untouched afterwards
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
+    from dcpray.rayutil import push_based_shuffle
 
-    ctx = DataContext.get_current()
-    saved = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    try:
+    with push_based_shuffle():
         stats_ds = union.groupby(BUCKET_COL).map_groups(
             make_bucket_merger(lake.lake_dir, run_id), batch_format="pyarrow"
         )
         stats = stats_ds.take_all()  # ≤ num_buckets tiny rows; merge runs here
-    finally:
-        ctx.shuffle_strategy = saved
     return stats, carried

@@ -74,6 +74,12 @@ def replay_routed(
     ``tables``: collection → Lake (collectionTopicMapping analogue).
     ``default``: lake for unmapped collections; None → raise (the
     reference panics, connector.go:136-138)."""
+    import os as _os
+
+    if not _os.path.isdir(wal_dir):
+        # replay() fails loudly on a mistyped WAL path; the routed
+        # entry point must not reintroduce a silent commit-nothing no-op
+        raise FileNotFoundError(f"WAL directory not found: {wal_dir}")
     present = wal_collections(wal_dir)
     unmapped = sorted(present - set(tables))
     routes = dict(tables)

@@ -119,3 +119,82 @@ def test_genwal_meta_op_counts_sum_to_n_events(tmp_path):
     spec = FixtureSpec(num_vbuckets=8, num_convs=120, files_per_vb=2)
     meta = generate_fixture(str(tmp_path / "fx"), spec)
     assert sum(meta["op_counts"].values()) == meta["n_events"]
+
+
+def test_gc_preserves_stream_jsonl(tmp_path):
+    """Review fix: gc()'s metrics cleanup matched every non-.json file
+    (stream.jsonl included) via removesuffix no-op."""
+    import time
+
+    from dcpray.pipelines.compact import gc
+    from dcpray.sources.genwal import ensure_fixture
+    from dcpray import ReplayConfig, replay
+
+    fx = ensure_fixture("tiny")
+    lake = Lake(str(tmp_path / "lake"))
+    replay(lake, os.path.join(fx, "wal"),
+           base_snapshot_dir=os.path.join(fx, "base"),
+           config=ReplayConfig(num_buckets=8))
+    stream = os.path.join(lake.lake_dir, "metrics", "stream.jsonl")
+    with open(stream, "w") as f:
+        f.write('{"x":1}\n')
+    old = 0
+    os.utime(stream, (old, old))  # far past any grace window
+    gc(lake, grace_s=0)
+    assert os.path.exists(stream)
+
+
+def test_simhash_huge_identical_bucket_emits_star_pairs():
+    """Review fix: buckets with > 512 distinct ids were silently
+    dropped — 600 identical docs produced zero dup pairs."""
+    import ray.data as rd
+
+    from dcpray.functions.dedup import simhash_dup_pairs
+
+    n = 600
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["the exact same document text here"] * n),
+    })
+    pairs = simhash_dup_pairs(rd.from_arrow(t).repartition(3)).to_pandas()
+    # star connectivity: every doc appears in at least one pair
+    touched = set(pairs["a"]) | set(pairs["b"])
+    assert touched == set(range(n))
+
+
+def test_replay_routed_missing_wal_raises(tmp_path):
+    from dcpray.pipelines.route import replay_routed
+
+    with pytest.raises(FileNotFoundError, match="WAL directory"):
+        replay_routed({"c": Lake(str(tmp_path / "l"))},
+                      str(tmp_path / "no_such_wal"))
+
+
+def test_topk_cosine_tolerates_empty_block():
+    import ray.data as rd
+
+    from dcpray.functions.ann import topk_cosine
+
+    rng = np.random.RandomState(0)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+        "embedding": pa.array([rng.randn(8).tolist() for _ in range(20)],
+                              pa.list_(pa.float64())),
+    })
+    empty = t.schema.empty_table()
+    import ray.data
+    ds = ray.data.from_arrow([t, empty])  # one empty block in the corpus
+    q = rng.randn(2, 8)
+    out = topk_cosine(ds, q, np.array([0, 1]), k=3).to_pandas()
+    assert len(out) == 6
+
+
+def test_fingerprint_null_text_distinct_from_literal_none():
+    from dcpray.functions.textstats import fingerprint
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([None, "None", ""])})
+    out = fingerprint(t).to_pandas()
+    # null normalizes to "" — same as the empty doc, distinct from "None"
+    assert out["fingerprint"][0] == out["fingerprint"][2]
+    assert out["fingerprint"][0] != out["fingerprint"][1]
