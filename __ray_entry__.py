@@ -2012,7 +2012,8 @@ WHERE len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5""",
         "embedding_neardup_exact": """
 SELECT x.vec_id a, y.vec_id b,
-       round(list_cosine_similarity(x.embedding, y.embedding), 4) cosine
+       round(CAST(list_cosine_similarity(x.embedding, y.embedding)
+                  AS DOUBLE), 4) cosine
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4""",
         "ann_ivf_index_full_probe": """
