@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 from dcpray.functions.agg import _hash_key_columns, require_nonnull
 
 __all__ = ["version_history", "wal_version_history", "lake_diff",
-           "table_diff", "write_changefeed", "read_changefeed"]
+           "table_diff", "write_changefeed", "read_changefeed",
+           "ChangefeedGapError"]
 
 
 def _adjacent_equal(col: pa.ChunkedArray) -> np.ndarray:
@@ -367,10 +368,15 @@ def write_changefeed(lake, seq: int,
     out_dir = os.path.join(lake.lake_dir, "changefeed", f"seq={seq}")
     if os.path.exists(out_dir):
         return {"seq": seq, "skipped": True}
-    seqs = sorted(m.seq for m in lake.store.history())
-    if seq not in seqs:
+    retained = {m.seq: m for m in lake.store.history()}
+    if seq not in retained:
         raise ValueError(f"no manifest with seq={seq}")
-    if seq == seqs[0]:
+    # Bootstrap ONLY the true first commit (parent is None). "Oldest
+    # RETAINED" is not the same thing: after gc() prunes a commit's
+    # parent, fabricating a full-state insert feed for it would corrupt
+    # every incremental consumer downstream (ADVICE r4) — the real
+    # delta is no longer derivable, so say so.
+    if retained[seq].parent is None:
         ds = lake.read_at(seq)
         names = ds.schema().names
 
@@ -385,8 +391,17 @@ def write_changefeed(lake, seq: int,
 
         feed = ds.map_batches(boot, batch_format="pyarrow")
     else:
-        parent = seqs[seqs.index(seq) - 1]
-        feed = lake_diff(lake, parent, seq, keys=keys, exclude=exclude)
+        # commits are consecutive integers (replay/compact set
+        # seq = prev.seq + 1), so the parent manifest is exactly seq-1
+        if (seq - 1) not in retained:
+            raise ValueError(
+                f"changefeed for seq={seq} can no longer be derived: its "
+                f"parent manifest seq={seq - 1} was gc-ed (earliest "
+                f"retained seq is {min(retained)}). Write feeds before "
+                "pruning (PipelineBuilder.attach_changefeed persists one "
+                "per commit); consumers must re-bootstrap from the lake "
+                "state instead.")
+        feed = lake_diff(lake, seq - 1, seq, keys=keys, exclude=exclude)
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     try:
         os.makedirs(tmp, exist_ok=True)
@@ -412,28 +427,63 @@ def write_changefeed(lake, seq: int,
     return {"seq": seq, "skipped": False, "dir": out_dir}
 
 
+class ChangefeedGapError(ValueError):
+    """A consumer asked for a feed range with missing commits (gc-ed
+    before being written, or never written). Incremental application of
+    a gapped feed silently diverges the consumer's mirror, so this is a
+    hard error; the message names the earliest contiguous start.
+    Recovery contract: re-bootstrap the mirror from the lake's state
+    (``lake.read_current()`` / ``read_at``) and resume the feed from
+    the seq you bootstrapped at — ``examples/incremental_sync.py``
+    shows the pattern."""
+
+
 def read_changefeed(lake, from_seq: int, to_seq: int):
     """Dataset of the persisted change feeds for commits in
-    ``(from_seq, to_seq]`` — "the messages between two offsets". Raises
-    if any feed in the range was never written (write_changefeed or
-    ``PipelineBuilder.attach_changefeed`` produce them per commit)."""
+    ``(from_seq, to_seq]`` — "the messages between two offsets".
+
+    Commits are consecutive integers, so the range must be covered by a
+    feed dir for EVERY seq in it; the persisted ``changefeed/`` tree
+    itself is the log of record (feed dirs of gc-ed manifests remain
+    readable). A consumer that fell behind a pruned/unwritten feed gets
+    ``ChangefeedGapError`` — applying a partial range would silently
+    corrupt its mirror — with the earliest contiguous start named;
+    recover by re-bootstrapping from the lake state."""
     import glob
     import os
+    import re
 
     import ray.data
 
-    seqs = sorted(m.seq for m in lake.store.history()
-                  if from_seq < m.seq <= to_seq)
-    dirs = []
-    for s in seqs:
-        d = os.path.join(lake.lake_dir, "changefeed", f"seq={s}")
-        if not os.path.isdir(d):
-            raise ValueError(f"no persisted changefeed for seq={s}; "
-                             "write_changefeed it first")
-        dirs.append(d)
-    if not dirs:
-        raise ValueError(
-            f"no committed seqs in ({from_seq}, {to_seq}]")
+    cur = lake.store.load_current()
+    if cur is None:
+        raise ValueError("lake has no committed manifest")
+    if to_seq > cur.seq:
+        raise ValueError(f"to_seq={to_seq} is beyond the lake's current "
+                         f"commit (seq={cur.seq})")
+    if from_seq >= to_seq:
+        raise ValueError(f"no committed seqs in ({from_seq}, {to_seq}]")
+    feed_root = os.path.join(lake.lake_dir, "changefeed")
+    have: set[int] = set()
+    if os.path.isdir(feed_root):
+        for n in os.listdir(feed_root):
+            m = re.fullmatch(r"seq=(\d+)", n)
+            if m and os.path.isdir(os.path.join(feed_root, n)):
+                have.add(int(m.group(1)))
+    want = list(range(from_seq + 1, to_seq + 1))
+    missing = [s for s in want if s not in have]
+    if missing:
+        # every feed ABOVE max(missing) exists, so that is the earliest
+        # from_seq with contiguous coverage through to_seq
+        raise ChangefeedGapError(
+            f"persisted changefeed is missing seq={missing[0]} "
+            f"({len(missing)} of {len(want)} commits in "
+            f"({from_seq}, {to_seq}] absent — gc-ed or never written). "
+            f"Earliest contiguous feed start is from_seq={max(missing)}; "
+            f"a consumer at seq {from_seq} must re-bootstrap from the "
+            "lake state (lake.read_current()/read_at) and resume the "
+            "feed from there.")
+    dirs = [os.path.join(feed_root, f"seq={s}") for s in want]
     files = [f for d in dirs
              for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
     # partitioning=None: the seq=N dir name must not hive-infer a

@@ -65,7 +65,18 @@ def chunk_batch(t: pa.Table, text_col: str, chunk_chars: int,
     if n_docs == 0:
         return empty_schema.empty_table()
     arr = _flat_string(tt[text_col])
-    off = np.frombuffer(arr.buffers()[1], np.int32)[
+    # large_string (concat of >2GB blocks, pandas ArrowDtype inputs)
+    # carries int64 offsets — reading them as int32 would silently
+    # misparse every chunk boundary (ADVICE r4)
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(
+            f"chunk_batch needs a string/large_string column for "
+            f"{text_col!r}, got {arr.type}")
+    off = np.frombuffer(arr.buffers()[1], off_dtype)[
         arr.offset: arr.offset + n_docs + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)
     span = data[off[0]: off[-1]]

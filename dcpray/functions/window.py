@@ -188,6 +188,35 @@ def hopping_window(ds, ts_col: str = "ts", size_s: float = 1800,
     return coarse_groupby(expanded, keys, aggs, partitions=partitions)
 
 
+def _desc_key(v: np.ndarray) -> np.ndarray:
+    """Order key whose ASCENDING lexsort yields ``v`` DESCENDING —
+    plain ``-v`` is wrong for three dtypes (ADVICE r4): datetime64/
+    timedelta64 raise TypeError on negation, unsigned ints wrap modulo
+    2**w (0 would sort FIRST instead of last), and int64's minimum
+    negates to itself. Integers map through the order-preserving biased
+    uint64 representation and invert; floats just negate."""
+    if v.dtype.kind in "mM":
+        v = v.view(np.int64)
+    if v.dtype.kind == "u":
+        return np.uint64(np.iinfo(np.uint64).max) - v.astype(np.uint64)
+    if v.dtype.kind == "i":
+        u = v.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+        return np.uint64(np.iinfo(np.uint64).max) - u
+    return -v
+
+
+def _guard_output_names(ds, out_names, op: str) -> None:
+    """pyarrow happily builds tables with DUPLICATE column names, so an
+    output column colliding with an input one silently yields two
+    same-named columns and name-based access picks an arbitrary one —
+    every window op raises upfront instead (ADVICE r4)."""
+    clash = sorted(set(out_names) & set(ds.schema().names))
+    if clash:
+        raise ValueError(
+            f"{op}: output column(s) {clash} already exist in the "
+            "input; rename them upstream or pick different output names")
+
+
 def rank_in_group(ds, group_col: str, order_col: str,
                   tiebreak_col: str, descending: bool = False,
                   out_col: str = "rank", partitions: int = 64,
@@ -237,7 +266,7 @@ def rank_in_group(ds, group_col: str, order_col: str,
         v = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
         tb = group[tiebreak_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)
-        vkey = -v if descending else v
+        vkey = _desc_key(v) if descending else v
         order = np.lexsort((tb, vkey, g))
         gs = g[order]
         n = len(gs)
@@ -573,6 +602,8 @@ def lag_lead(ds, group_col: str, order_col: str, value_col: str,
 
     if any(k < 1 for k in (*lags, *leads)):
         raise ValueError("lag/lead offsets must be >= 1")
+    _guard_output_names(ds, [f"lag_{k}" for k in lags]
+                        + [f"lead_{k}" for k in leads], "lag_lead")
 
     def assign(group: pa.Table) -> pa.Table:
         require_nonnull(group, (group_col, order_col, tiebreak_col),
@@ -628,6 +659,7 @@ def ntile_in_group(ds, group_col: str, order_col: str, tiebreak_col: str,
 
     if n < 1:
         raise ValueError("n must be >= 1")
+    _guard_output_names(ds, [out_col], "ntile_in_group")
 
     def assign(group: pa.Table) -> pa.Table:
         require_nonnull(group, (group_col, order_col, tiebreak_col),
@@ -639,9 +671,7 @@ def ntile_in_group(ds, group_col: str, order_col: str, tiebreak_col: str,
         tb = group[tiebreak_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)
         if descending:
-            if v.dtype.kind in "mM":
-                v = v.view(np.int64)
-            v = -v
+            v = _desc_key(v)
         order = np.lexsort((tb, v, g))
         gs = g[order]
         first = np.r_[True, gs[1:] != gs[:-1]]
@@ -678,6 +708,9 @@ def forward_fill(ds, group_col: str, order_col: str, value_col: str,
     previous group's last valid position is always < this group's
     start)."""
     from dcpray.functions.agg import add_coarse_pk, require_nonnull
+
+    if out_col is not None:
+        _guard_output_names(ds, [out_col], "forward_fill")
 
     def assign(group: pa.Table) -> pa.Table:
         require_nonnull(group, (group_col, order_col, tiebreak_col),

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -156,10 +157,26 @@ class ManifestStore:
         with open(os.path.join(self.manifest_dir, name)) as f:
             return Manifest.from_json(f.read())
 
-    def commit(self, manifest: Manifest) -> str:
+    #: a same-seq manifest file younger than this that CURRENT does not
+    #: yet point at is presumed to belong to a LIVE writer mid-publish
+    #: (between its link and its CURRENT write), not a crashed one —
+    #: orphan takeover waits it out instead of clobbering the file.
+    ORPHAN_LEASE_SECONDS = 30.0
+
+    def commit(self, manifest: Manifest, *,
+               orphan_lease: float | None = None) -> str:
         """Atomically publish: seq-named manifest file first (exclusive —
         raises ConcurrentCommitError on a seq collision), CURRENT pointer
-        last."""
+        last, then a read-back of the manifest file to detect an
+        orphan-recovery racer that replaced it in the gap (the lost-update
+        race a pointer-based store cannot exclude by construction;
+        ``CasManifestStore`` is the rigorous single-primitive design).
+
+        ``orphan_lease`` (seconds, default ``ORPHAN_LEASE_SECONDS``)
+        bounds how young an unreferenced same-seq manifest may be before
+        this writer treats its owner as crashed and takes the seq over."""
+        if orphan_lease is None:
+            orphan_lease = self.ORPHAN_LEASE_SECONDS
         name = f"manifest-{manifest.seq:06d}.json"
         final = os.path.join(self.manifest_dir, name)
         tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
@@ -177,12 +194,31 @@ class ManifestStore:
                     f"seq {manifest.seq} already committed by another "
                     "writer; reload the manifest and rerun"
                 ) from None
-            # CURRENT still points below this seq: the existing file is
-            # an ORPHAN from a writer that crashed between link and the
-            # CURRENT write (it was never made current, so no reader
-            # ever saw it). Replace it — otherwise the lake is wedged
-            # forever on EEXIST. Post-publish read-back below still
-            # detects the degenerate two-LIVE-writers-in-the-gap race.
+            # CURRENT still points below this seq: the existing file MAY
+            # be an orphan from a writer that crashed between link and
+            # the CURRENT write (never made current ⇒ no reader ever saw
+            # it). But it may equally be a LIVE writer mid-publish —
+            # takeover is only safe once the file has sat unreferenced
+            # past the lease; a younger file means back off.
+            try:
+                age = time.time() - os.path.getmtime(final)
+            except FileNotFoundError:
+                # the racer's own commit raced past us (it published and
+                # maybe got pruned, or it read back a loss and cleaned
+                # up); either way seq ownership is unsettled — back off.
+                os.unlink(tmp)
+                raise ConcurrentCommitError(
+                    f"seq {manifest.seq} manifest appeared and vanished "
+                    "concurrently; reload the manifest and rerun"
+                ) from None
+            if age < orphan_lease:
+                os.unlink(tmp)
+                raise ConcurrentCommitError(
+                    f"seq {manifest.seq} manifest exists but is not yet "
+                    f"CURRENT and is only {age:.1f}s old — its writer is "
+                    f"presumed live; retry after {orphan_lease:.0f}s if "
+                    "it never publishes"
+                ) from None
             os.replace(tmp, final)
             _atomic_write(self.current_path, name)
             with open(final) as f:
@@ -194,6 +230,18 @@ class ManifestStore:
             return name
         os.unlink(tmp)
         _atomic_write(self.current_path, name)
+        # Read-back on the LINK-WINNER path too: if a racer (mis)judged
+        # our just-linked file an orphan and os.replace'd it before our
+        # CURRENT write landed, both writers would otherwise ack seq N
+        # while our manifest content silently vanished (ADVICE r4, high).
+        # Exactly one acks: the file's surviving run_id decides.
+        with open(final) as f:
+            if Manifest.from_json(f.read()).run_id != manifest.run_id:
+                raise ConcurrentCommitError(
+                    f"seq {manifest.seq} manifest was replaced by a "
+                    "concurrent orphan-recovery before this writer "
+                    "published; the racer's commit stands — rerun"
+                )
         return name
 
     def clear(self) -> None:

