@@ -1432,9 +1432,13 @@ def _q_events_except_days(sf_dir: str):
 
         def prep(t: pa.Table, et=event_type) -> pa.Table:
             t = t.filter(pc.equal(t["event_type"], et))
+            # floor_temporal (timestamp-typed day) rather than a date32
+            # cast: DuckDB hands CAST(ts AS DATE) back as datetime64, so
+            # a date32 result is value-equal but dtype-mismatched under
+            # the driver's strict schema/hash compare (r4 verdict #2)
             return pa.table({
                 "user_id": t["user_id"],
-                "day": pc.cast(t["ts"], pa.date32()),
+                "day": pc.floor_temporal(t["ts"], unit="day"),
             })
 
         return ds.map_batches(prep, batch_format="pyarrow")
@@ -1588,6 +1592,35 @@ def _q_lineitem_orders_join(sf_dir: str):
                      how="left", partitions=32)
 
 
+def _q_lineitem_orders_full_outer(sf_dir: str):
+    """Distributed FULL OUTER hash join (r4 verdict #4): heavy
+    lineitems (qty > 45) ⋈ urgent orders — each side has rows the
+    other lacks, so BOTH preservation directions are exercised: heavy
+    lineitems of non-urgent orders keep null order columns, urgent
+    orders with no heavy lineitem keep null lineitem columns, and the
+    join key is coalesced across sides."""
+    import pyarrow.compute as pc
+
+    from dcpray.functions.join import hash_join
+
+    li = read_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice", "l_quantity"],
+                    override_num_blocks=16)
+    heavy = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45)).drop_columns(
+            ["l_quantity"]),
+        batch_format="pyarrow")
+    od = read_clean(os.path.join(sf_dir, "orders.parquet"),
+                    columns=["o_orderkey", "o_orderpriority", "o_custkey"],
+                    override_num_blocks=8)
+    urgent = od.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    return hash_join(heavy, urgent, on="l_orderkey",
+                     right_on="o_orderkey", how="full", partitions=32)
+
+
 def _q_events_stratified_sample(sf_dir: str):
     """Deterministic 5-per-user sample, md5-rank-exact vs the SQL
     row_number oracle."""
@@ -1705,6 +1738,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         except Exception:
             pass
     return {
+        # --- ordering contract: the driver's correctness harness
+        # verifies only the FIRST 50 entries, so queries without a
+        # prior driver-verified CORRECTNESS row come first (round-4
+        # verdict #1); the long-green CDC core and early waves rotate
+        # to the tail for this round.
+        "lineitem_orders_full_outer": _q_lineitem_orders_full_outer,
+        "docs_tfidf_top3": _q_docs_tfidf_top3,
+        "events_rank_running": _q_events_rank_running,
+        "events_customer_skewjoin": _q_events_customer_skewjoin,
+        "cdc_conversations": _q_cdc_conversations,
+        "events_rolling7": _q_events_rolling7,
+        "events_rolling_30min": _q_events_rolling_30min,
+        "events_props_extract": _q_events_props_extract,
+        "events_latest_per_user": _q_events_latest_per_user,
+        "lineitem_part_semi": _q_lineitem_part_semi,
+        "lineitem_part_anti": _q_lineitem_part_anti,
+        "events_type_quantiles": _q_events_type_quantiles,
+        "docs_contamination_exact": _q_docs_contamination_exact,
+        "events_lag_lead": _q_events_lag_lead,
+        "events_ntile4": _q_events_ntile4,
+        "events_rollup": _q_events_rollup,
+        "orders_cube": _q_orders_cube,
+        "events_value_stats": _q_events_value_stats,
+        "events_corr_value_hour": _q_events_corr_value_hour,
+        "embeddings_unnest": _q_embeddings_unnest,
+        "events_rank_family": _q_events_rank_family,
+        "events_describe": _q_events_describe,
+        "customer_updates_diff": _q_customer_updates_diff,
+        "custkeys_intersect": _q_custkeys_intersect,
+        "events_except_days": _q_events_except_days,
+        "lineitem_melt": _q_lineitem_melt,
+        "events_pivot_types": _q_events_pivot_types,
+        "events_forward_fill": _q_events_forward_fill,
+        "events_value_histogram": _q_events_value_histogram,
+        "docs_pack_sequences": _q_docs_pack_sequences,
+        "docs_contamination_ngram": _q_docs_contamination_ngram,
+        "events_stratified_sample": _q_events_stratified_sample,
+        "events_daily_users": _q_events_daily_users,
+        "events_daily_users_approx": _q_events_daily_users_approx,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_hopping_30min": _q_events_hopping_30min,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "multimodal_decode_bmp": _q_multimodal_decode_bmp,
+        "multimodal_decode_wav": _q_multimodal_decode_wav,
+        # --- three-rounds-green rotation (driver-verified r2-r4) ---
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
         "cdc_view_role_stats": _q_cdc_view_role_stats,
@@ -1755,44 +1833,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "docs_normalize": _q_docs_normalize,
         "docs_top100_longest": _q_docs_top100_longest,
-        "docs_tfidf_top3": _q_docs_tfidf_top3,
-        "events_rank_running": _q_events_rank_running,
-        "events_customer_skewjoin": _q_events_customer_skewjoin,
-        "cdc_conversations": _q_cdc_conversations,
-        "events_rolling7": _q_events_rolling7,
-        "events_rolling_30min": _q_events_rolling_30min,
-        "events_props_extract": _q_events_props_extract,
-        "events_latest_per_user": _q_events_latest_per_user,
-        "lineitem_part_semi": _q_lineitem_part_semi,
-        "lineitem_part_anti": _q_lineitem_part_anti,
-        "events_type_quantiles": _q_events_type_quantiles,
-        "docs_contamination_exact": _q_docs_contamination_exact,
-        "events_lag_lead": _q_events_lag_lead,
-        "events_ntile4": _q_events_ntile4,
-        "events_rollup": _q_events_rollup,
-        "orders_cube": _q_orders_cube,
-        "events_value_stats": _q_events_value_stats,
-        "events_corr_value_hour": _q_events_corr_value_hour,
-        "embeddings_unnest": _q_embeddings_unnest,
-        "events_rank_family": _q_events_rank_family,
-        "events_describe": _q_events_describe,
-        "customer_updates_diff": _q_customer_updates_diff,
-        "custkeys_intersect": _q_custkeys_intersect,
-        "events_except_days": _q_events_except_days,
-        "lineitem_melt": _q_lineitem_melt,
-        "events_pivot_types": _q_events_pivot_types,
-        "events_forward_fill": _q_events_forward_fill,
-        "events_value_histogram": _q_events_value_histogram,
-        "docs_pack_sequences": _q_docs_pack_sequences,
-        "docs_contamination_ngram": _q_docs_contamination_ngram,
-        "events_stratified_sample": _q_events_stratified_sample,
-        "events_daily_users": _q_events_daily_users,
-        "events_daily_users_approx": _q_events_daily_users_approx,
-        "events_value_quantiles": _q_events_value_quantiles,
-        "events_hopping_30min": _q_events_hopping_30min,
-        "embedding_kmeans": _q_embedding_kmeans,
-        "multimodal_decode_bmp": _q_multimodal_decode_bmp,
-        "multimodal_decode_wav": _q_multimodal_decode_wav,
     }
 
 
@@ -2161,6 +2201,15 @@ SELECT l_orderkey, l_linenumber, l_extendedprice,
 FROM lineitem
 LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
   ON l_orderkey = o_orderkey""",
+        "lineitem_orders_full_outer": """
+SELECT COALESCE(l.l_orderkey, o.o_orderkey) AS l_orderkey,
+       l.l_linenumber, l.l_extendedprice,
+       o.o_orderpriority, o.o_custkey
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem WHERE l_quantity > 45) l
+FULL OUTER JOIN (SELECT o_orderkey, o_orderpriority, o_custkey
+                 FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON l.l_orderkey = o.o_orderkey""",
         "docs_normalize": r"""
 SELECT doc_id, text,
        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))

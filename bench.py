@@ -81,6 +81,7 @@ SECONDARY = [
     "events_describe",
     "events_rank_family",
     "cdc_changefeed_persisted",
+    "lineitem_orders_full_outer",
 ]
 
 
@@ -283,6 +284,25 @@ def _tail_stream(sf_dir: str, n_chunks: int = 8) -> dict:
     }
 
 
+def _minhash_full_distributed(sf_dir: str) -> int:
+    """End-to-end minhash_dedup with cluster='distributed' FORCED (the
+    pairs op is benched via SECONDARY; this row times the full
+    signature→LSH→verify→min-label-propagation→survivors path on the
+    100-TB code path, where the pair set never lands on the driver)."""
+    import __ray_entry__ as entrymod
+
+    from dcpray.functions.dedup import minhash_dedup
+    from dcpray.rayutil import push_based_shuffle
+
+    docs = entrymod.read_clean(os.path.join(sf_dir, "documents.parquet"),
+                               override_num_blocks=16)
+    with push_based_shuffle():
+        _labels, survivors = minhash_dedup(docs, threshold=0.6,
+                                           cluster="distributed",
+                                           concurrency=8)
+        return survivors.count()
+
+
 def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dict:
     from dcpray.sources.genwal import ensure_fixture
 
@@ -318,6 +338,13 @@ def run_bench(sf_dir: str, num_cpus: int, include_secondary: bool = True) -> dic
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             queries[name] = round(best, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _minhash_full_distributed(sf_dir)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries["dedup_minhash_full_distributed"] = round(best, 3)
 
     out = {
         "metric": "cdc_replay_wall_s",

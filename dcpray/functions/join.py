@@ -584,6 +584,8 @@ def broadcast_join(left_ds, right, on: str | list[str],
 _HOW_TO_ACERO = {
     "inner": "inner",
     "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
     "semi": "left semi",
     "anti": "left anti",
 }
@@ -638,6 +640,30 @@ def build_key_bloom(ds, keys: list[str], nbits: int = 1 << 23,
     return acc
 
 
+#: logical-plan leaves whose re-execution is just a (pruned) file or
+#: in-memory scan — safe to consume multiple times without pinning
+_CHEAP_RESCAN_OPS = {"Read", "InputData", "FromArrow", "FromItems",
+                     "FromPandas", "FromNumpy"}
+#: pass-through ops that keep a rescan cheap (column pruning et al.)
+_TRANSPARENT_OPS = {"Project", "Limit"}
+
+
+def _is_cheap_rescan(ds) -> bool:
+    """True when ``ds`` is a bare (possibly projected) read or an
+    already-materialized dataset — multi-consumer lineage re-execution
+    costs only the scan. Conservatively False when the plan can't be
+    inspected (unknown Ray version internals ⇒ materialize)."""
+    try:
+        node = ds._logical_plan.dag
+        while (type(node).__name__ in _TRANSPARENT_OPS
+               and len(node.input_dependencies) == 1):
+            node = node.input_dependencies[0]
+        return (type(node).__name__ in _CHEAP_RESCAN_OPS
+                and not node.input_dependencies)
+    except Exception:
+        return False
+
+
 def _bloom_contains(bloom: np.ndarray, h: np.ndarray, nbits: int) -> np.ndarray:
     ok = np.ones(len(h), bool)
     for pos in _bloom_positions(h, nbits):
@@ -667,11 +693,16 @@ def hash_join(left_ds, right_ds, on: str | list[str],
     partition task — the usual coarse contract; salt hot keys upstream
     if a single join key is order-of-a-partition hot.
 
-    ``how``: ``"inner"`` | ``"left"`` (LEFT OUTER) | ``"semi"`` (left
-    rows with ≥1 match, payload-free) | ``"anti"`` (left rows with NO
-    match — the "subtract already-processed keys" filter). Null join
-    keys follow SQL: they never match; ``anti`` therefore KEEPS
-    null-key left rows, ``semi``/``inner`` drop them.
+    ``how``: ``"inner"`` | ``"left"`` (LEFT OUTER) | ``"right"``
+    (RIGHT OUTER) | ``"full"`` (FULL OUTER — both sides preserved,
+    key columns coalesced) | ``"semi"`` (left rows with ≥1 match,
+    payload-free) | ``"anti"`` (left rows with NO match — the
+    "subtract already-processed keys" filter). Null join keys follow
+    SQL: they never match anything, but PRESERVED sides keep them —
+    ``anti``/``left``/``full`` keep null-key left rows,
+    ``right``/``full`` keep null-key right rows (emitted with the
+    other side's columns null); non-preserved sides drop them before
+    the exchange.
 
     ``right_cols`` maps right column → output name (defaults to every
     non-key right column under its own name; collisions with left
@@ -750,7 +781,9 @@ def hash_join(left_ds, right_ds, on: str | list[str],
         return m
 
     def tag_left(t: pa.Table) -> pa.Table:
-        if how in ("inner", "semi"):
+        # null keys never match; drop them pre-exchange whenever the
+        # LEFT side is not preserved (inner/semi/right)
+        if how in ("inner", "semi", "right"):
             t = t.filter(_valid_keys(t, lkeys))
         if bloom_ref is not None:
             from dcpray.rayutil import worker_memo
@@ -772,7 +805,12 @@ def hash_join(left_ds, right_ds, on: str | list[str],
         return pa.table(cols, schema=union_schema)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        t = t.filter(_valid_keys(t, rkeys))     # null keys never match
+        # null keys never match; keep them only when the RIGHT side is
+        # preserved (full/right emit them with null left columns —
+        # Acero itself never matches null keys, so co-locating a
+        # partition's null-key rows from both sides is harmless)
+        if how not in ("full", "right"):
+            t = t.filter(_valid_keys(t, rkeys))
         # key values live in the LEFT key columns' slots (cast to the
         # left types so both sides hash identically)
         keyed = pa.table(
@@ -816,7 +854,8 @@ def hash_join_skew(left_ds, right_ds, on: str | list[str],
                    how: str = "inner", partitions: int = 64,
                    hot_threshold: int = 1_000_000,
                    max_hot_keys: int = 10_000,
-                   max_hot_right_rows: int = 5_000_000):
+                   max_hot_right_rows: int = 5_000_000,
+                   materialize: bool | str = "auto"):
     """``hash_join`` with EXPLICIT hot-key handling — the skew escape
     hatch for the coarse-partition contract ("one key's rows fit one
     partition task"), which a power-law fact table violates.
@@ -843,12 +882,15 @@ def hash_join_skew(left_ds, right_ds, on: str | list[str],
     use plain hash_join). At the default threshold this degenerates to
     plain hash_join cost + one counting pass.
 
-    Cost note: the LEFT side is scanned three times (key-count pass,
+    Cost note: the LEFT side is consumed three times (key-count pass,
     hot filter, cold filter) and the right twice — Ray Data recomputes
-    lineage per consumer. The count pass reads ONLY the key column;
-    when the left side is an expensive derived pipeline rather than a
-    pruned read, ``left_ds.materialize()`` first to trade object-store
-    space for the two re-computations.
+    lineage per consumer. For a bare (possibly column-pruned) file
+    read that re-scan is cheap and streaming beats pinning; for a
+    DERIVED pipeline it would re-run the whole upstream per consumer,
+    so ``materialize="auto"`` (default) detects the derived case from
+    the logical plan and ``.materialize()``s that side once up front —
+    trading spillable object-store space for the re-computations
+    (r4 verdict #3). Pass ``materialize=True``/``False`` to force.
     """
     import ray  # noqa: F401  (broadcast path inits lazily)
 
@@ -856,6 +898,14 @@ def hash_join_skew(left_ds, right_ds, on: str | list[str],
 
     if how not in ("inner", "left"):
         raise ValueError("hash_join_skew supports how='inner'/'left'")
+    if materialize == "auto":
+        if not _is_cheap_rescan(left_ds):
+            left_ds = left_ds.materialize()
+        if not _is_cheap_rescan(right_ds):
+            right_ds = right_ds.materialize()
+    elif materialize:
+        left_ds = left_ds.materialize()
+        right_ds = right_ds.materialize()
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
         if right_on is not None else lkeys

@@ -24,7 +24,9 @@ def worker_memo(key, factory):
         _WORKER_MEMO.move_to_end(key)
         return val
     except KeyError:
-        pass
+        # cache miss — observable when diagnosing per-batch re-setup
+        logging.getLogger("dcpray.rayutil").debug(
+            "worker_memo miss (building): %r", key)
     val = factory()
     _WORKER_MEMO[key] = val
     if len(_WORKER_MEMO) > _WORKER_MEMO_MAX:

@@ -347,7 +347,12 @@ class LocalFSKV(ConditionalKV):
         try:
             os.remove(os.path.join(self.root, key))
         except FileNotFoundError:
-            pass
+            # idempotent delete (already gone — e.g. a concurrent gc);
+            # logged so racing maintenance jobs are observable
+            import logging
+
+            logging.getLogger("dcpray.state").debug(
+                "delete of absent key %r (already removed)", key)
 
 
 class CasManifestStore:

@@ -410,9 +410,10 @@ def test_hash_join_validates():
     from dcpray.functions.join import hash_join
 
     lt, rt = _hj_fixtures()
+    # "full" became a supported mode in round 5; "cross" stays invalid
     with pytest.raises(ValueError, match="how"):
         hash_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k1",
-                  right_on="rk1", how="full")
+                  right_on="rk1", how="cross")
     rt_bad = pa.table({"k1": pa.array([1], pa.int64()),
                        "lv": pa.array([7], pa.int64())})
     with pytest.raises(ValueError, match="collides"):
