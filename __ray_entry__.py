@@ -1572,6 +1572,21 @@ def _q_docs_top100_longest(sf_dir: str):
                    descending=[True, False]).limit(100)
 
 
+def _urgent_orders(sf_dir: str):
+    """Pruned orders read filtered to 1-URGENT — shared by the LEFT and
+    FULL OUTER join queries. Arrow batch filter, not
+    Dataset.filter(lambda row): the row form runs a Python predicate
+    per row in the hot path."""
+    import pyarrow.compute as pc
+
+    od = read_clean(os.path.join(sf_dir, "orders.parquet"),
+                    columns=["o_orderkey", "o_orderpriority", "o_custkey"],
+                    override_num_blocks=8)
+    return od.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     """Large×large distributed hash join (no broadcast side): lineitem
     LEFT JOIN the urgent-orders subset — both sides shuffle exactly
@@ -1583,13 +1598,8 @@ def _q_lineitem_orders_join(sf_dir: str):
                     columns=["l_orderkey", "l_linenumber",
                              "l_extendedprice"],
                     override_num_blocks=16)
-    od = read_clean(os.path.join(sf_dir, "orders.parquet"),
-                    columns=["o_orderkey", "o_orderpriority", "o_custkey"],
-                    override_num_blocks=8)
-    urgent = od.filter(
-        lambda r: r["o_orderpriority"] == "1-URGENT")
-    return hash_join(li, urgent, on="l_orderkey", right_on="o_orderkey",
-                     how="left", partitions=32)
+    return hash_join(li, _urgent_orders(sf_dir), on="l_orderkey",
+                     right_on="o_orderkey", how="left", partitions=32)
 
 
 def _q_lineitem_orders_full_outer(sf_dir: str):
@@ -1611,13 +1621,7 @@ def _q_lineitem_orders_full_outer(sf_dir: str):
         lambda t: t.filter(pc.greater(t["l_quantity"], 45)).drop_columns(
             ["l_quantity"]),
         batch_format="pyarrow")
-    od = read_clean(os.path.join(sf_dir, "orders.parquet"),
-                    columns=["o_orderkey", "o_orderpriority", "o_custkey"],
-                    override_num_blocks=8)
-    urgent = od.map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
-        batch_format="pyarrow")
-    return hash_join(heavy, urgent, on="l_orderkey",
+    return hash_join(heavy, _urgent_orders(sf_dir), on="l_orderkey",
                      right_on="o_orderkey", how="full", partitions=32)
 
 

@@ -63,6 +63,15 @@ class ReplayConfig:
     # collection → Lake directly; this field documents the mapping for
     # config-file-driven deployments.
     collection_table_mapping: dict[str, str] | None = None
+    # POSIX ManifestStore only: how long an unreferenced same-seq
+    # manifest may sit before a committer treats its writer as crashed
+    # and takes the seq over (None → the store's 30 s default). An
+    # orchestrator whose crash-recovery rerun restarts in well under
+    # 30 s should LOWER this to match its restart latency — the lease
+    # exists to protect a live slow writer, and must stay above the
+    # worst-case link→CURRENT publish gap. Ignored by CasManifestStore
+    # (conditional PUT has no orphan window).
+    commit_orphan_lease_s: float | None = None
     # retained for parity / documentation with the reference defaults
     reference_defaults: dict = field(
         default_factory=lambda: {

@@ -644,8 +644,13 @@ def build_key_bloom(ds, keys: list[str], nbits: int = 1 << 23,
 #: in-memory scan — safe to consume multiple times without pinning
 _CHEAP_RESCAN_OPS = {"Read", "InputData", "FromArrow", "FromItems",
                      "FromPandas", "FromNumpy"}
-#: pass-through ops that keep a rescan cheap (column pruning et al.)
-_TRANSPARENT_OPS = {"Project", "Limit"}
+#: pass-through ops that keep a rescan cheap AND deterministic (column
+#: pruning). Limit is deliberately NOT here: with preserve_order unset,
+#: limit over a multi-block read may keep a DIFFERENT row subset on
+#: each lineage re-execution — a multi-consumer re-scan would then
+#: split hot/cold over different rows than the count pass saw, so a
+#: limited input must be materialized.
+_TRANSPARENT_OPS = {"Project"}
 
 
 def _is_cheap_rescan(ds) -> bool:

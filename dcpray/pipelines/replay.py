@@ -297,7 +297,14 @@ def replay(
         strategy=strategy,
         num_vbuckets=num_vbuckets,
     )
-    lake.store.commit(manifest)
+    if cfg.commit_orphan_lease_s is not None:
+        # orchestrators with fast crash-recovery reruns lower the orphan
+        # takeover lease to their restart latency (POSIX store only;
+        # passed as a kwarg so custom/CAS stores keep the plain
+        # single-argument commit signature)
+        lake.store.commit(manifest, orphan_lease=cfg.commit_orphan_lease_s)
+    else:
+        lake.store.commit(manifest)
     lake.write_metrics(run_id, metrics)
     shutil.rmtree(os.path.join(lake.lake_dir, "tmp", run_id), ignore_errors=True)
     return RunResult(run_id=run_id, committed=True, manifest=manifest, metrics=metrics)

@@ -228,20 +228,27 @@ class ManifestStore:
                         "while recovering an orphaned manifest; rerun"
                     )
             return name
+        my_ino = os.stat(tmp).st_ino  # link shares the inode with final
         os.unlink(tmp)
         _atomic_write(self.current_path, name)
         # Read-back on the LINK-WINNER path too: if a racer (mis)judged
-        # our just-linked file an orphan and os.replace'd it before our
+        # our just-linked file an orphan and replaced it before our
         # CURRENT write landed, both writers would otherwise ack seq N
         # while our manifest content silently vanished (ADVICE r4, high).
-        # Exactly one acks: the file's surviving run_id decides.
-        with open(final) as f:
-            if Manifest.from_json(f.read()).run_id != manifest.run_id:
-                raise ConcurrentCommitError(
-                    f"seq {manifest.seq} manifest was replaced by a "
-                    "concurrent orphan-recovery before this writer "
-                    "published; the racer's commit stands — rerun"
-                )
+        # Exactly one acks. O(1) regardless of manifest size: a racer's
+        # os.replace necessarily installs a DIFFERENT inode, so a bare
+        # stat (not a full JSON parse of a potentially multi-MB file
+        # list) decides whose commit survived.
+        try:
+            survived = os.stat(final).st_ino == my_ino
+        except FileNotFoundError:
+            survived = False
+        if not survived:
+            raise ConcurrentCommitError(
+                f"seq {manifest.seq} manifest was replaced by a "
+                "concurrent orphan-recovery before this writer "
+                "published; the racer's commit stands — rerun"
+            )
         return name
 
     def clear(self) -> None:

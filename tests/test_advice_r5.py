@@ -122,3 +122,32 @@ def test_ntile_descending_uint_matches_ascending_reversed():
            .to_pandas().sort_values("tb").reset_index(drop=True))
     # DESC over 0..5 in 3 tiles: 5,4 -> 1; 3,2 -> 2; 1,0 -> 3
     assert list(out["ntile"]) == [3, 3, 2, 2, 1, 1]
+
+
+def test_rank_in_group_descending_nan_first_like_sql():
+    """Self-review r5: -v leaves NaN sorted LAST under numpy lexsort,
+    but SQL DESC puts NaN FIRST (NaN ranks above everything in
+    DuckDB's total order); two NaNs are peers."""
+    import duckdb
+
+    vals = [1.0, float("nan"), 3.0, float("nan")]
+    out = _rank_desc(vals, pa.float64())
+    ora = duckdb.sql("""
+        SELECT tb, row_number() OVER (ORDER BY o DESC, tb) rn,
+               rank() OVER (ORDER BY o DESC) rk
+        FROM (SELECT unnest([1.0, 'NaN'::DOUBLE, 3.0, 'NaN'::DOUBLE]) o,
+                     unnest([0, 1, 2, 3]) tb)
+        ORDER BY tb""").df()
+    assert list(out["rn"]) == list(ora["rn"])
+    assert list(out["rank"]) == list(ora["rk"])
+
+
+def test_rank_in_group_ascending_nan_last_like_sql():
+    from dcpray.functions.window import rank_in_group
+
+    t = pa.table({"k": pa.array([1] * 3, pa.int64()),
+                  "o": pa.array([float("nan"), 1.0, 2.0], pa.float64()),
+                  "tb": pa.array([0, 1, 2], pa.int64())})
+    out = (rank_in_group(rd.from_arrow(t), "k", "o", "tb", out_col="rn")
+           .to_pandas().sort_values("tb").reset_index(drop=True))
+    assert list(out["rn"]) == [3, 1, 2]  # ASC: NaN greatest, so last

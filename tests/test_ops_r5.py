@@ -150,3 +150,50 @@ def test_hash_join_skew_still_rejects_outer_modes():
     t = rd.from_arrow(pa.table({"k": [1], "v": [1]}))
     with pytest.raises(ValueError, match="inner"):
         hash_join_skew(t, t, on="k", how="full")
+
+
+def test_limit_is_not_cheap_rescan(tmp_path):
+    """Self-review r5: with preserve_order unset, limit over a
+    multi-block read may keep a DIFFERENT row subset per lineage
+    re-execution — a multi-consumer rescan of it is nondeterministic,
+    so it must be auto-materialized, not classified transparent."""
+    import pyarrow.parquet as pq
+
+    from dcpray.functions.join import _is_cheap_rescan
+
+    t = pa.table({"a": list(range(100))})
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"), override_num_blocks=4)
+    assert _is_cheap_rescan(ds)
+    assert not _is_cheap_rescan(ds.limit(10))
+
+
+def test_replay_orphan_lease_plumbed(tmp_path):
+    """Self-review r5: a crashed-in-the-gap orphan blocks takeover for
+    the 30s lease by default; an orchestrator with fast crash-recovery
+    reruns lowers ReplayConfig.commit_orphan_lease_s and the rerun
+    recovers IMMEDIATELY through the full replay commit path."""
+    import os
+
+    from dcpray import Lake, ReplayConfig, replay
+    from dcpray.sources.genwal import ensure_fixture
+    from dcpray.state.checkpoint import ConcurrentCommitError, Manifest
+
+    fx = ensure_fixture("sf0.001")
+    lake_dir = str(tmp_path / "lease_lake")
+    lake = Lake(lake_dir)
+    # fake the crash: a seq-1 manifest exists (fresh mtime) but CURRENT
+    # was never written — the writer died in the publish gap
+    orphan = Manifest(run_id="r-crashed", seq=1, parent=None,
+                      num_buckets=8, salted=True, watermarks={}, files=[])
+    with open(os.path.join(lake.store.manifest_dir,
+                           "manifest-000001.json"), "w") as f:
+        f.write(orphan.to_json())
+    cfg_default = ReplayConfig(num_buckets=8)
+    with pytest.raises(ConcurrentCommitError, match="presumed live"):
+        replay(lake, f"{fx}/wal", base_snapshot_dir=f"{fx}/base",
+               config=cfg_default)
+    cfg_fast = ReplayConfig(num_buckets=8, commit_orphan_lease_s=0.0)
+    res = replay(lake, f"{fx}/wal", base_snapshot_dir=f"{fx}/base",
+                 config=cfg_fast)
+    assert res.committed and lake.store.load_current().run_id == res.run_id

@@ -85,8 +85,13 @@ def test_link_winner_detects_orphan_recovery_clobber(tmp_path):
         # CURRENT write: B replaces the manifest and publishes CURRENT
         if not clobbered["done"] and path.startswith(final + ".tmp"):
             clobbered["done"] = True
-            with open(final, "w") as f:
+            # the racer writes its own tmp and os.replace's it in —
+            # exactly what the orphan-recovery branch does (a replace
+            # installs a NEW inode, which is what the winner detects)
+            racer_tmp = final + ".tmp-racer"
+            with open(racer_tmp, "w") as f:
                 f.write(_manifest(2, "r-racer").to_json())
+            os.replace(racer_tmp, final)
             cp._atomic_write(store.current_path, "manifest-000002.json")
 
     import unittest.mock as mock
