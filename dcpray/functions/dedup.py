@@ -706,7 +706,8 @@ def cluster_pairs(pairs_df) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
-def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50):
+def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50,
+                              rows_per_part: int = 100_000):
     """Distributed connected components over the verified-pair edge set —
     the scale fallback for ``cluster_pairs`` when even O(#dup pairs)
     exceeds driver memory. Iterative min-label propagation: each round
@@ -720,6 +721,17 @@ def cluster_pairs_distributed(pairs_ds, parts: int = 32, max_rounds: int = 50):
     (doc_id, rep_id), rep = component min — the same contract as
     driver-side ``cluster_pairs``."""
     import ray.data as rd
+
+    # Size the partition count to the EDGE SET before any pk is
+    # assigned (edge pk values are baked in at materialization, so
+    # co-partitioning requires one modulus throughout): every label
+    # round costs ~parts tasks per stage regardless of data, so a small
+    # verified-pair set must not pay 32 tasks/stage/round of fixed
+    # scheduling overhead. The pair set is O(#dups) — materializing it
+    # here is the same bound the auto-switch already relies on.
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    parts = max(1, min(parts, -(-2 * n_pairs // rows_per_part)))
 
     edge_schema = pa.schema([("pk", pa.int32()), ("node", pa.int64()),
                              ("peer", pa.int64()), ("label", pa.int64())])

@@ -26,6 +26,45 @@ import os
 import pandas as pd
 
 
+def _final_state(lake):
+    final = lake.read_current().to_pandas()
+    return final
+
+
+def resume_or_rebootstrap(lake, mirror: pd.DataFrame, consumer_seq: int,
+                          keys=("conv_id", "turn_idx")):
+    """The gap-recovery contract for a PERSISTED-feed consumer: try to
+    resume the feed from the consumer's last-applied seq; if the feed
+    was gc-ed past it (``ChangefeedGapError``), RE-BOOTSTRAP the
+    mirror from the lake's committed state instead of applying a
+    partial feed (which would silently diverge the mirror). Returns
+    (mirror, new_consumer_seq, mode)."""
+    from dcpray.functions.history import (
+        ChangefeedGapError,
+        read_changefeed,
+    )
+
+    cur = lake.store.load_current().seq
+    if cur == consumer_seq:
+        return mirror, consumer_seq, "up_to_date"
+    try:
+        feed = read_changefeed(lake, consumer_seq, cur).to_pandas()
+    except ChangefeedGapError:
+        # the error names the earliest contiguous seq, but the simplest
+        # always-correct recovery is a full re-bootstrap from the lake
+        return _final_state(lake), cur, "rebootstrapped"
+    key_list = list(keys)
+    dels = feed[feed["_change_type"] == "delete"][key_list]
+    ups = feed[feed["_change_type"] != "delete"].drop(
+        columns=["_change_type"])
+    mi = mirror.set_index(key_list)
+    mi = mi.drop(index=pd.MultiIndex.from_frame(dels), errors="ignore")
+    if len(ups):
+        ui = ups.set_index(key_list)
+        mi = pd.concat([mi.drop(index=ui.index, errors="ignore"), ui])
+    return mi.reset_index(), cur, "incremental"
+
+
 def run_sync(wal_dir: str, base_dir: str | None, out_dir: str,
              *, num_buckets: int = 16) -> dict:
     """Replay in two phases; apply each phase's change feed to a
@@ -73,7 +112,7 @@ def run_sync(wal_dir: str, base_dir: str | None, out_dir: str,
             mirror = mi.reset_index()
 
     # verify: mirror == lake final state
-    final = lake.read_current().to_pandas()
+    final = _final_state(lake)
     final = final.drop(columns=[c for c in ("_op", "_seqno")
                                 if c in final.columns])
     cols = sorted(set(mirror.columns) & set(final.columns))

@@ -475,3 +475,48 @@ def test_table_diff_nan_payload_is_not_an_update():
     out = table_diff(rd.from_arrow(t), rd.from_arrow(t),
                      keys=["k"]).to_pandas()
     assert len(out) == 0
+
+
+def test_example_resume_or_rebootstrap(two_commit_lake, tmp_path):
+    """The documented consumer recovery contract (examples/
+    incremental_sync.resume_or_rebootstrap): contiguous feed -> applied
+    incrementally; gc-ed feed gap -> full re-bootstrap; both end states
+    equal the lake's committed table."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.incremental_sync import resume_or_rebootstrap
+    from dcpray.functions.history import write_changefeed
+
+    lake, _, _ = two_commit_lake
+    lake = _clone_lake(lake, tmp_path)
+    # sibling tests may have committed more (e.g. a compact) on the
+    # shared fixture — write a feed for every retained commit
+    seqs = sorted(m.seq for m in lake.store.history())
+    for s in seqs:
+        write_changefeed(lake, s)
+    cur = seqs[-1]
+    final = lake.read_current().to_pandas()
+    keys = ["conv_id", "turn_idx"]
+
+    def canon(df):
+        cols = sorted(set(df.columns) & set(final.columns))
+        return (df[cols].sort_values(keys).reset_index(drop=True)
+                .fillna("~").astype(str))
+
+    # a consumer at the first commit with a mirror of its state resumes
+    mirror1 = lake.read_at(seqs[0]).to_pandas()
+    m, seq, mode = resume_or_rebootstrap(lake, mirror1, seqs[0])
+    assert mode == "incremental" and seq == cur
+    pd.testing.assert_frame_equal(canon(m), canon(final))
+
+    # up-to-date consumer is a no-op
+    m2, seq2, mode2 = resume_or_rebootstrap(lake, m, cur)
+    assert mode2 == "up_to_date" and seq2 == cur
+
+    # gc the newest feed: the consumer behind it hits the gap and must
+    # re-bootstrap, never apply a partial range
+    shutil.rmtree(os.path.join(lake.lake_dir, "changefeed", f"seq={cur}"))
+    m3, seq3, mode3 = resume_or_rebootstrap(lake, mirror1, seqs[0])
+    assert mode3 == "rebootstrapped" and seq3 == cur
+    pd.testing.assert_frame_equal(canon(m3), canon(final))
