@@ -47,10 +47,50 @@ def add_coarse_pk(t: pa.Table, key_col: str, partitions: int,
         h = hash_strings(t[key_col])
         pk = (splitmix64(h) % np.uint64(partitions)).astype(np.int32)
         return t.append_column(pk_col, pa.array(pk))
-    k = pc.fill_null(pc.cast(t[key_col], pa.int64()), 0) \
+    c = t[key_col]
+    if pa.types.is_date32(ty) or pa.types.is_time32(ty):
+        # Arrow has no direct date32/time32 -> int64 cast (same hop as
+        # _hash_key_columns); a daily-partition date is a natural key
+        c = pc.cast(c, pa.int32())
+    k = pc.fill_null(pc.cast(c, pa.int64()), 0) \
         .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     pk = (splitmix64(k.view(np.uint64)) % np.uint64(partitions)).astype(np.int32)
     return t.append_column(pk_col, pa.array(pk))
+
+
+def float_total_order(v: np.ndarray) -> np.ndarray:
+    """IEEE-754 total-order key: uint64 whose ascending order equals
+    the SQL total order of the float values (NaN greatest, matching
+    DuckDB; -0.0 < +0.0)."""
+    f = v.astype(np.float64)
+    f = np.where(np.isnan(f), np.float64("nan"), f)  # normalize NaN sign
+    bits = f.view(np.uint64)
+    neg = (bits >> np.uint64(63)) == 1
+    return np.where(neg, ~bits, bits | np.uint64(1 << 63))
+
+
+def desc_key(v: np.ndarray) -> np.ndarray:
+    """Order key whose ASCENDING lexsort yields ``v`` DESCENDING —
+    plain ``-v`` is wrong for four dtypes: datetime64/timedelta64 raise
+    TypeError on negation, unsigned ints wrap modulo 2**w (0 would sort
+    FIRST instead of last), int64's minimum negates to itself, and
+    float NaN ignores the sign flip (numpy sorts NaN last either way,
+    while SQL DESC puts NaN FIRST — NaN ranks above everything in
+    DuckDB's total order). Integers map through the order-preserving
+    biased uint64 representation and invert; floats map through the
+    IEEE-754 total-order bit trick so NaN lands where the SQL oracle
+    puts it. Shared by every descending-capable coarse operator
+    (rank_in_group, ntile_in_group, topk_per_group)."""
+    if v.dtype.kind in "mM":
+        v = v.view(np.int64)
+    if v.dtype.kind == "u":
+        return np.uint64(np.iinfo(np.uint64).max) - v.astype(np.uint64)
+    if v.dtype.kind == "i":
+        u = v.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+        return np.uint64(np.iinfo(np.uint64).max) - u
+    if v.dtype.kind == "f":
+        return np.uint64(np.iinfo(np.uint64).max) - float_total_order(v)
+    return -v
 
 
 def require_nonnull(t: pa.Table, cols, op: str) -> None:
@@ -293,17 +333,34 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
     def _local_topk(t: pa.Table, with_pk: bool) -> pa.Table:
         require_nonnull(t, (group_col, order_col, tiebreak_col),
                         "topk_per_group")
-        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        g_col = t[group_col].combine_chunks()
+        if pa.types.is_string(g_col.type) or pa.types.is_large_string(
+                g_col.type):
+            # group key is only an EQUALITY key for the lexsort runs —
+            # dictionary codes are enough (string doc ids arrive here
+            # from tfidf_top_terms)
+            g = pc.dictionary_encode(g_col).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            g = g_col.to_numpy(zero_copy_only=False).astype(np.int64)
         v = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
         tb_col = t[tiebreak_col].combine_chunks()
-        if pa.types.is_string(tb_col.type) or pa.types.is_large_string(tb_col.type):
-            # lexicographic string tiebreak: sorted-unique codes rank
-            # identically to the strings themselves
+        if pa.types.is_integer(tb_col.type):
+            tb = tb_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        elif pa.types.is_floating(tb_col.type):
+            # int64 truncation of a float tiebreak would collapse
+            # distinct values (0.2 and 0.9 both -> 0) and break the
+            # determinism the tiebreak exists for
+            tb = float_total_order(
+                tb_col.to_numpy(zero_copy_only=False))
+        elif pa.types.is_temporal(tb_col.type):
+            tb = tb_col.to_numpy(zero_copy_only=False).view(np.int64)
+        else:
+            # sorted-unique codes rank identically to the raw values
+            # for any remaining orderable dtype (strings et al.)
             tb = np.unique(np.asarray(tb_col.to_pylist(), object),
                            return_inverse=True)[1]
-        else:
-            tb = tb_col.to_numpy(zero_copy_only=False).astype(np.int64)
-        vkey = -v if descending else v
+        vkey = desc_key(v) if descending else v
         order = np.lexsort((tb, vkey, g))
         gs = g[order]
         first = np.r_[True, gs[1:] != gs[:-1]]
@@ -382,8 +439,14 @@ def exact_quantiles(ds, col: str, qs, bins: int = 8192,
 
     def stats(t: pa.Table) -> pa.Table:
         c = pc.cast(t[col], pa.float64())
+        # Arrow min/max SKIP NaN while drop_null keeps it — NaN rows
+        # are counted separately and occupy the TOP ranks (SQL/DuckDB
+        # total order puts NaN above everything); binning them would
+        # silently poison bin 0 (NaN casts to INT64_MIN -> clip 0)
         return pa.table({
             "n": pa.array([t.num_rows - t[col].null_count], pa.int64()),
+            "nnan": pa.array([int(pc.sum(pc.is_nan(c)).as_py() or 0)],
+                             pa.int64()),
             "mn": pa.array([pc.min(c).as_py()], pa.float64()),
             "mx": pa.array([pc.max(c).as_py()], pa.float64()),
         })
@@ -395,12 +458,22 @@ def exact_quantiles(ds, col: str, qs, bins: int = 8192,
     if n == 0:
         return pa.table({"q": pa.array(qs, pa.float64()),
                          "value": pa.nulls(len(qs), pa.float64())})
+    n_nan = int(pc.sum(st["nnan"]).as_py() or 0)
+    n_finite = n - n_nan  # "finite" = non-NaN (infinities keep binning)
+    ranks = {q: max(int(np.ceil(n * q)) - 1, 0) for q in qs}
+    out_nan = {q: float("nan") for q, r in ranks.items() if r >= n_finite}
+    ranks = {q: r for q, r in ranks.items() if r < n_finite}
+    if not ranks:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([out_nan[q] for q in qs],
+                                           pa.float64())})
     mn = float(pc.min(st["mn"]).as_py())
     mx = float(pc.max(st["mx"]).as_py())
-    ranks = {q: max(int(np.ceil(n * q)) - 1, 0) for q in qs}
     if mn == mx:
         return pa.table({"q": pa.array(qs, pa.float64()),
-                         "value": pa.array([mn] * len(qs), pa.float64())})
+                         "value": pa.array(
+                             [out_nan.get(q, mn) for q in qs],
+                             pa.float64())})
     width = (mx - mn) / bins
 
     def bin_of(v: np.ndarray) -> np.ndarray:
@@ -409,6 +482,7 @@ def exact_quantiles(ds, col: str, qs, bins: int = 8192,
     def hist(t: pa.Table) -> pa.Table:
         c = pc.cast(t[col], pa.float64()).combine_chunks()
         v = c.drop_null().to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]  # NaN ranks are resolved analytically above
         if len(v) == 0:
             return pa.table({"bin": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64()),
@@ -461,6 +535,7 @@ def exact_quantiles(ds, col: str, qs, bins: int = 8192,
         def pick(t: pa.Table) -> pa.Table:
             c = pc.cast(t[col], pa.float64()).combine_chunks()
             v = c.drop_null().to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
             if len(v) == 0:
                 return pa.table({"bin": pa.array([], pa.int64()),
                                  "v": pa.array([], pa.float64())})
@@ -477,6 +552,7 @@ def exact_quantiles(ds, col: str, qs, bins: int = 8192,
             vals = gv[gb == b]
             for q, lr in wants:
                 out[q] = float(np.partition(vals, lr)[lr])
+    out.update(out_nan)
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "value": pa.array([out[q] for q in qs], pa.float64())})
 
@@ -520,7 +596,7 @@ def _hll_estimate(regs: np.ndarray) -> np.ndarray:
     return np.where(small, lin, est)
 
 
-def _hash_value_column(col, valid_out: np.ndarray | None = None) -> np.ndarray:
+def _hash_value_column(col) -> np.ndarray:
     """uint64 content hash of one column (string or castable-to-int64),
     null-safe (nulls get an arbitrary value; callers mask them out)."""
     t = pa.table({"v": col})
@@ -551,25 +627,29 @@ def approx_distinct_count(ds, keys: list[str] | None, value_col: str,
     def partial(t: pa.Table) -> pa.Table:
         val = t[value_col]
         ok = pc.is_valid(val).to_numpy(zero_copy_only=False)
-        h = _hash_value_column(val)[ok]
+        # group set over ALL rows (not just valid-value rows): a group
+        # whose values are entirely null must still emit a partial so
+        # the estimate is 0, matching the exact sibling's (key, 0) row
         if keys:
-            gh = _hash_key_columns(t, keys)[ok]
+            gh_all = _hash_key_columns(t, keys)
         else:
-            gh = np.zeros(len(h), np.uint64)
-        ug, first, ginv = np.unique(gh, return_index=True,
-                                    return_inverse=True)
+            gh_all = np.zeros(t.num_rows, np.uint64)
+        ug, first, ginv_all = np.unique(gh_all, return_index=True,
+                                        return_inverse=True)
         regs = np.zeros((len(ug), m), np.uint8)
+        h = _hash_value_column(val)[ok]
         if len(h):
             idx, rank = _hll_ranks(h, precision)
-            np.maximum.at(regs, (ginv, idx), rank)
-        rows = np.flatnonzero(ok)[first] if len(ug) else np.empty(0, np.int64)
+            np.maximum.at(regs, (ginv_all[ok], idx), rank)
         cols = {}
-        kt = t.take(pa.array(rows))
+        kt = t.take(pa.array(first))
         for k in keys:
             cols[k] = kt[k]
-        cols["__hll"] = pa.array(list(regs.tobytes(order="C")[i * m:(i + 1) * m]
-                                      for i in range(len(ug))),
-                                 pa.binary())
+        # ONE serialization of the register matrix, sliced per group —
+        # tobytes inside the per-group loop was O(G^2 * m) per batch
+        buf = regs.tobytes(order="C")
+        cols["__hll"] = pa.array(
+            [buf[i * m:(i + 1) * m] for i in range(len(ug))], pa.binary())
         cols["_pk"] = pa.array((ug % np.uint64(partitions)).astype(np.int32))
         return pa.table(cols)
 

@@ -188,33 +188,10 @@ def hopping_window(ds, ts_col: str = "ts", size_s: float = 1800,
     return coarse_groupby(expanded, keys, aggs, partitions=partitions)
 
 
-def _desc_key(v: np.ndarray) -> np.ndarray:
-    """Order key whose ASCENDING lexsort yields ``v`` DESCENDING —
-    plain ``-v`` is wrong for four dtypes (ADVICE r4): datetime64/
-    timedelta64 raise TypeError on negation, unsigned ints wrap modulo
-    2**w (0 would sort FIRST instead of last), int64's minimum negates
-    to itself, and float NaN ignores the sign flip (numpy sorts NaN
-    last either way, while SQL DESC puts NaN FIRST — NaN ranks above
-    everything in DuckDB's total order). Integers map through the
-    order-preserving biased uint64 representation and invert; floats
-    map through the IEEE-754 total-order bit trick so NaN lands where
-    the SQL oracle puts it."""
-    if v.dtype.kind in "mM":
-        v = v.view(np.int64)
-    if v.dtype.kind == "u":
-        return np.uint64(np.iinfo(np.uint64).max) - v.astype(np.uint64)
-    if v.dtype.kind == "i":
-        u = v.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
-        return np.uint64(np.iinfo(np.uint64).max) - u
-    if v.dtype.kind == "f":
-        f = v.astype(np.float64)
-        # normalize NaN sign so every NaN takes the positive bit pattern
-        f = np.where(np.isnan(f), np.float64("nan"), f)
-        bits = f.view(np.uint64)
-        neg = (bits >> np.uint64(63)) == 1
-        asc = np.where(neg, ~bits, bits | np.uint64(1 << 63))
-        return np.uint64(np.iinfo(np.uint64).max) - asc
-    return -v
+# the shared descending-order key (ADVICE r4 + r5 NaN extension) lives
+# beside the other coarse-operator primitives; re-exported here because
+# every descending window op uses it
+from dcpray.functions.agg import desc_key as _desc_key  # noqa: E402
 
 
 def _guard_output_names(ds, out_names, op: str) -> None:

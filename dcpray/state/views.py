@@ -84,10 +84,6 @@ def _part_name(rel_path: str) -> str:
     return "part@" + rel_path.replace("/", "@")
 
 
-def _rel_of_part(part_name: str) -> str:
-    return part_name[len("part@"):].replace("@", "/")
-
-
 def _normalize(t: pa.Table, need: dict[str, pa.DataType]) -> pa.Table:
     """Add columns this (older-schema) bucket file lacks as typed nulls
     so every sidecar carries an identical partial schema."""
@@ -227,18 +223,41 @@ class IncrementalView:
             paths.append(p)
         return paths
 
+    def _empty_partials(self) -> pa.Table:
+        """Typed empty partial table for a ZERO-FILE manifest (the
+        lake's own readers guard this state; pa.concat_tables([]) /
+        unify_schemas([]) would raise). Types come from any sidecar
+        ever written for this view; a view that has never had one has
+        no knowable schema — raise the stale-view error instead."""
+        import glob
+
+        cands = sorted(glob.glob(os.path.join(self.view_dir,
+                                              "part@*.parquet")))
+        if not cands:
+            raise RuntimeError(
+                f"view {self.spec.name!r} has no sidecars and the "
+                "manifest lists no files — the view schema is unknown; "
+                "refresh() after a non-empty commit")
+        return pq.read_schema(cands[0]).empty_table()
+
     def read(self, at: int | None = None, partitions: int = 16):
         """The merged view as a lazy Dataset — one coarse exchange over
         sidecar partials, O(view size), independent of table size."""
+        import ray.data as rd
+
         from dcpray.functions.agg import merge_partial_dataset
         from dcpray.sources.io import read_parquet_fast
         paths = self._part_paths(at)
-        # read_parquet_fast: plain read_parquet's per-fragment footer
-        # prefetch costs seconds at hundreds of sidecar files (io.py)
-        schema = pa.unify_schemas([pq.read_schema(p) for p in paths],
-                                  promote_options="permissive")
+        if not paths:
+            src = rd.from_arrow(self._empty_partials())
+        else:
+            # read_parquet_fast: plain read_parquet's per-fragment
+            # footer prefetch costs seconds at hundreds of sidecars
+            schema = pa.unify_schemas([pq.read_schema(p) for p in paths],
+                                      promote_options="permissive")
+            src = read_parquet_fast(paths, schema=schema)
         return merge_partial_dataset(
-            read_parquet_fast(paths, schema=schema), list(self.spec.keys),
+            src, list(self.spec.keys),
             [tuple(a) for a in self.spec.aggs], partitions=partitions)
 
     def read_table(self, at: int | None = None) -> pa.Table:
@@ -246,10 +265,13 @@ class IncrementalView:
         call (use ``read()`` when group count is large)."""
         from dcpray.functions.agg import merge_partials
         paths = self._part_paths(at)
-        # "permissive": sidecars carried forward from BEFORE a type
-        # evolution (e.g. int32 -> int64 partials) must still concat —
-        # reuse is keyed on file existence, not schema
-        parts = pa.concat_tables([pq.read_table(p) for p in paths],
-                                 promote_options="permissive")
+        if not paths:
+            parts = self._empty_partials()
+        else:
+            # "permissive": sidecars carried forward from BEFORE a type
+            # evolution (e.g. int32 -> int64 partials) must still
+            # concat — reuse is keyed on file existence, not schema
+            parts = pa.concat_tables([pq.read_table(p) for p in paths],
+                                     promote_options="permissive")
         return merge_partials(parts, list(self.spec.keys),
                               [tuple(a) for a in self.spec.aggs])

@@ -1,0 +1,161 @@
+"""Regressions for the round-5 self-review of agg.py / views.py:
+
+- exact_quantiles silently corrupted every quantile when NaN was
+  present (NaN binned to bin 0, min/max skipped it);
+- topk_per_group crashed on string group columns (reachable from
+  tfidf_top_terms), crashed on timestamp DESC order columns, mis-ranked
+  uint64 DESC via wrap-around, and truncated float tiebreaks to int64;
+- approx_distinct_count dropped groups whose values were all null and
+  serialized the whole register matrix once per group;
+- add_coarse_pk crashed on date32 keys;
+- IncrementalView.read/read_table crashed on a zero-file manifest.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def test_exact_quantiles_nan_total_order():
+    """NaN previously poisoned EVERY quantile (binned to bin 0, skipped
+    by min/max). Semantics now: IEEE total order, NaN greatest — same
+    as SQL ORDER BY. (DuckDB 1.0.0's quantile_disc itself returns
+    input-order-DEPENDENT results with NaN — selection with NaN-unsafe
+    comparisons — so the oracle here is a brute-force total-order
+    sort, not DuckDB.)"""
+    from dcpray.functions.agg import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0, 100, 5000)
+    vals[rng.random(5000) < 0.05] = np.nan
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    qs = [0.0, 0.25, 0.5, 0.9, 0.95, 0.99, 1.0]
+    out = exact_quantiles(rd.from_arrow(t).repartition(4), "v", qs,
+                          bins=256).to_pandas()
+    srt = np.sort(vals)  # numpy sorts NaN last = total order
+    n = len(srt)
+    for q, got in zip(qs, out["value"]):
+        exp = srt[max(int(np.ceil(n * q)) - 1, 0)]
+        assert (np.isnan(got) and np.isnan(exp)) or got == exp
+    # the top quantile lands in the NaN region
+    assert np.isnan(out["value"].iloc[-1])
+
+
+def test_exact_quantiles_all_nan():
+    from dcpray.functions.agg import exact_quantiles
+
+    t = pa.table({"v": pa.array([float("nan")] * 10, pa.float64())})
+    out = exact_quantiles(rd.from_arrow(t), "v", [0.5]).to_pandas()
+    assert np.isnan(out["value"].iloc[0])
+
+
+def _topk(t, **kw):
+    from dcpray.functions.agg import topk_per_group
+
+    return topk_per_group(rd.from_arrow(t), **kw).to_pandas()
+
+
+def test_topk_per_group_string_group():
+    """Reachable from tfidf_top_terms with string doc ids."""
+    t = pa.table({"doc": pa.array(["a", "a", "a", "b", "b"]),
+                  "score": pa.array([3.0, 1.0, 2.0, 9.0, 8.0]),
+                  "id": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    out = _topk(t, group_col="doc", order_col="score", k=2,
+                tiebreak_col="id", partitions=4)
+    kept = {(r.doc, r.score) for r in out.itertuples()}
+    assert kept == {("a", 3.0), ("a", 2.0), ("b", 9.0), ("b", 8.0)}
+
+
+def test_topk_per_group_desc_timestamp_and_uint64():
+    ts = pd.to_datetime(["2024-01-01", "2024-03-01", "2024-02-01"])
+    t = pa.table({"g": pa.array([1, 1, 1], pa.int64()),
+                  "o": pa.array(ts, pa.timestamp("us")),
+                  "tb": pa.array([0, 1, 2], pa.int64())})
+    out = _topk(t, group_col="g", order_col="o", k=1, tiebreak_col="tb",
+                partitions=2)
+    assert pd.to_datetime(out["o"].iloc[0]) == ts[1]  # newest first
+
+    t2 = pa.table({"g": pa.array([1, 1, 1], pa.int64()),
+                   "o": pa.array([0, 5, 3], pa.uint64()),
+                   "tb": pa.array([0, 1, 2], pa.int64())})
+    out2 = _topk(t2, group_col="g", order_col="o", k=1,
+                 tiebreak_col="tb", partitions=2)
+    assert out2["o"].iloc[0] == 5  # 0 must NOT win via wrap-around
+
+
+def test_topk_per_group_float_tiebreak_not_truncated():
+    """Ties on the order column: the float tiebreak 0.2 vs 0.9 decides
+    deterministically (int64 truncation collapsed both to 0)."""
+    t = pa.table({"g": pa.array([1, 1], pa.int64()),
+                  "o": pa.array([5.0, 5.0]),
+                  "tb": pa.array([0.9, 0.2])})
+    out = _topk(t, group_col="g", order_col="o", k=1, tiebreak_col="tb",
+                partitions=2)
+    assert out["tb"].iloc[0] == 0.2  # ascending tiebreak
+
+
+def test_approx_distinct_all_null_group_emits_zero():
+    from dcpray.functions.agg import approx_distinct_count, distinct_count
+
+    t = pa.table({"k": pa.array(["x", "x", "y", "y"]),
+                  "v": pa.array([1, 2, None, None], pa.int64())})
+    exact = distinct_count(rd.from_arrow(t), ["k"], "v").to_pandas() \
+        .set_index("k")["n_distinct"].to_dict()
+    approx = approx_distinct_count(rd.from_arrow(t), ["k"], "v") \
+        .to_pandas().set_index("k")["n_distinct_approx"].to_dict()
+    assert set(approx) == set(exact) == {"x", "y"}
+    assert approx["y"] == 0.0 and exact["y"] == 0
+    assert round(approx["x"]) == 2
+
+
+def test_window_ops_accept_date32_keys():
+    """add_coarse_pk routes date32 through the int32 hop (a daily
+    partition date is a natural group key)."""
+    from dcpray.functions.window import rank_in_group
+
+    days = pa.array([19000, 19000, 19001], pa.date32())
+    t = pa.table({"d": days,
+                  "o": pa.array([2, 1, 5], pa.int64()),
+                  "tb": pa.array([0, 1, 2], pa.int64())})
+    out = (rank_in_group(rd.from_arrow(t), "d", "o", "tb", out_col="rn")
+           .to_pandas().sort_values("tb").reset_index(drop=True))
+    assert list(out["rn"]) == [2, 1, 1]
+
+
+def test_view_zero_file_manifest(tmp_path):
+    """A retained manifest with files == [] must read as an EMPTY
+    aggregate (once any sidecar defines the schema), not crash in
+    concat_tables([]); a view with no sidecars at all raises the
+    stale-view error."""
+    from dcpray import IncrementalView, Lake, ReplayConfig, ViewSpec, replay
+    from dcpray.sources.genwal import ensure_fixture
+    from dcpray.state.checkpoint import Manifest
+
+    fx = ensure_fixture("sf0.001")
+    lake = Lake(str(tmp_path / "lake"))
+    replay(lake, f"{fx}/wal", base_snapshot_dir=f"{fx}/base",
+           config=ReplayConfig(num_buckets=8))
+    spec = ViewSpec("rs", keys=("role",),
+                    aggs=(("turn_idx", "count", "n"),))
+    view = IncrementalView(lake, spec)
+    view.refresh()
+    assert len(view.read_table()) > 0
+    prev = lake.store.load_current()
+    lake.store.commit(Manifest(
+        run_id="r-empty", seq=prev.seq + 1, parent=prev.run_id,
+        num_buckets=prev.num_buckets, salted=prev.salted,
+        watermarks=prev.watermarks, files=[], strategy=prev.strategy,
+        num_vbuckets=prev.num_vbuckets))
+    empty = view.read_table(at=prev.seq + 1)
+    assert empty.num_rows == 0
+    assert set(empty.column_names) >= {"role", "n"}
+    assert view.read(at=prev.seq + 1).count() == 0
+
+    # a NEVER-refreshed view over an empty manifest: loud, named error
+    view2 = IncrementalView(lake, ViewSpec(
+        "rs2", keys=("role",), aggs=(("turn_idx", "count", "n"),)))
+    with pytest.raises(RuntimeError, match="no sidecars"):
+        view2.read_table(at=prev.seq + 1)
