@@ -178,9 +178,14 @@ def _training_sample(ds, sample_size: int) -> np.ndarray:
     cand = ds.select_columns(["vec_id", "embedding"]).map_batches(
         local, batch_format="pyarrow"
     )
-    bt = cand.sort("_h").limit(sample_size).take_batch(
-        sample_size, batch_format="pyarrow"
-    )
+    try:
+        bt = cand.sort("_h").limit(sample_size).take_batch(
+            sample_size, batch_format="pyarrow"
+        )
+    except ValueError as e:  # Ray's opaque "The dataset is empty."
+        raise ValueError(
+            "cannot train a quantizer on an EMPTY corpus (the input "
+            "dataset has no rows — check upstream filters)") from e
     return _stack(bt["embedding"])
 
 
@@ -436,7 +441,11 @@ def ivf_query(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
     paths = sorted(
         p for l in probed
         for p in _glob.glob(
-            os.path.join(_glob.escape(index_dir), f"list-{l:05d}*.parquet")
+            # "-part" anchors the 5-digit id: a bare prefix glob would
+            # also match 6+-digit list ids (probing list 10001 at
+            # nlist=200000 would read every list-100010..100019 file)
+            os.path.join(_glob.escape(index_dir),
+                         f"list-{l:05d}-part*.parquet")
         )
     )
     import ray.data as rd

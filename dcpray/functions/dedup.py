@@ -44,11 +44,6 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("_h", pa.array(h.view(np.int64)))
 
 
-def _keep_min_key(group: pa.Table, key_col: str) -> pa.Table:
-    i = pc.index(pc.equal(group[key_col], pc.min(group[key_col])), True).as_py()
-    return group.slice(i, 1)
-
-
 def exact_dedup(ds, key_col: str = "doc_id", text_col: str = "text",
                 partitions: int = 64):
     """Exact dedup: content-hash → per-batch combiner (keep min key per
@@ -558,14 +553,16 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
         cache: dict[int, np.ndarray] = {}
 
         def sh(i: int) -> np.ndarray | None:
-            # a doc id with NO routed text is a verification FAILURE for
-            # its pairs (None), not an empty document — jaccard("","")
-            # is 1.0 and would report a false-positive duplicate
-            if i not in text_of:
+            # a doc id with NO routed text OR a NULL text is a
+            # verification FAILURE for its pairs (None), not an empty
+            # document — jaccard("","") is 1.0 and would report a
+            # false-positive duplicate (same contract as the broadcast
+            # verifier's _sh; `or ""` here used to diverge on nulls)
+            if i not in text_of or text_of[i] is None:
                 return None
             s = cache.get(i)
             if s is None:
-                s = char_shingle_hashes(text_of[i] or "", shingle_k)
+                s = char_shingle_hashes(text_of[i], shingle_k)
                 cache[i] = s
             return s
 
@@ -603,7 +600,14 @@ def verified_pairs_join(cand, ds, *, shingle_k=5, threshold=0.7,
                            np.ascontiguousarray(dg[:, 1].astype(np.int32))))
 
         def route_texts(t: pa.Table) -> pa.Table:
-            doc_req, g_req = ray.get(req_ref)  # node-local, zero-copy
+            from dcpray.rayutil import worker_memo
+
+            # per-worker memo, not a per-batch ray.get: the fetch is
+            # node-local/zero-copy but still pays deserialization and a
+            # store round-trip on every batch otherwise (the same
+            # pattern every other broadcast consumer here uses)
+            doc_req, g_req = worker_memo(
+                ("minhash_req", req_ref.hex()), lambda: ray.get(req_ref))
             doc = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
             lo = np.searchsorted(doc_req, doc, "left")
             hi = np.searchsorted(doc_req, doc, "right")
@@ -985,7 +989,10 @@ def simhash_dup_pairs(ds, max_hamming=3, text_col="text", key_col="doc_id",
                       concurrency=4):
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Banding by
     16-bit chunks guarantees recall for ≤3 differing bits (pigeonhole:
-    one of 4 chunks must match exactly)."""
+    one of 4 chunks must match exactly) — EXCEPT inside a flooded
+    (>512-doc) chunk bucket, where the quadratic emit degrades to a
+    min-id star and pairs far from the representative may be missed
+    (see pairs_in_partition; identical-doc floods are unaffected)."""
     sig = ds.map_batches(
         SimHasher(text_col, key_col), batch_format="pyarrow", concurrency=concurrency
     )
@@ -1021,9 +1028,14 @@ def simhash_dup_pairs(ds, max_hamming=3, text_col="text", key_col="doc_id",
             if len(gi) > 512:
                 # pathological bucket (e.g. hundreds of identical docs):
                 # a full pairwise emit is quadratic — emit the STAR from
-                # the min id instead, which preserves dedup CONNECTIVITY
-                # (every member still pairs with one representative)
-                # rather than silently dropping the bucket
+                # the min id instead rather than silently dropping the
+                # bucket. Recall caveat (r5 review): only members within
+                # max_hamming OF THE REPRESENTATIVE keep an edge, so a
+                # qualifying pair (X,Y) with both farther than
+                # max_hamming from the rep is lost in THIS bucket — the
+                # pigeonhole guarantee is recall-bounded, not exact,
+                # once a bucket floods (identical docs, the common
+                # flood cause, all sit at distance 0 and are unaffected)
                 x = gs[0] ^ gs[1:]
                 ham = _popcount64(x)
                 keep = ham <= max_hamming
@@ -1086,10 +1098,27 @@ def embedding_dup_pairs(ds, threshold=0.95, bits=16, dim=64, concurrency=4):
     def bucket_cosine(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
         emb = emb_matrix(group["embedding"])
-        if len(ids) < 2 or len(ids) > 2048:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(ids) < 2:
+            return empty
         norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        if len(ids) > 2048:
+            # FLOODED bucket — exactly the most-duplicated content. The
+            # O(n²) matrix is off the table, but silence would mean
+            # "no duplicates here"; emit STAR edges from the min-id
+            # representative instead (O(n) one matvec) so downstream
+            # clustering still collapses the pile through the rep —
+            # same shape as the simhash >512 fallback
+            rep = int(np.argmin(ids))
+            c = norm @ norm[rep]
+            keep = (c >= threshold) & (np.arange(len(ids)) != rep)
+            a = np.full(int(keep.sum()), ids[rep], np.int64)
+            b = ids[keep].astype(np.int64)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pa.table({"a": pa.array(lo), "b": pa.array(hi),
+                             "cosine": pa.array(np.round(c[keep], 6))})
         cos = norm @ norm.T
         iu = np.triu_indices(len(ids), k=1)
         c = cos[iu]

@@ -42,10 +42,15 @@ def _init_centroids(ds, vec_col: str, id_col: str, k: int) -> np.ndarray:
             h = h[keep]
         return pa.table({"_h": pa.array(h), vec_col: t[vec_col]})
 
-    bt = (ds.select_columns([id_col, vec_col])
-          .map_batches(local, batch_format="pyarrow")
-          .sort("_h").limit(k)
-          .take_batch(k, batch_format="pyarrow"))
+    try:
+        bt = (ds.select_columns([id_col, vec_col])
+              .map_batches(local, batch_format="pyarrow")
+              .sort("_h").limit(k)
+              .take_batch(k, batch_format="pyarrow"))
+    except ValueError as e:  # Ray's opaque "The dataset is empty."
+        raise ValueError(
+            "cannot fit k-means on an EMPTY corpus (the input dataset "
+            "has no rows — check upstream filters)") from e
     return _stack(bt[vec_col])
 
 
@@ -120,7 +125,16 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
     batch."""
     import ray
 
+    if metric not in ("l2", "cosine"):
+        # same guard kmeans_fit applies — a typo'd metric must not
+        # silently fall through to the l2 branch
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     cents = np.asarray(centroids, np.float64)
+    if metric == "cosine":
+        # externally-supplied (or l2-fit) centroids may be unnormalized;
+        # a cosine argmax against raw centroids is biased toward the
+        # largest-norm centroid, not the nearest direction
+        cents = _normalize(cents)
     cref = ray.put(cents)
 
     def assign(t: pa.Table, cref) -> pa.Table:

@@ -159,3 +159,69 @@ def test_view_zero_file_manifest(tmp_path):
         "rs2", keys=("role",), aggs=(("turn_idx", "count", "n"),)))
     with pytest.raises(RuntimeError, match="no sidecars"):
         view2.read_table(at=prev.seq + 1)
+
+
+# ---- second review pass: dedup / ann / kmeans ----
+
+
+def test_minhash_join_verifier_null_text_no_false_dup():
+    """Null-text docs share one MinHash signature (LSH candidates) but
+    must NOT verify as jaccard-1.0 duplicates on the join path — the
+    broadcast verifier already dropped them; the join path used
+    `text_of[i] or ""` and diverged."""
+    from dcpray.functions.dedup import minhash_dup_pairs
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([None, None, "the same text here " * 10,
+                                    "the same text here " * 10])})
+    for verify in ("join", "broadcast"):
+        out = minhash_dup_pairs(rd.from_arrow(t), threshold=0.5,
+                                verify=verify, concurrency=2).to_pandas()
+        got = {(int(r.a), int(r.b)) for r in out.itertuples()}
+        assert got == {(3, 4)}, (verify, got)
+
+
+def test_embedding_flooded_bucket_emits_star_not_silence():
+    """>2048 near-identical embeddings in one LSH bucket: the old code
+    returned ZERO pairs (silently keeping every copy); now a min-id
+    star keeps the pile connected for clustering."""
+    from dcpray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, 8)
+    n = 2100
+    emb = np.tile(base, (n, 1)) + rng.normal(0, 1e-4, (n, 8))
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(emb.astype(np.float32)))})
+    out = embedding_dup_pairs(rd.from_arrow(t), threshold=0.99,
+                              dim=8, concurrency=2).to_pandas()
+    assert len(out) >= n - 1  # at least the star from the min id
+    assert (out["a"] == 0).sum() >= n - 1
+
+
+def test_kmeans_assign_validates_and_normalizes():
+    from dcpray.functions.kmeans import kmeans_assign
+
+    t = pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array(
+                      [np.array([1.0, 0.0], np.float32),
+                       np.array([0.0, 1.0], np.float32)])})
+    with pytest.raises(ValueError, match="metric"):
+        kmeans_assign(rd.from_arrow(t), np.eye(2), metric="Cosine")
+    # unnormalized centroids: [10, 1] has the larger norm but vector
+    # (0,1) must still pick direction (0,1) = centroid 1
+    cents = np.array([[10.0, 1.0], [0.0, 0.5]])
+    out = kmeans_assign(rd.from_arrow(t), cents,
+                        metric="cosine").to_pandas() \
+        .sort_values("vec_id")
+    assert list(out["cluster"]) == [0, 1]
+
+
+def test_ann_empty_corpus_clear_error():
+    from dcpray.functions.ann import ivf_topk
+    from dcpray.functions.kmeans import kmeans_fit
+
+    t = pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="EMPTY corpus"):
+        kmeans_fit(rd.from_arrow(t), k=2)
