@@ -35,17 +35,11 @@ import pyarrow as pa
 from dcpray.hashing import hash_strings
 
 
-def _doc_ngrams(texts, n: int, sep: str):
-    """Per-doc DISTINCT word-n-gram sets — identical tokenization to
-    dedup._doc_ngram_sets / the list_distinct(list_transform(...))
-    oracle (empty tokens dropped). Per-doc Python by nature, like the
-    other set-construction paths; the hashing below is vectorized."""
-    out = []
-    for t in texts:
-        words = [w for w in (t or "").split(sep) if w]
-        out.append({sep.join(words[i: i + n])
-                    for i in range(len(words) - n + 1)})
-    return out
+# ONE tokenization source of truth: decontamination must fingerprint
+# n-grams exactly like dedup (and the shared
+# list_distinct(list_transform(...)) oracle) — a drifted copy would
+# silently desynchronize the two (r5 review)
+from dcpray.functions.dedup import _doc_ngram_sets as _doc_ngrams
 
 
 def _collect_bench_hashes(benchmark_ds, text_col: str, n: int | None,
@@ -67,13 +61,25 @@ def _collect_bench_hashes(benchmark_ds, text_col: str, n: int | None,
                 else np.empty(0, np.uint64)
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
-    parts = list(benchmark_ds.select_columns([text_col])
-                 .map_batches(fp, batch_format="pyarrow")
-                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    parts = []
+    total = 0
+    for p in (benchmark_ds.select_columns([text_col])
+              .map_batches(fp, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        parts.append(p["h"].to_numpy(zero_copy_only=False))
+        total += len(parts[-1])
+        # guard IN the loop: the swapped-arguments mistake this message
+        # names would otherwise OOM the driver collecting a corpus-sized
+        # hash set long before a post-hoc check could fire
+        if total > max_ngrams:
+            raise ValueError(
+                f"benchmark fingerprint stream already exceeds "
+                f"max_ngrams={max_ngrams} (collected {total}) — the "
+                "benchmark side must be the small side; swap the "
+                "arguments or raise the guard")
     if not parts:
         return np.empty(0, np.uint64)
-    h = np.unique(np.concatenate(
-        [p["h"].to_numpy(zero_copy_only=False) for p in parts]))
+    h = np.unique(np.concatenate(parts))
     if len(h) > max_ngrams:
         raise ValueError(
             f"benchmark fingerprint set has {len(h)} entries "

@@ -90,8 +90,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     """24-bit BI_RGB BMP bytes → (h, w, 3) uint8 RGB. Handles bottom-up
     and top-down row order and row padding; rejects other bit depths /
     compressions loudly."""
-    if len(data) < 54 or data[:2] != b"BM":
-        raise ValueError("not a BMP payload")
+    if data is None or len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload (null/short/bad magic)")
     off = struct.unpack_from("<I", data, 10)[0]
     w, h_signed = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
@@ -120,8 +120,9 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM16 RIFF/WAVE bytes → ((n, channels) int16 samples, rate).
     Walks the chunk list (tolerates extra chunks before data)."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
+    if data is None or len(data) < 12 or data[:4] != b"RIFF" \
+            or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload (null/short/bad magic)")
     pos, fmt, raw = 12, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -185,11 +186,21 @@ def bmp_pixel_stats(batch: pa.Table) -> pa.Table:
 
     dims_w, dims_h, means = [], [], []
     for payload in batch["payload"].to_pylist():
+        if payload is None:
+            # a missing blob is a data condition, not a job-killer:
+            # emit null stats for the row (same tolerance as the real
+            # FrameSampler path), keep decoding the rest
+            dims_h.append(None)
+            dims_w.append(None)
+            means.append(None)
+            continue
         pix = decode_bmp(payload)
         dims_h.append(pix.shape[0])
         dims_w.append(pix.shape[1])
         means.append(float(pix.mean()))
-    means = round6_half_up(means)
+    valid = [m for m in means if m is not None]
+    rounded = iter(round6_half_up(valid))
+    means = [None if m is None else float(next(rounded)) for m in means]
     return pa.table({
         "media_id": batch["media_id"],
         "width": pa.array(dims_w, pa.int32()),
@@ -269,10 +280,12 @@ class ImageFeatureExtractor:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.zeros((batch.num_rows, self.FEAT_DIM))
+        feats: list = [None] * batch.num_rows
         for i, payload in enumerate(batch["payload"].to_pylist()):
             if self.fake:
                 arr = np.frombuffer(payload or b"\0", dtype=np.uint8)
+            elif payload is None:
+                continue  # null payload -> null feature row, job lives
             else:
                 arr = decode_bmp(payload).reshape(-1)
             hist = np.bincount(arr >> 4, minlength=self.FEAT_DIM).astype(np.float64)
@@ -280,7 +293,7 @@ class ImageFeatureExtractor:
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "features": pa.array(list(feats), pa.list_(pa.float64())),
+                "features": pa.array(feats, pa.list_(pa.float64())),
             }
         )
 
@@ -311,7 +324,8 @@ class ImageResizer:
                 for p in batch["payload"].to_pylist()
             ]
         else:
-            payloads = [self._resize(p) for p in batch["payload"].to_pylist()]
+            payloads = [None if p is None else self._resize(p)
+                        for p in batch["payload"].to_pylist()]
         t = batch.drop_columns(["payload", "width", "height"])
         return (
             t.append_column("payload", pa.array(payloads, pa.binary()))

@@ -111,16 +111,24 @@ def chunk_batch(t: pa.Table, text_col: str, chunk_chars: int,
             pa.string(), total,
             [None, pa.py_buffer(out_off.astype(np.int32).tobytes()),
              pa.py_buffer(newdata.tobytes())])
+        out_schema = empty_schema
     else:  # block-level safety valve; blocks this large shouldn't exist
         chunks_arr = pa.Array.from_buffers(
             pa.large_string(), total,
             [None, pa.py_buffer(out_off.tobytes()),
              pa.py_buffer(newdata.tobytes())])
+        # the declared schema must widen too — pa.table() force-casts
+        # to the schema, and casting ≥2GiB back to string() overflows
+        # (the valve was dead code otherwise, r5 review)
+        out_schema = pa.schema(
+            [empty_schema.field(c) for c in keep_cols]
+            + [pa.field(idx_col, pa.int64()),
+               pa.field(out_col, pa.large_string())])
     take = pa.array(doc_idx)
     cols = {c: tt[c].take(take) for c in keep_cols}
     cols[idx_col] = pa.array(within)
     cols[out_col] = chunks_arr
-    return pa.table(cols, schema=empty_schema)
+    return pa.table(cols, schema=out_schema)
 
 
 def chunk_text(ds, text_col: str = "text", chunk_chars: int = 512,
@@ -222,9 +230,12 @@ def top_terms(ds, text_col: str = "text", k: int = 100,
              .map_groups(lambda g: merge_topk(g), batch_format="pyarrow"))
     # ≤ partitions×k candidate rows reach the driver — the only
     # materialization, independent of corpus size
-    cand = pa.concat_tables(
-        parts.iter_batches(batch_size=None, batch_format="pyarrow"),
-        promote_options="default")
+    batches = list(parts.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+    if not batches:  # zero tokens in the corpus (or an empty corpus)
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand = pa.concat_tables(batches, promote_options="default")
     order = pc.sort_indices(cand, sort_keys=[("cnt", "descending"),
                                              ("term", "ascending")])
     return cand.take(order[:k])
@@ -353,11 +364,15 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     counts = doc_term_counts(ds, text_col, id_col)
     df_ds = coarse_groupby(counts, ["term"], [("term", "count", "df")],
                            partitions=partitions)
-    n_docs = int(counts.map_batches(
-        lambda t: pa.table({"n": pa.array(
-            [len(pa.TableGroupBy(t.select([id_col]), [id_col])
-                 .aggregate([]))], pa.int64())}),
-        batch_format="pyarrow").sum("n") or 0)
+    # N = EXACT distinct docs among the counts rows. A per-batch
+    # distinct-sum undercounts only if a doc's rows never split across
+    # blocks — but Ray splits large explode outputs dynamically, so at
+    # scale a straddling doc was double-counted, silently shifting
+    # every idf (r5 review). One coarse exchange over (doc) rows gives
+    # the exact count regardless of block layout.
+    n_docs = coarse_groupby(
+        counts, [id_col], [(id_col, "count", "_c")],
+        partitions=partitions).count()
 
     joined = hash_join(counts, df_ds, on="term", how="inner",
                        partitions=partitions)

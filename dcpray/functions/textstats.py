@@ -68,8 +68,21 @@ def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     denom = pc.max_element_wise(n_chars, 1)
     punct = pc.count_substring_regex(text, r"[^A-Za-z0-9\s]")
     upper = pc.count_substring_regex(text, r"[A-Z]")
-    punct_ratio = pa.array(_round6(pc.divide(pc.cast(punct, pa.float64()), pc.cast(denom, pa.float64())).to_numpy(zero_copy_only=False)))
-    upper_ratio = pa.array(_round6(pc.divide(pc.cast(upper, pa.float64()), pc.cast(denom, pa.float64())).to_numpy(zero_copy_only=False)))
+    # preserve NULL-ness through the numpy round-trip: the raw divide
+    # of two nulls decodes to NaN via to_numpy, which _round6 would
+    # emit as a NON-null NaN value — the SQL oracle (and the sibling
+    # n_chars/n_tokens columns) keep null text null
+    null_mask = pc.is_null(text)
+    punct_ratio = pc.if_else(null_mask, pa.nulls(len(text), pa.float64()),
+                             pa.array(_round6(pc.divide(
+                                 pc.cast(punct, pa.float64()),
+                                 pc.cast(denom, pa.float64()))
+                                 .to_numpy(zero_copy_only=False))))
+    upper_ratio = pc.if_else(null_mask, pa.nulls(len(text), pa.float64()),
+                             pa.array(_round6(pc.divide(
+                                 pc.cast(upper, pa.float64()),
+                                 pc.cast(denom, pa.float64()))
+                                 .to_numpy(zero_copy_only=False))))
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -276,8 +289,9 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     joins / lineage). Vectorized via pandas string hash + mixing."""
     # null text -> "" BEFORE hashing: pandas' object hash maps None to
     # the same value as the literal string "None" (verified), which
-    # would merge a null doc with a real "None" doc — and the md5
-    # sibling already maps null to ""
+    # would merge a null doc with a real "None" doc (the md5 sibling
+    # instead emits NULL for null text to match its SQL oracle; this
+    # non-SQL fingerprint keeps the fill-to-"" convention)
     norm = pc.fill_null(batch[text_col], "")
     norm = pc.replace_substring_regex(norm, r"\s+", " ")
     norm = pc.utf8_trim_whitespace(norm)
@@ -300,8 +314,11 @@ def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     norm = pc.replace_substring_regex(batch[text_col], r"\s+", " ")
     norm = pc.utf8_trim_whitespace(norm)
+    # null text -> NULL fingerprint, matching the oracle (md5(NULL) IS
+    # NULL in SQL); mapping null to md5("") would merge a null doc with
+    # an empty doc in fingerprint-keyed dedup joins (r5 review)
     digests = [
-        hashlib.md5((s or "").encode("utf-8")).hexdigest()
+        None if s is None else hashlib.md5(s.encode("utf-8")).hexdigest()
         for s in norm.to_pylist()
     ]
     return pa.table(

@@ -225,3 +225,95 @@ def test_ann_empty_corpus_clear_error():
                   "embedding": pa.array([], pa.list_(pa.float32()))})
     with pytest.raises(ValueError, match="EMPTY corpus"):
         kmeans_fit(rd.from_arrow(t), k=2)
+
+
+# ---- third review pass: textstats / textprep / decontam / multimodal ----
+
+
+def test_tfidf_n_docs_stable_under_block_splits():
+    """n_docs (the N in idf) must be the EXACT distinct doc count no
+    matter how explode output blocks split — the per-batch distinct-sum
+    double-counted straddling docs once blocks split at scale."""
+    import ray
+    from ray.data import DataContext
+
+    from dcpray.functions.textprep import tfidf_top_terms
+
+    texts = [f"alpha beta gamma doc{i} token{i % 7} extra words here"
+             for i in range(50)]
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(texts)})
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 1024  # force aggressive splits
+        split = tfidf_top_terms(rd.from_arrow(t), k=2).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    normal = tfidf_top_terms(rd.from_arrow(t), k=2).to_pandas()
+    cols = ["doc_id", "term", "tfidf"]
+    a = split[cols].sort_values(["doc_id", "term"]).reset_index(drop=True)
+    b = normal[cols].sort_values(["doc_id", "term"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_top_terms_zero_token_corpus():
+    from dcpray.functions.textprep import top_terms
+
+    t = pa.table({"text": pa.array([None, "日本語テキスト", "...."])})
+    out = top_terms(rd.from_arrow(t), k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["term", "cnt"]
+
+
+def test_text_stats_null_text_stays_null():
+    from dcpray.functions.textstats import text_stats
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([None, "Hi!"])})
+    out = text_stats(t)
+    assert out["punct_ratio"].null_count == 1
+    assert out["upper_ratio"].null_count == 1
+    assert out["n_chars"].null_count == 1
+
+
+def test_fingerprint_md5_null_is_null():
+    from dcpray.functions.textstats import fingerprint_md5
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([None, ""])})
+    out = fingerprint_md5(t)
+    # null doc -> NULL (oracle md5(NULL) IS NULL); empty doc -> md5("")
+    assert out["fingerprint_md5"][0].as_py() is None
+    assert out["fingerprint_md5"][1].as_py() == \
+        "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_bmp_stages_tolerate_null_payload():
+    from dcpray.functions.multimodal import (
+        ImageFeatureExtractor,
+        bmp_pixel_stats,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    pix = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    good = encode_bmp(pix)
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([good, None], pa.binary())})
+    out = bmp_pixel_stats(t)
+    assert out["width"][0].as_py() == 8 and out["width"][1].as_py() is None
+    assert out["pixel_mean"].null_count == 1
+    feats = ImageFeatureExtractor(fake=False)(t)
+    assert feats["features"][1].as_py() is None
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp(None)
+
+
+def test_decontam_swapped_args_guard_fires_in_loop():
+    from dcpray.functions.decontam import _collect_bench_hashes
+
+    texts = [f"unique text number {i}" for i in range(500)]
+    big = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    with pytest.raises(ValueError, match="swap the arguments"):
+        _collect_bench_hashes(big, "text", None, " ", max_ngrams=100)
