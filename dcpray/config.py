@@ -51,6 +51,10 @@ class ReplayConfig:
     merge_concurrency: tuple[int, int] = (2, 8)
     # per-actor cache bound (total cached rows across its buckets)
     merge_cache_rows: int = 2_000_000
+    # per-task WAL reduce chunk: raw events accumulate to this many rows
+    # before the local LWW collapse runs (bounds a merge task's peak
+    # memory; the partials themselves are ≤1 row per key)
+    merge_chunk_rows: int = 1_000_000
     # aligned-strategy straggler mitigation: a bucket whose delta exceeds
     # this many raw events is split into parallel partial LWW reduces
     # (stages/aligned.py partial_reduce) feeding one final merge —

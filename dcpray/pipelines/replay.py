@@ -381,7 +381,7 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
     mschema = merge_schema_from(mapped_schema, base_schema)
     mschema = pa.schema([f for f in mschema if f.name != BUCKET_COL])
 
-    # raw-task fan-out (see make_aligned_merger docstring for why not a
+    # raw-task fan-out (see the design note in stages/aligned.py for why not a
     # Dataset stage); largest buckets first for better core packing
     import ray
 
@@ -398,6 +398,7 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
         wm_arr=wm_arr, mapper=mapper, rejection_log=cfg.rejection_log,
         rejection_include_value=cfg.rejection_include_value,
         num_buckets=num_buckets,
+        chunk_rows=cfg.merge_chunk_rows,
     )
     wal_of: dict[int, list] = {}
     parts_of: dict[int, list] = {}

@@ -71,6 +71,14 @@ def _scan_footer(path: str) -> WalFileInfo:
         vb_hi = _pc.max(t["vb"]).as_py()
         sq_lo = _pc.min(t["seqno"]).as_py()
         sq_hi = _pc.max(t["seqno"]).as_py()
+        # an ALL-NULL routing column yields None (corrupt segment —
+        # exactly what the DLQ exists for): mark multi-vb and an
+        # unprunable seqno range so the file is always read and its
+        # rows dead-letter row-by-row, instead of TypeError here
+        if vb_lo is None or vb_hi is None:
+            vb_lo, vb_hi = -1, -2  # differ -> multi-vb marker below
+        if sq_lo is None or sq_hi is None:
+            sq_lo, sq_hi = 0, (1 << 62)
     if vb_lo != vb_hi:
         # multi-vb file: no file-level pruning possible, mark vb=-1
         vb_lo = -1
@@ -146,14 +154,24 @@ def scan_wal(wal_dir: str) -> list[WalFileInfo]:
     infos: dict[str, WalFileInfo] = {}
     todo: list[str] = []
     stats = {}
+    vanished: set[str] = set()
     for p in paths:
-        st = os.stat(p)
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
+            # external retention deleted the segment between glob and
+            # stat — a supported operation (effective_floor voids the
+            # affected floor); skip it rather than dying mid-scan
+            vanished.add(p)
+            cache.pop(p, None)
+            continue
         stats[p] = st
         e = cache.get(p)
         if e and e["size"] == st.st_size and e["mtime_ns"] == st.st_mtime_ns:
             infos[p] = _entry_to_info(p, e)
         else:
             todo.append(p)
+    paths = [p for p in paths if p not in vanished]
 
     if todo:
         import ray
@@ -171,7 +189,12 @@ def scan_wal(wal_dir: str) -> list[WalFileInfo]:
             cache[i.path] = _info_to_entry(i, stats[i.path])
         cache = {p: e for p, e in cache.items() if p in infos or os.path.exists(p)}
         _save_cache(wal_dir, cache)
-    return [infos[p] for p in paths]
+    # EMPTY segments (an external producer's zero-event flush) carry no
+    # events and no prunable range — exposing their vb=-1 sentinel
+    # upstream made them indistinguishable from multi-vb segments
+    # (bricking aligned replay / wedging compact's safety check); they
+    # are simply not part of the logical WAL (r5 review)
+    return [infos[p] for p in paths if infos[p].rows > 0]
 
 
 def prune_files(

@@ -88,41 +88,25 @@ def _prep_to(t: pa.Table, payload_schema: pa.Schema) -> pa.Table:
     return t.set_column(i, "seqno", pc.fill_null(t["seqno"], 0))
 
 
-def merge_bucket(
-    spec: dict,
-    bucket: int,
-    wal_paths: list[str],
-    base_paths: list[str],
-    base_tables: tuple = (),
-    return_table: bool = False,
-):
-    """One bucket's whole pipeline: chunked WAL read → validate/DLQ →
-    mapper → local LWW → merge against base (files and/or in-memory
-    tables) → stable sort → tmp+rename Parquet write → stats dict.
-
-    ``spec`` carries the per-run parameters (lake_dir, run_id,
-    merge_schema, wm_arr, mapper, rejection knobs, chunk_rows) so both
-    the stateless task path and the stateful actor pool share this
-    function. ``base_tables`` may be staged bootstrap slices or an
-    actor's cached copy of the committed bucket."""
-    import time
-
-    _cap_arrow_threads()
-    t_start = time.perf_counter()
-    lake_dir = spec["lake_dir"]
-    run_id = spec["run_id"]
+def _reduce_wal(spec: dict, bucket: int, wal_paths: list[str]
+                ) -> tuple[list[pa.Table], int]:
+    """The shared WAL side of a bucket merge: chunked read →
+    validate/DLQ → mapper (+ alignment guard) → local LWW per chunk.
+    Returns (reduced partials, raw rows read). ONE implementation for
+    both ``merge_bucket`` and the hot-split ``partial_reduce`` — they
+    previously carried verbatim copies of this loop (r5 review)."""
     payload_schema = spec["merge_schema"]
     mapper = spec.get("mapper")
     rejected_dir = None
     if spec.get("rejection_log", True):
-        rejected_dir = os.path.join(lake_dir, "rejected", run_id, f"b{bucket:05d}")
+        rejected_dir = os.path.join(
+            spec["lake_dir"], "rejected", spec["run_id"], f"b{bucket:05d}")
         os.makedirs(rejected_dir, exist_ok=True)
     validate = make_reject_filter(
         spec["wm_arr"], rejected_dir, spec.get("rejection_include_value", True)
     )
     chunk_rows = spec.get("chunk_rows", 1_000_000)
 
-    # ---- WAL side: chunked read → validate → mapper → local LWW ----
     partials: list[pa.Table] = []
     pending: list[pa.Table] = []
     pending_rows = 0
@@ -152,13 +136,47 @@ def merge_bucket(
         if pending_rows >= chunk_rows:
             _reduce_pending()
     _reduce_pending()
+    return partials, rows_in
+
+
+def merge_bucket(
+    spec: dict,
+    bucket: int,
+    wal_paths: list[str],
+    base_paths: list[str],
+    base_tables: tuple = (),
+    return_table: bool = False,
+):
+    """One bucket's whole pipeline: chunked WAL read → validate/DLQ →
+    mapper → local LWW → merge against base (files and/or in-memory
+    tables) → stable sort → tmp+rename Parquet write → stats dict.
+
+    ``spec`` carries the per-run parameters (lake_dir, run_id,
+    merge_schema, wm_arr, mapper, rejection knobs, chunk_rows,
+    num_buckets) so both the stateless task path and the stateful actor
+    pool share this function. ``base_tables`` may be staged bootstrap
+    slices or an actor's cached copy of the committed bucket."""
+    import time
+
+    _cap_arrow_threads()
+    t_start = time.perf_counter()
+    lake_dir = spec["lake_dir"]
+    run_id = spec["run_id"]
+    payload_schema = spec["merge_schema"]
+
+    partials, rows_in = _reduce_wal(spec, bucket, wal_paths)
     t_wal = time.perf_counter()
 
     # ---- base side: committed bucket file / staged slices / actor cache ----
+    # NO per-input lww_filter here: base inputs are the already-reduced
+    # output of a previous merge (or bootstrap slices), and the final
+    # concat lww_filter below dedups globally anyway — the per-input
+    # pass full-sorted every large bucket twice per delta (r5 review).
+    # The WAL-side per-chunk filter stays: it bounds MEMORY.
     for p in base_paths:
-        partials.append(lww_filter(_prep_to(pq.read_table(p), payload_schema)))
+        partials.append(_prep_to(pq.read_table(p), payload_schema))
     for s in base_tables:
-        partials.append(lww_filter(_prep_to(s, payload_schema)))
+        partials.append(_prep_to(s, payload_schema))
 
     t_base = time.perf_counter()
     if partials:
@@ -194,45 +212,21 @@ def merge_bucket(
     return (stats, t) if return_table else (stats, None)
 
 
-def make_aligned_merger(
-    lake_dir: str,
-    run_id: str,
-    merge_schema: pa.Schema,
-    wm_arr: np.ndarray,
-    *,
-    mapper=None,
-    rejection_log: bool = True,
-    rejection_include_value: bool = True,
-    chunk_rows: int = 1_000_000,
-):
-    """Returns ``merge_one(bucket, wal_paths, base_paths, *slices) ->
-    stats dict``. Output files are tmp+renamed so task retries are
-    idempotent; nothing is visible until the manifest commit.
-
-    Dispatched as plain ``ray.remote`` tasks rather than a Dataset stage:
-    the fan-out is a fixed list of a few hundred independent, internally
-    vectorized merges with 1-row control inputs, a shape where Ray Data's
-    streaming executor adds ~3× wall (measured 10.2s vs 3.2s for the
-    identical closure at 32 CPUs on the 10M-event fixture) for machinery
-    — block accounting, per-op backpressure — that buys nothing here. All
-    row-level transforms stay in the Dataset API; task retries +
-    idempotent writes preserve the semantics.
-
-    ``*base_slices`` (staged bootstrap tables) are passed as TASK
-    ARGUMENTS, not fetched in a ray.get loop: Ray resolves them before
-    the task starts — one batched pull instead of ~25 serial IPC
-    round-trips (the get loop was the top contention source at 32
-    concurrent tasks; t_base 51 CPU-s → ~0)."""
-    spec = dict(
-        lake_dir=lake_dir, run_id=run_id, merge_schema=merge_schema,
-        wm_arr=wm_arr, mapper=mapper, rejection_log=rejection_log,
-        rejection_include_value=rejection_include_value, chunk_rows=chunk_rows,
-    )
-
-    def merge_one(bucket, wal_paths, base_paths, *base_slices):
-        return merge_bucket(spec, bucket, wal_paths, base_paths, base_slices)[0]
-
-    return merge_one
+# Design note (why merge_bucket dispatches as plain ``ray.remote`` tasks
+# from _run_aligned rather than a Dataset stage): the fan-out is a fixed
+# list of a few hundred independent, internally vectorized merges with
+# 1-row control inputs, a shape where Ray Data's streaming executor adds
+# ~3× wall (measured 10.2s vs 3.2s for the identical closure at 32 CPUs
+# on the 10M-event fixture) for machinery — block accounting, per-op
+# backpressure — that buys nothing here. All row-level transforms stay
+# in the Dataset API; task retries + tmp-rename idempotent writes
+# preserve the semantics. Staged bootstrap slices are passed as TASK
+# ARGUMENTS, not fetched in a ray.get loop: Ray resolves them before the
+# task starts — one batched pull instead of ~25 serial IPC round-trips.
+# (A make_aligned_merger wrapper used to live here; it was dead code on
+# the production path — replay builds the spec itself — and its spec
+# omitted num_buckets, silently disabling the mapper alignment guard
+# for any external caller. r5 review.)
 
 
 class MergeApplier:
@@ -309,6 +303,10 @@ def _split_snapshot_file(path: str, num_vbuckets: int, num_buckets: int):
 
     _cap_arrow_threads()
     t = pq.read_table(path)
+    if t.num_rows == 0:
+        # empty part files are routine writer output (a Spark/pandas
+        # empty partition); the edge arithmetic below would IndexError
+        return {}
     b = vb_of_conv(t["conv_id"], num_vbuckets).astype(np.int64) % num_buckets
     order = np.argsort(b, kind="stable")
     t = t.take(pa.array(order))
@@ -378,47 +376,7 @@ def partial_reduce(spec: dict, bucket: int, wal_paths: list[str]) -> pa.Table:
     untouched)."""
     _cap_arrow_threads()
     payload_schema = spec["merge_schema"]
-    mapper = spec.get("mapper")
-    rejected_dir = None
-    if spec.get("rejection_log", True):
-        rejected_dir = os.path.join(
-            spec["lake_dir"], "rejected", spec["run_id"], f"b{bucket:05d}"
-        )
-        os.makedirs(rejected_dir, exist_ok=True)
-    validate = make_reject_filter(
-        spec["wm_arr"], rejected_dir, spec.get("rejection_include_value", True)
-    )
-    chunk_rows = spec.get("chunk_rows", 1_000_000)
-
-    partials: list[pa.Table] = []
-    pending: list[pa.Table] = []
-    pending_rows = 0
-    rows_in = 0
-
-    def _reduce_pending():
-        nonlocal pending, pending_rows
-        if not pending:
-            return
-        chunk = pa.concat_tables(pending, promote_options="permissive")
-        pending, pending_rows = [], 0
-        chunk = validate(chunk)
-        if mapper is not None:
-            from dcpray.stages.mapper import identity_mapper, validate_mapper_output
-
-            chunk = validate_mapper_output(mapper(chunk))
-            if mapper is not identity_mapper and spec.get("num_buckets"):
-                _guard_mapper_alignment(chunk, bucket, spec["num_buckets"])
-        if chunk.num_rows:
-            partials.append(lww_filter(_prep_to(chunk, payload_schema)))
-
-    for p in wal_paths:
-        t = pq.read_table(p)
-        rows_in += t.num_rows
-        pending.append(t)
-        pending_rows += t.num_rows
-        if pending_rows >= chunk_rows:
-            _reduce_pending()
-    _reduce_pending()
+    partials, _rows_in = _reduce_wal(spec, bucket, wal_paths)
     if not partials:
         out = payload_schema.empty_table()
     else:

@@ -62,6 +62,18 @@ def validate_mapper_output(batch: pa.Table) -> pa.Table:
             f"mapper output dropped required CDC columns {missing}; "
             f"a CDC mapper must preserve {REQUIRED_CDC_COLUMNS}"
         )
+    # mapper output runs AFTER the reject filter, so null keys here are
+    # the MAPPER's doing — and the LWW merge treats every null-key row
+    # as a distinct first row, so un-keyed junk would accumulate in the
+    # lake that no later run could ever replace or delete (r5 review)
+    for c in ("conv_id", "turn_idx"):
+        n = batch[c].null_count
+        if n:
+            raise ValueError(
+                f"mapper emitted {n} rows with null {c!r}; mapper output "
+                "must carry non-null merge keys (filter such rows inside "
+                "the mapper, or dead-letter them upstream)"
+            )
     return batch
 
 

@@ -19,8 +19,13 @@ SURVEY §2 K2). Properties the implementation relies on:
   ``groupby(bucket).map_groups`` co-locates each key exactly once.
 - **Tombstones**: the winning row's op ∈ {deletion, expiration} removes
   the key (NewDeleteEvent/NewExpireEvent carry nil value,
-  couchbase/event.go:24-56). Tombstones are dropped after winning, as in
-  compacted-topic retention.
+  couchbase/event.go:24-56). Winning tombstones are PERSISTED in the
+  bucket file (readers filter ``_op = 'mutation'``) so a late-arriving
+  OLDER mutation of the key stays dead on replay; they are physically
+  dropped only by ``compact()`` once every known WAL segment is
+  processed — the table analogue of compacted-topic
+  ``delete.retention.ms``. (Do NOT "optimize" the drop back into the
+  merge: it silently resurrects deleted keys on out-of-order replays.)
 """
 
 from __future__ import annotations

@@ -48,18 +48,24 @@ def make_reject_filter(
             .to_numpy(zero_copy_only=False).astype(np.int64)
         seq = pc.fill_null(pc.cast(batch["seqno"], pa.uint64()), 0) \
             .to_numpy(zero_copy_only=False).astype(np.uint64)
+        # a NEGATIVE vb would index wm_arr from the END (numpy wrap) and
+        # silently drop the row against the wrong vb's watermark —
+        # structurally invalid, so it must dead-letter (r5 review)
+        vb_nonneg = vb >= 0
         if len(wm_arr) == 0:  # no committed watermark: everything is live
             live = np.ones(len(seq), dtype=bool)
         else:
-            wm = np.where(vb < len(wm_arr), wm_arr[np.minimum(vb, len(wm_arr) - 1)], 0)
+            idx = np.clip(vb, 0, len(wm_arr) - 1)
+            wm = np.where(vb_nonneg & (vb < len(wm_arr)), wm_arr[idx], 0)
             live = seq > wm
-        live |= ~(vb_ok & seq_ok)  # invalid rows are always "live": DLQ them
+        # invalid rows are always "live": DLQ them
+        live |= ~(vb_ok & seq_ok & vb_nonneg)
 
         conv_ok = pc.is_valid(batch["conv_id"]).to_numpy(zero_copy_only=False)
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
         turn_ok = np.where(pc.is_valid(batch["turn_idx"]).to_numpy(zero_copy_only=False), turn >= 0, False)
         op_ok = pc.is_in(batch["op"], value_set=pa.array(OPS)).to_numpy(zero_copy_only=False)
-        valid = conv_ok & turn_ok & op_ok & vb_ok & seq_ok
+        valid = conv_ok & turn_ok & op_ok & vb_ok & seq_ok & vb_nonneg
 
         bad = live & ~valid
         if bad.any() and rejected_dir is not None:
@@ -67,10 +73,12 @@ def make_reject_filter(
             reasons = np.select(
                 [
                     ~(vb_ok & seq_ok)[bad],
+                    (~vb_nonneg)[bad],
                     ~conv_ok[bad],
                     ~turn_ok[bad],
                 ],
-                ["null vb/seqno", "null conv_id", "invalid turn_idx"],
+                ["null vb/seqno", "negative vb", "null conv_id",
+                 "invalid turn_idx"],
                 default="unknown op",
             )
             cols = {

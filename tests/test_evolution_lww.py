@@ -84,8 +84,6 @@ def test_evolution_lww_races_both_strategies(tmp_path):
 def test_chunked_reduce_equals_unchunked(tiny_fixture, tmp_path):
     """chunk_rows small enough to force many partial reduces per bucket
     must give the identical result (memory-bound path correctness)."""
-    import dcpray.pipelines.replay as R
-    from dcpray.stages import aligned as A
     from tests.util import assert_final_state_equal
 
     one = Lake(str(tmp_path / "one"))
@@ -93,20 +91,13 @@ def test_chunked_reduce_equals_unchunked(tiny_fixture, tmp_path):
            base_snapshot_dir=os.path.join(tiny_fixture, "base"),
            config=ReplayConfig(num_buckets=16))
 
-    orig = A.make_aligned_merger
-
-    def tiny_chunks(*args, **kw):
-        kw["chunk_rows"] = 64
-        return orig(*args, **kw)
-
-    A.make_aligned_merger = tiny_chunks
-    try:
-        two = Lake(str(tmp_path / "two"))
-        replay(two, os.path.join(tiny_fixture, "wal"),
-               base_snapshot_dir=os.path.join(tiny_fixture, "base"),
-               config=ReplayConfig(num_buckets=16))
-    finally:
-        A.make_aligned_merger = orig
+    # r5 review: the old monkeypatch of make_aligned_merger tested
+    # NOTHING (replay never called it); merge_chunk_rows is now a real
+    # config knob wired into the merge spec
+    two = Lake(str(tmp_path / "two"))
+    replay(two, os.path.join(tiny_fixture, "wal"),
+           base_snapshot_dir=os.path.join(tiny_fixture, "base"),
+           config=ReplayConfig(num_buckets=16, merge_chunk_rows=64))
     assert_final_state_equal(one.to_pandas_sorted(), two.to_pandas_sorted())
 
 

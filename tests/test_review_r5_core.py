@@ -1,0 +1,186 @@
+"""Regressions for the round-5 review of the CDC core (wal/aligned/
+reject/merge/mapper):
+
+- empty WAL segments (a producer's zero-event flush) must not brick
+  aligned replay or wedge compact's safety check;
+- all-null routing columns in a segment dead-letter instead of killing
+  the footer scan;
+- negative vb rows dead-letter instead of being silently dropped
+  against the wrong vb's watermark;
+- a mapper emitting null merge keys fails loudly (null-key rows would
+  accumulate in the lake forever);
+- empty base-snapshot part files bootstrap cleanly;
+- scan_wal tolerates a segment deleted between glob and stat.
+"""
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dcpray import Lake, ReplayConfig, replay
+from dcpray.sources import wal as walmod
+from dcpray.sources.genwal import ensure_fixture
+
+
+def _fresh_lake_dirs(tmp_path, fx):
+    import shutil
+
+    wal = str(tmp_path / "wal")
+    shutil.copytree(os.path.join(fx, "wal"), wal)
+    return wal, str(tmp_path / "lake")
+
+
+def test_empty_wal_segment_ignored_everywhere(tmp_path):
+    """An empty flush file: replay proceeds on the ALIGNED strategy,
+    result equals the no-empty-file run, and compact is not wedged by a
+    perpetually-'unprocessed' zero-row file."""
+    from dcpray.pipelines.compact import compact
+
+    fx = ensure_fixture("sf0.001")
+    wal, lake_dir = _fresh_lake_dirs(tmp_path, fx)
+    # land an empty segment in one vb dir (schema matches the stream)
+    some_vb_dir = sorted(glob.glob(os.path.join(wal, "*")))[0]
+    schema = pq.read_schema(
+        sorted(glob.glob(os.path.join(some_vb_dir, "*.parquet")))[0])
+    pq.write_table(schema.empty_table(),
+                   os.path.join(some_vb_dir, "part-empty.parquet"))
+
+    infos = walmod.scan_wal(wal)
+    assert all(i.rows > 0 for i in infos)  # empty file not in the log
+
+    lake = Lake(lake_dir)
+    res = replay(lake, wal, base_snapshot_dir=f"{fx}/base",
+                 config=ReplayConfig(num_buckets=8))
+    assert res.committed
+    assert lake.store.load_current().strategy == "aligned"
+
+    ref = Lake(str(tmp_path / "ref"))
+    replay(ref, f"{fx}/wal", base_snapshot_dir=f"{fx}/base",
+           config=ReplayConfig(num_buckets=8))
+    pd.testing.assert_frame_equal(lake.to_pandas_sorted(),
+                                  ref.to_pandas_sorted())
+    # compact's safety check must not see the empty file as unprocessed
+    out = compact(lake, wal)
+    assert out["op"] == "compact"
+
+
+def test_all_null_routing_columns_dead_letter(tmp_path):
+    """A corrupt segment whose vb/seqno are entirely null (and without
+    parquet stats): scan_wal survives, shuffle replay dead-letters the
+    rows, the good rows still commit."""
+    fx = ensure_fixture("sf0.001")
+    wal, lake_dir = _fresh_lake_dirs(tmp_path, fx)
+    some_vb_dir = sorted(glob.glob(os.path.join(wal, "*")))[0]
+    ref_file = sorted(glob.glob(os.path.join(some_vb_dir, "*.parquet")))[0]
+    t = pq.read_table(ref_file).slice(0, 3)
+    n = t.num_rows
+    t = t.set_column(t.schema.get_field_index("vb"), "vb",
+                     pa.nulls(n, t.schema.field("vb").type))
+    t = t.set_column(t.schema.get_field_index("seqno"), "seqno",
+                     pa.nulls(n, t.schema.field("seqno").type))
+    pq.write_table(t, os.path.join(some_vb_dir, "part-corrupt.parquet"),
+                   write_statistics=False)
+
+    infos = walmod.scan_wal(wal)
+    corrupt = [i for i in infos if i.path.endswith("part-corrupt.parquet")]
+    assert len(corrupt) == 1 and corrupt[0].vb == -1
+
+    lake = Lake(lake_dir)
+    res = replay(lake, wal, base_snapshot_dir=f"{fx}/base",
+                 config=ReplayConfig(num_buckets=8, strategy="shuffle"))
+    assert res.committed
+    assert lake.rejected_count(res.run_id) >= n  # corrupt rows in DLQ
+    ref = Lake(str(tmp_path / "ref"))
+    replay(ref, f"{fx}/wal", base_snapshot_dir=f"{fx}/base",
+           config=ReplayConfig(num_buckets=8, strategy="shuffle"))
+    pd.testing.assert_frame_equal(lake.to_pandas_sorted(),
+                                  ref.to_pandas_sorted())
+
+
+def test_negative_vb_dead_letters_not_silent_drop(tmp_path):
+    from dcpray.stages.reject import make_reject_filter
+
+    wm = np.array([100, 200, 999], np.uint64)
+    rejected = str(tmp_path / "rej")
+    os.makedirs(rejected)
+    f = make_reject_filter(wm, rejected)
+    batch = pa.table({
+        "vb": pa.array([-1, 1], pa.int64()),
+        "seqno": pa.array([500, 500], pa.uint64()),
+        "conv_id": pa.array(["a", "b"]),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "op": pa.array(["mutation", "mutation"]),
+    })
+    out = f(batch)
+    # vb=-1, seqno=500: previously wm_arr[-1]=999 made it 'not live' and
+    # it vanished; now it dead-letters and the good row passes
+    assert out.num_rows == 1 and out["vb"][0].as_py() == 1
+    rej = pq.read_table(glob.glob(os.path.join(rejected, "*.parquet"))[0])
+    assert rej.num_rows == 1
+    assert rej["error"][0].as_py() == "negative vb"
+
+
+def test_mapper_null_key_output_raises():
+    from dcpray.stages.mapper import validate_mapper_output
+
+    t = pa.table({
+        "vb": pa.array([1], pa.int64()),
+        "seqno": pa.array([1], pa.uint64()),
+        "conv_id": pa.array([None], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "op": pa.array(["mutation"]),
+    })
+    with pytest.raises(ValueError, match="null 'conv_id'"):
+        validate_mapper_output(t)
+
+
+def test_empty_snapshot_part_file_bootstraps(tmp_path):
+    import shutil
+
+    fx = ensure_fixture("sf0.001")
+    base = str(tmp_path / "base")
+    shutil.copytree(os.path.join(fx, "base"), base)
+    schema = pq.read_schema(sorted(glob.glob(f"{base}/*.parquet"))[0])
+    pq.write_table(schema.empty_table(),
+                   os.path.join(base, "part-empty.parquet"))
+    lake = Lake(str(tmp_path / "lake"))
+    res = replay(lake, f"{fx}/wal", base_snapshot_dir=base,
+                 config=ReplayConfig(num_buckets=8))
+    assert res.committed
+    ref = Lake(str(tmp_path / "ref"))
+    replay(ref, f"{fx}/wal", base_snapshot_dir=f"{fx}/base",
+           config=ReplayConfig(num_buckets=8))
+    pd.testing.assert_frame_equal(lake.to_pandas_sorted(),
+                                  ref.to_pandas_sorted())
+
+
+def test_scan_wal_tolerates_concurrent_deletion(tmp_path, monkeypatch):
+    """A retention job deleting a segment between glob and stat must not
+    kill the scan (external deletion is a supported operation)."""
+    import shutil
+
+    fx = ensure_fixture("sf0.001")
+    wal = str(tmp_path / "wal")
+    shutil.copytree(os.path.join(fx, "wal"), wal)
+    victim = sorted(glob.glob(os.path.join(wal, "*", "*.parquet")))[0]
+
+    real_stat = os.stat
+    fired = {"done": False}
+
+    def racing_stat(path, *a, **kw):
+        # one-shot: monkeypatching walmod.os.stat patches the SHARED os
+        # module, so any os.path call in here would recurse
+        if path == victim and not fired["done"]:
+            fired["done"] = True
+            os.remove(victim)  # the "external retention job"
+            raise FileNotFoundError(path)
+        return real_stat(path, *a, **kw)
+
+    monkeypatch.setattr(walmod.os, "stat", racing_stat)
+    infos = walmod.scan_wal(wal)
+    assert victim not in {i.path for i in infos}
+    assert len(infos) > 0
