@@ -36,6 +36,18 @@ def _gap_threshold(ts_type: pa.DataType, gap_s: float) -> np.int64:
     return np.int64(round(gap_s))
 
 
+def _group_codes(col) -> np.ndarray:
+    """int64 EQUALITY codes for a group-key column: strings go through
+    dictionary codes (r5 review — astype(int64) crashed on string keys
+    that add_coarse_pk was deliberately extended to accept), integer-
+    like types cast directly."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return pc.dictionary_encode(arr).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _session_bounds(group: pa.Table, key_col: str, ts_col: str,
                     gap_s: float, tiebreak_col: str | None):
     """The shared session-assignment core: sort one partition by
@@ -49,7 +61,7 @@ def _session_bounds(group: pa.Table, key_col: str, ts_col: str,
     from dcpray.functions.agg import require_nonnull
 
     require_nonnull(group, (key_col, ts_col, tiebreak_col), "sessionize")
-    k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    k = _group_codes(group[key_col])
     ts = pc.cast(group[ts_col], pa.int64()).combine_chunks().to_numpy(
         zero_copy_only=False
     )
@@ -86,6 +98,7 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
     ordered by ``tiebreak_col`` so the assignment is deterministic.
 
     Returns the input rows (all columns) + ``session_id`` (int64)."""
+    _guard_output_names(ds, ["session_id"], "sessionize")
 
     def assign(group: pa.Table) -> pa.Table:
         order, _, _, _, sid = _session_bounds(
@@ -159,6 +172,7 @@ def hopping_window(ds, ts_col: str = "ts", size_s: float = 1800,
     """
     from dcpray.functions.agg import coarse_groupby
 
+    _guard_output_names(ds, [out_col], "hopping_window")
     aggs = aggs or [(ts_col, "count", "n_events")]
     keys = [out_col] + ([key_col] if key_col else [])
 
@@ -250,8 +264,7 @@ def rank_in_group(ds, group_col: str, order_col: str,
     def assign(group: pa.Table) -> pa.Table:
         require_nonnull(group, (group_col, order_col, tiebreak_col),
                         "rank_in_group")
-        g = group[group_col].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        g = _group_codes(group[group_col])
         v = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
         tb = group[tiebreak_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)

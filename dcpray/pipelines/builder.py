@@ -164,8 +164,12 @@ class Pipeline:
                 except Exception as e:
                     self.log.warning("metrics handler raised: %s", e)
             if self.handler:
-                for f in res.manifest.files:
-                    self.handler.on_success(f)
+                # per-bucket STATS rows of buckets written THIS run —
+                # not manifest file entries, which include carry-forward
+                # buckets (an incremental run touching 1 of 256 buckets
+                # must not re-ack the other 255 every commit, r5 review)
+                for s in res.bucket_stats:
+                    self.handler.on_success(s)
             # attached incremental views: one cheap refresh per commit
             # (cost = rewritten buckets). BEST-EFFORT like the metrics
             # fan-out — the run is already durably committed, refresh is

@@ -67,6 +67,11 @@ class RunResult:
     committed: bool
     manifest: Manifest | None
     metrics: dict[str, Any] = field(default_factory=dict)
+    # one stats row per bucket WRITTEN this run (rows_in/rows_out/
+    # tombstoned_keys/...) — the sink fan-out surface. Deliberately NOT
+    # the manifest file list: that includes carry-forward buckets
+    # untouched by this run, which must not be re-acked per commit.
+    bucket_stats: list = field(default_factory=list)
 
 
 def _probe_mapper_schema(mapper: Mapper | None, schema: pa.Schema) -> pa.Schema:
@@ -236,6 +241,15 @@ def replay(
     if strategy == "aligned":
         ctx["early_splits"] = (early_num_vb, early_splits) if early_splits else None
         ctx["merge_pool"] = merge_pool
+    elif early_splits:
+        # the run flipped to shuffle after the speculative bootstrap
+        # submit: cancel the split tasks instead of letting them read
+        # and pin the whole snapshot for nothing (r5 review)
+        import ray
+
+        for f in early_splits:
+            ray.cancel(f, force=True)
+        early_splits = None
     t1 = time.perf_counter()
     if strategy == "aligned":
         stats, carried, num_vbuckets = _run_aligned(**ctx, phase_t=phase_t)
@@ -305,9 +319,21 @@ def replay(
         lake.store.commit(manifest, orphan_lease=cfg.commit_orphan_lease_s)
     else:
         lake.store.commit(manifest)
-    lake.write_metrics(run_id, metrics)
+    try:
+        # observability only — the manifest above IS the durable record;
+        # a metrics-dir write failure must not turn a committed run into
+        # an apparent failure (same contract as the builder's
+        # stream-metrics / handler writes)
+        lake.write_metrics(run_id, metrics)
+    except OSError:
+        import logging
+
+        logging.getLogger("dcpray.replay").warning(
+            "metrics dump for committed run %s failed (non-fatal)",
+            run_id, exc_info=True)
     shutil.rmtree(os.path.join(lake.lake_dir, "tmp", run_id), ignore_errors=True)
-    return RunResult(run_id=run_id, committed=True, manifest=manifest, metrics=metrics)
+    return RunResult(run_id=run_id, committed=True, manifest=manifest,
+                     metrics=metrics, bucket_stats=list(stats))
 
 
 # --------------------------------------------------------------- aligned
@@ -357,8 +383,14 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
                 base_of.setdefault(b, []).append(lake.abspath(f["path"]))
         import pyarrow.parquet as pq
 
+        # permissive like every other unify here: after a type-widening
+        # tranche, new bucket files carry the wide type while
+        # carried-forward buckets keep the old one — the strict default
+        # would raise and permanently brick incremental replay (r5
+        # review)
         base_schema = pa.unify_schemas(
-            [pq.read_schema(lake.abspath(f["path"])) for f in prev.files]
+            [pq.read_schema(lake.abspath(f["path"])) for f in prev.files],
+            promote_options="permissive",
         ) if prev.files else None
     base_refs = None
     if not (prev and prev.files):
@@ -372,6 +404,13 @@ def _run_aligned(*, lake, cfg, mapper, infos, wm, wm_arr, prev, run_id,
             if early_splits and early_splits[0] == num_vbuckets:
                 base_refs = collect_snapshot_splits(early_splits[1])
             else:
+                if early_splits:
+                    # modulus mismatch: the speculative splits are for
+                    # the wrong vb modulus — cancel before re-staging
+                    import ray as _ray
+
+                    for f in early_splits[1]:
+                        _ray.cancel(f, force=True)
                 base_refs = stage_base_snapshot(snap, num_vbuckets, num_buckets)
             phase_t["bootstrap_s"] = round(time.perf_counter() - tb, 3)
             for b in base_refs:

@@ -517,7 +517,10 @@ class Lake:
             for name in schema.names:
                 if name not in t.schema.names:
                     t = t.append_column(name, pa.nulls(t.num_rows, schema.field(name).type))
-            tabs.append(t.select(schema.names))
+            # cast to the UNIFIED schema: after a type-widening tranche,
+            # carried-forward buckets keep the narrow type and a plain
+            # concat would raise on the mix
+            tabs.append(t.select(schema.names).cast(schema))
         tab = pa.concat_tables(tabs)
         if OP_LAKE_COL in tab.schema.names:
             import pyarrow.compute as pc
