@@ -68,13 +68,6 @@ def bucket_of_conv(conv_id, num_buckets: int) -> np.ndarray:
     )
 
 
-def vb_of_conv_index(conv_index: np.ndarray, num_vbuckets: int) -> np.ndarray:
-    """Generator-side: conversation ordinal → vBucket."""
-    return (splitmix64(conv_index.astype(np.uint64)) % np.uint64(num_vbuckets)).astype(
-        np.uint16
-    )
-
-
 def vb_of_conv(conv_id, num_vbuckets: int) -> np.ndarray:
     """Key → vBucket as a pure function of the key string, mirroring
     Couchbase's vb = crc32(key) % 1024 (the property the reference's

@@ -26,14 +26,16 @@ FINAL_COLUMNS = TRANSCRIPT_COLUMNS + [TOOL_VERSION_COL]
 
 
 def read_wal_pandas(wal_dir: str) -> pd.DataFrame:
-    """Read every WAL file, unifying schemas (missing tool_version → null)."""
+    """Read every WAL file, unifying schemas (missing tool_version → null).
+    An EMPTY (or fully-consumed) WAL yields an empty frame so
+    naive_final_state can express 'base snapshot only, no changefeed'."""
     files = sorted(glob.glob(os.path.join(wal_dir, "**", "*.parquet"), recursive=True))
+    if not files:
+        return pd.DataFrame(columns=FINAL_COLUMNS + ["vb", "seqno", "op"])
     tables = [pq.read_table(f) for f in files]
     schema = pa.unify_schemas([t.schema for t in tables])
     tables = [
-        t.select([f for f in t.schema.names]).cast(
-            pa.schema([schema.field(n) for n in t.schema.names])
-        )
+        t.cast(pa.schema([schema.field(n) for n in t.schema.names]))
         for t in tables
     ]
     dfs = []

@@ -34,15 +34,20 @@ def _compact_one(lake_dir: str, run_id: str, rel_path: str, bucket: int) -> dict
 
     _cap_arrow_threads()
     src = os.path.join(lake_dir, rel_path)
-    t = pq.read_table(src)
-    if OP_LAKE_COL not in t.schema.names:
-        return {"path": rel_path, "bucket": bucket, "rows": t.num_rows, "dropped": 0}
-    live = pc.equal(t[OP_LAKE_COL], OP_MUTATION)
-    n_live = pc.sum(live).as_py() or 0
-    dropped = t.num_rows - n_live
+    # probe with ONE column first: most buckets of a previously
+    # compacted (or low-delete) lake are clean, and reading every
+    # payload column just to discover dropped == 0 doubles compaction
+    # I/O for nothing (r5 review)
+    nrows = pq.ParquetFile(src).metadata.num_rows
+    if OP_LAKE_COL not in pq.read_schema(src).names:
+        return {"path": rel_path, "bucket": bucket, "rows": nrows, "dropped": 0}
+    ops = pq.read_table(src, columns=[OP_LAKE_COL])
+    n_live = pc.sum(pc.equal(ops[OP_LAKE_COL], OP_MUTATION)).as_py() or 0
+    dropped = nrows - n_live
     if dropped == 0:
-        return {"path": rel_path, "bucket": bucket, "rows": t.num_rows, "dropped": 0}
-    t = t.filter(live)
+        return {"path": rel_path, "bucket": bucket, "rows": nrows, "dropped": 0}
+    t = pq.read_table(src)
+    t = t.filter(pc.equal(t[OP_LAKE_COL], OP_MUTATION))
     rel = os.path.join("data", run_id, f"bucket-{bucket:05d}.parquet")
     dst = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -143,17 +148,28 @@ def gc(lake: Lake, keep_manifests: int = 5, grace_s: float = 3600.0) -> dict[str
     cutoff = time.time() - grace_s
     removed_dirs = 0
     data_root = os.path.join(lake.lake_dir, "data")
+    def _mtime(p):
+        # tolerate a CONCURRENT gc / external cleanup deleting the
+        # entry between listdir and stat (r5 review; same hardening as
+        # wal.scan_wal's vanished-file handling)
+        try:
+            return os.path.getmtime(p)
+        except FileNotFoundError:
+            return None
+
     if os.path.isdir(data_root):
         for d in os.listdir(data_root):
             p = os.path.join(data_root, d)
-            if d not in live_runs and os.path.getmtime(p) < cutoff:
+            mt = _mtime(p)
+            if d not in live_runs and mt is not None and mt < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
                 removed_dirs += 1
     tmp_root = os.path.join(lake.lake_dir, "tmp")
     if os.path.isdir(tmp_root):
         for d in os.listdir(tmp_root):
             p = os.path.join(tmp_root, d)
-            if os.path.getmtime(p) < cutoff:
+            mt = _mtime(p)
+            if mt is not None and mt < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
     # per-run metrics dumps of runs no retained manifest references
     live_run_ids = {m.run_id for m in lake.store.history()}
@@ -167,9 +183,13 @@ def gc(lake: Lake, keep_manifests: int = 5, grace_s: float = 3600.0) -> dict[str
             if not f.endswith(".json"):
                 continue
             p = os.path.join(metrics_root, f)
-            if f.removesuffix(".json") not in live_run_ids and os.path.getmtime(p) < cutoff:
-                os.remove(p)
-                removed_metrics += 1
+            mt = _mtime(p)
+            if f.removesuffix(".json") not in live_run_ids                     and mt is not None and mt < cutoff:
+                try:
+                    os.remove(p)
+                    removed_metrics += 1
+                except FileNotFoundError:
+                    pass
     return {"op": "gc", "removed_run_dirs": removed_dirs,
             "removed_manifests": removed_manifests,
             "removed_metrics": removed_metrics}

@@ -184,3 +184,31 @@ def test_scan_wal_tolerates_concurrent_deletion(tmp_path, monkeypatch):
     infos = walmod.scan_wal(wal)
     assert victim not in {i.path for i in infos}
     assert len(infos) > 0
+
+
+def test_reject_predicates_fire_independently(tmp_path):
+    """r5 review: the fixture's poison rows carry BOTH defects (null
+    conv_id AND turn_idx=-1) on the same rows, so fixture-level checks
+    cannot catch a regression that drops only ONE predicate — pin each
+    rejection predicate separately here."""
+    from dcpray.sources.wal import watermark_array
+    from dcpray.stages.reject import make_reject_filter
+
+    rej = str(tmp_path / "rej")
+    os.makedirs(rej)
+    f = make_reject_filter(watermark_array({}, 4), rej)
+    batch = pa.table({
+        "vb": pa.array([0, 1, 2, 3], pa.int64()),
+        "seqno": pa.array([1, 2, 3, 4], pa.uint64()),
+        "conv_id": pa.array([None, "ok-conv", "ok-conv", "ok-conv"]),
+        "turn_idx": pa.array([0, -1, 0, 0], pa.int32()),
+        "op": pa.array(["mutation", "mutation", "bogus-op", "mutation"]),
+    })
+    out = f(batch)
+    assert out.num_rows == 1 and out["vb"][0].as_py() == 3
+    rejs = pa.concat_tables(
+        [pq.read_table(p) for p in glob.glob(os.path.join(rej, "*.parquet"))])
+    by_vb = {r["vb"]: r["error"] for r in rejs.to_pylist()}
+    assert by_vb[0] == "null conv_id"      # only-null-conv defect
+    assert by_vb[1] == "invalid turn_idx"  # only-negative-turn defect
+    assert by_vb[2] == "unknown op"
