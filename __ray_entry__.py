@@ -58,6 +58,26 @@ def _replay_final(sf_dir: str, name: str, **kw):
 # --------------------------------------------------------------- queries
 
 
+def _cents_col(t, col: str = "value"):
+    """int64 cents = floor(v*100 + 0.5) — THE engine/oracle exactness
+    convention for 2dp money-like floats: identical arithmetic runs in
+    the SQL oracle, and integer sums/cumsums are then exact in both
+    engines regardless of accumulation order (nulls stay null)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.floor(pc.add(pc.multiply(t[col], 100.0), 0.5)),
+                   pa.int64())
+
+
+def _cents_mapper(col: str = "value", out: str = "value_c"):
+    """map_batches fn replacing ``col`` with its int64-cents ``out``."""
+    def f(t):
+        return t.drop_columns([col]).append_column(out, _cents_col(t, col))
+
+    return f
+
+
 def _q_cdc_replay_full(sf_dir: str):
     """The flagship: full CDC replay of the WAL into the lake; final LWW table vs the pure-SQL oracle."""
     return _replay_final(sf_dir, "full").to_pandas_sorted()
@@ -297,6 +317,44 @@ def _q_cdc_scd2_history(sf_dir: str):
 _CDF_CUTOFF = 1500
 
 
+def _cdf_cutoff(fx: str) -> int:
+    """Seqno cutoff for the two-commit change-feed lake: the pinned
+    value at the driver's sf0.01+ scales (the oracle SQL embeds it),
+    halved max-seqno at tiny scales whose WAL never reaches it — a
+    pinned 1500 there left wal_b EMPTY and replay() raising
+    FileNotFoundError on the never-created directory (r5 review)."""
+    import json as _json
+
+    try:
+        with open(os.path.join(fx, "meta.json")) as f:
+            wm = _json.load(f).get("watermarks", {})
+        max_seq = max(int(v) for v in wm.values()) if wm else 0
+    except OSError:
+        max_seq = 0
+    if max_seq > 2 * _CDF_CUTOFF:
+        return _CDF_CUTOFF
+    return max(max_seq // 2, 1)
+
+
+def _cdf_stamp(fx: str) -> str:
+    """Cache-invalidation fingerprint for the two-commit cdf lake: the
+    fixture's meta.json identity + the cutoff. The old len(history)==2
+    guard kept serving a lake built from a REGENERATED fixture's stale
+    WAL — a silent wrong answer (r5 review)."""
+    import hashlib
+    import json as _json
+
+    try:
+        with open(os.path.join(fx, "meta.json")) as f:
+            meta = _json.load(f)
+    except OSError:
+        meta = {}
+    key = _json.dumps(
+        {"v": meta.get("fixture_version"), "n": meta.get("n_events"),
+         "cutoff": _cdf_cutoff(fx)}, sort_keys=True)
+    return hashlib.sha1(key.encode()).hexdigest()[:16]
+
+
 def _q_cdc_change_feed(sf_dir: str):
     """CHANGE DATA FEED: split the WAL at a seqno cutoff, replay both
     halves as two commits, then ``lake_diff`` the two manifests — the
@@ -319,14 +377,26 @@ def _q_cdc_change_feed(sf_dir: str):
     )
     lake = Lake(os.path.join(root, "lake"))
     history = lake.store.history() if os.path.exists(lake.lake_dir) else []
-    if len(history) != 2:  # (re)build the two-commit lake
+    stamp_path = os.path.join(root, "fixture.stamp")
+    stamp = _cdf_stamp(fx)
+    try:
+        with open(stamp_path) as f:
+            cached_ok = f.read().strip() == stamp
+    except OSError:
+        cached_ok = False
+    if len(history) != 2 or not cached_ok:  # (re)build the two-commit lake
+        cutoff = _cdf_cutoff(fx)
         shutil.rmtree(root, ignore_errors=True)
+        # both dirs must EXIST even if a half ends up empty (replay
+        # treats a missing WAL dir as a mistyped path and raises)
+        os.makedirs(os.path.join(root, "wal_a"), exist_ok=True)
+        os.makedirs(os.path.join(root, "wal_b"), exist_ok=True)
         for f in glob.glob(os.path.join(fx, "wal", "*", "*.parquet")):
             t = pq.read_table(f)
             rel = os.path.relpath(f, os.path.join(fx, "wal"))
             halves = (
-                ("wal_a", t.filter(pc.less_equal(t["seqno"], _CDF_CUTOFF))),
-                ("wal_b", t.filter(pc.greater(t["seqno"], _CDF_CUTOFF))),
+                ("wal_a", t.filter(pc.less_equal(t["seqno"], cutoff))),
+                ("wal_b", t.filter(pc.greater(t["seqno"], cutoff))),
             )
             for name, tt in halves:
                 if tt.num_rows:
@@ -342,6 +412,8 @@ def _q_cdc_change_feed(sf_dir: str):
         )
         replay(lake, os.path.join(root, "wal_b"),
                config=ReplayConfig(num_buckets=32))
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
     return lake_diff(lake, 1, 2)
 
 
@@ -402,6 +474,20 @@ def _q_text_stats(sf_dir: str):
     return ds.map_batches(text_stats, batch_format="pyarrow")
 
 
+def _embedding_query_head(sf_dir: str, n: int = 5):
+    """(query matrix, query ids) = the first n embedding rows — ONE
+    pruned row-group read instead of materializing the whole table on
+    the driver per ANN query (r5 review; shared by all four ANN
+    queries)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pf.read_row_group(0, columns=["vec_id", "embedding"]).slice(0, n)
+    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    return q, head["vec_id"].to_numpy()
+
+
 def _q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k over the embeddings table — zero-copy ingestion, task-pool scorer, no corpus shuffle."""
     import numpy as np
@@ -409,9 +495,7 @@ def _q_ann_topk(sf_dir: str):
     from dcpray.functions.ann import topk_cosine
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(path).slice(0, 5)
-    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
-    qids = head["vec_id"].to_numpy()
+    q, qids = _embedding_query_head(sf_dir)
     out = topk_cosine(read_clean(path, override_num_blocks=16), q, qids, k=10, concurrency=4)
     return out.select_columns(["query_id", "vec_id"])
 
@@ -433,15 +517,21 @@ def _q_events_hourly(sf_dir: str):
                     override_num_blocks=16)
 
     def add_hour(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+        t = t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+        return t.drop_columns(["value"]).append_column(
+            "value_c", _cents_col(t))
 
+    # integer-cents sum -> exact in both engines under ANY accumulation
+    # order; round(sum(float),4) was one ulp away from flipping digits
     out = coarse_groupby(
         ds.map_batches(add_hour, batch_format="pyarrow"),
         keys=["user_id", "hour"],
-        aggs=[("value", "count", "n_events"), ("value", "sum", "sum_value")],
+        aggs=[("value_c", "count", "n_events"),
+              ("value_c", "sum", "sum_c")],
     ).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(4)
+    out["sum_value"] = out["sum_c"].astype("float64") / 100
+    out = out.drop(columns=["sum_c"])
     return out
 
 
@@ -558,9 +648,7 @@ def _q_ann_ivf_topk(sf_dir: str):
     from dcpray.functions.ann import ivf_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(path).slice(0, 5)
-    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
-    qids = head["vec_id"].to_numpy()
+    q, qids = _embedding_query_head(sf_dir)
     return ivf_topk(read_clean(path, override_num_blocks=16), q, qids, k=10, nlist=16, nprobe=8,
                     concurrency=4).select_columns(["query_id", "vec_id"])
 
@@ -575,9 +663,7 @@ def _q_ann_ivf_full_probe(sf_dir: str):
     from dcpray.functions.ann import ivf_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(path).slice(0, 5)
-    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
-    qids = head["vec_id"].to_numpy()
+    q, qids = _embedding_query_head(sf_dir)
     return ivf_topk(read_clean(path, override_num_blocks=16), q, qids, k=10, nlist=16, nprobe=16,
                     concurrency=4).select_columns(["query_id", "vec_id"])
 
@@ -597,9 +683,7 @@ def _q_ann_ivf_index_full_probe(sf_dir: str):
     idx = os.path.join("/tmp/dcpray_ivf", os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(idx, ignore_errors=True)
     build_ivf_index(read_clean(path, override_num_blocks=16), idx, nlist=16, concurrency=4)
-    head = pq.read_table(path).slice(0, 5)
-    q = np.stack(head["embedding"].to_pylist()).astype(np.float64)
-    qids = head["vec_id"].to_numpy()
+    q, qids = _embedding_query_head(sf_dir)
     return ivf_query(idx, q, qids, k=10, nprobe=16).select_columns(
         ["query_id", "vec_id"]
     )
@@ -642,8 +726,12 @@ def _q_events_sessions(sf_dir: str):
     ds = read_clean(os.path.join(sf_dir, "events.parquet"),
                     columns=["event_id", "user_id", "ts", "value"],
                     override_num_blocks=16)
-    out = session_stats(ds, gap_s=1800.0).to_pandas()
-    out["sum_value"] = out["sum_value"].round(4)
+    # integer cents: the per-session sum is then EXACT in both engines
+    # (float64 addition of integers < 2^53) instead of a round(4) that
+    # sat one ulp from flipping on accumulation order
+    ds = ds.map_batches(_cents_mapper(), batch_format="pyarrow")
+    out = session_stats(ds, gap_s=1800.0, value_col="value_c").to_pandas()
+    out["sum_value"] = out["sum_value"].astype("float64") / 100
     return out
 
 
@@ -903,18 +991,20 @@ def _q_orders_customer_rollup(sf_dir: str):
                              columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
+    orders = orders.map_batches(_cents_mapper("o_totalprice", "price_c"),
+                                batch_format="pyarrow")
     j = broadcast_join(orders, customer, on="o_custkey",
                        right_on="c_custkey")
     j = broadcast_join(j, nation, on="c_nationkey", right_on="n_nationkey")
     out = coarse_groupby(
         j, keys=["n_name"],
-        aggs=[("o_totalprice", "count", "n_orders"),
-              ("o_totalprice", "sum", "revenue")],
+        aggs=[("price_c", "count", "n_orders"),
+              ("price_c", "sum", "rev_c")],
         partitions=8,
     ).to_pandas()
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["revenue"] = out["revenue"].round(4)
-    return out
+    out["revenue"] = out["rev_c"].astype("float64") / 100
+    return out.drop(columns=["rev_c"])
 
 
 def _q_events_rank_running(sf_dir: str):
@@ -933,12 +1023,7 @@ def _q_events_rank_running(sf_dir: str):
                     columns=["event_id", "user_id", "ts", "value"],
                     override_num_blocks=16)
 
-    def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                    pa.int64())
-        return t.drop_columns(["value"]).append_column("value_c", c)
-
-    out = rank_in_group(ds.map_batches(cents, batch_format="pyarrow"),
+    out = rank_in_group(ds.map_batches(_cents_mapper(), batch_format="pyarrow"),
                         "user_id", "ts", tiebreak_col="event_id",
                         cumsum_col="value_c").to_pandas()
     # int-valued float64 cumsum (< 2^53, exact) -> int64 for the compare
@@ -1005,12 +1090,7 @@ def _q_events_rolling7(sf_dir: str):
                     columns=["event_id", "user_id", "ts", "value"],
                     override_num_blocks=16)
 
-    def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                    pa.int64())
-        return t.drop_columns(["value"]).append_column("value_c", c)
-
-    out = rolling_agg(ds.map_batches(cents, batch_format="pyarrow"),
+    out = rolling_agg(ds.map_batches(_cents_mapper(), batch_format="pyarrow"),
                       "user_id", "ts", "value_c", window=7,
                       tiebreak_col="event_id",
                       aggs=("sum", "mean", "count", "min", "max")
@@ -1035,12 +1115,7 @@ def _q_events_rolling_30min(sf_dir: str):
                     columns=["user_id", "ts", "value"],
                     override_num_blocks=16)
 
-    def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                    pa.int64())
-        return t.drop_columns(["value"]).append_column("value_c", c)
-
-    out = rolling_agg_range(ds.map_batches(cents, batch_format="pyarrow"),
+    out = rolling_agg_range(ds.map_batches(_cents_mapper(), batch_format="pyarrow"),
                             "user_id", "ts", "value_c", interval_s=1800,
                             aggs=("sum", "count")).to_pandas()
     out["rolling_sum"] = out["rolling_sum"].astype("int64")
@@ -1106,10 +1181,8 @@ def _q_events_props_extract(sf_dir: str):
     ds = extract_json_field(ds, "props", "k", kind="int")
 
     def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                    pa.int64())
         return pa.table({"k": t["k"], "event_id": t["event_id"],
-                         "value_c": c})
+                         "value_c": _cents_col(t)})
 
     return coarse_groupby(ds.map_batches(cents, batch_format="pyarrow"),
                           ["k"], [("event_id", "count", "n"),
@@ -1211,12 +1284,7 @@ def _q_events_rollup(sf_dir: str):
                     columns=["event_id", "event_type", "user_id", "value"],
                     override_num_blocks=16)
 
-    def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                    pa.int64())
-        return t.drop_columns(["value"]).append_column("value_c", c)
-
-    return rollup(ds.map_batches(cents, batch_format="pyarrow"),
+    return rollup(ds.map_batches(_cents_mapper(), batch_format="pyarrow"),
                   ["event_type", "user_id"],
                   [("event_id", "count", "n"), ("value_c", "sum", "sum_c"),
                    ("value_c", "mean", "mean_c")])
@@ -1236,12 +1304,8 @@ def _q_orders_cube(sf_dir: str):
                              "o_orderpriority", "o_totalprice"],
                     override_num_blocks=16)
 
-    def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0),
-                                    0.5)), pa.int64())
-        return t.drop_columns(["o_totalprice"]).append_column("price_c", c)
-
-    return cube(ds.map_batches(cents, batch_format="pyarrow"),
+    return cube(ds.map_batches(_cents_mapper("o_totalprice", "price_c"),
+                               batch_format="pyarrow"),
                 ["o_orderstatus", "o_orderpriority"],
                 [("o_orderkey", "count", "n"), ("price_c", "sum", "sum_c"),
                  ("price_c", "mean", "mean_c")])
@@ -1261,9 +1325,7 @@ def _q_events_value_stats(sf_dir: str):
                     columns=["user_id", "value"], override_num_blocks=16)
 
     def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                    pa.int64())
-        return pa.table({"user_id": t["user_id"], "value_c": c})
+        return pa.table({"user_id": t["user_id"], "value_c": _cents_col(t)})
 
     return coarse_groupby(ds.map_batches(cents, batch_format="pyarrow"),
                           ["user_id"],
@@ -1287,11 +1349,9 @@ def _q_events_corr_value_hour(sf_dir: str):
                     override_num_blocks=16)
 
     def prep(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                    pa.int64())
         h = pc.cast(pc.hour(t["ts"]), pa.int64())
         return pa.table({"event_type": t["event_type"],
-                         "value_c": c, "hour": h})
+                         "value_c": _cents_col(t), "hour": h})
 
     return corr_per_group(ds.map_batches(prep, batch_format="pyarrow"),
                           ["event_type"], "value_c", "hour",
@@ -1353,9 +1413,7 @@ def _q_events_describe(sf_dir: str):
                     columns=["user_id", "value"], override_num_blocks=16)
 
     def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                    pa.int64())
-        return pa.table({"user_id": t["user_id"], "value_c": c})
+        return pa.table({"user_id": t["user_id"], "value_c": _cents_col(t)})
 
     return describe(ds.map_batches(cents, batch_format="pyarrow"),
                     ["user_id", "value_c"])
@@ -1378,9 +1436,8 @@ def _q_customer_updates_diff(sf_dir: str):
                         override_num_blocks=8)
 
         def cents(t: pa.Table) -> pa.Table:
-            c = pc.cast(pc.floor(pc.add(pc.multiply(t["c_acctbal"], 100.0),
-                                        0.5)), pa.int64())
-            return pa.table({"c_custkey": t["c_custkey"], "bal_c": c,
+            return pa.table({"c_custkey": t["c_custkey"],
+                             "bal_c": _cents_col(t, "c_acctbal"),
                              "c_mktsegment": t["c_mktsegment"]})
 
         return ds.map_batches(cents, batch_format="pyarrow")
@@ -1701,12 +1758,13 @@ def _q_events_hopping_30min(sf_dir: str):
 
     ds = read_clean(os.path.join(sf_dir, "events.parquet"),
                     columns=["ts", "value"], override_num_blocks=16)
+    ds = ds.map_batches(_cents_mapper(), batch_format="pyarrow")
     out = hopping_window(ds, "ts", size_s=1800, hop_s=600,
                          aggs=[("ts", "count", "n_events"),
-                               ("value", "sum", "sum_value")]).to_pandas()
+                               ("value_c", "sum", "sum_c")]).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(4)
-    return out
+    out["sum_value"] = out["sum_c"].astype("float64") / 100
+    return out.drop(columns=["sum_c"])
 
 
 def _q_embedding_kmeans(sf_dir: str):
@@ -1863,6 +1921,26 @@ def oracle_sql() -> dict[str, str]:
         except Exception:
             pass
     fx = "/tmp/dcpray_fixtures/sf0.01"
+    # bound ONCE and reused under several keys (equivalent operators
+    # share one oracle; editing a lone copy would silently
+    # desynchronize the siblings — same pattern as cdc_change_feed_sql)
+    ann_bruteforce_sql = """
+WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
+SELECT query_id, vec_id FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                     e.vec_id) rn
+  FROM q CROSS JOIN embeddings e
+) WHERE rn <= 10"""
+    range_click_sql = """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
+FROM events l
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts - INTERVAL 60 MINUTE
+ AND r.ts <= l.ts"""
+
     wal_valid = f"""
   SELECT conv_id, turn_idx, role, text, tool, ts, tool_version, seqno, op
   FROM read_parquet('{fx}/wal/*/*.parquet', union_by_name=true)
@@ -1980,15 +2058,7 @@ SELECT doc_id,
        round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / greatest(length(text), 1), 6) punct_ratio,
        round(length(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1), 6) upper_ratio
 FROM documents""",
-        "ann_topk": """
-WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
-SELECT query_id, vec_id FROM (
-  SELECT q.query_id, e.vec_id,
-         row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
-                                     e.vec_id) rn
-  FROM q CROSS JOIN embeddings e
-) WHERE rn <= 10""",
+        "ann_topk": ann_bruteforce_sql,
         "text_fingerprint_md5": r"""
 SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) fingerprint_md5
 FROM documents""",
@@ -2060,27 +2130,12 @@ SELECT x.vec_id a, y.vec_id b,
                   AS DOUBLE), 4) cosine
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4""",
-        "ann_ivf_index_full_probe": """
-WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
-SELECT query_id, vec_id FROM (
-  SELECT q.query_id, e.vec_id,
-         row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
-                                     e.vec_id) rn
-  FROM q CROSS JOIN embeddings e
-) WHERE rn <= 10""",
-        "ann_ivf_full_probe": """
-WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
-SELECT query_id, vec_id FROM (
-  SELECT q.query_id, e.vec_id,
-         row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
-                                     e.vec_id) rn
-  FROM q CROSS JOIN embeddings e
-) WHERE rn <= 10""",
+        "ann_ivf_index_full_probe": ann_bruteforce_sql,
+        "ann_ivf_full_probe": ann_bruteforce_sql,
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
-       CAST(count(*) AS BIGINT) n_events, round(sum(value), 4) sum_value
+       CAST(count(*) AS BIGINT) n_events,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 sum_value
 FROM events GROUP BY 1, 2""",
         "events_sessions": """
 WITH lagged AS (
@@ -2101,22 +2156,11 @@ WITH lagged AS (
 SELECT user_id, CAST(session_id AS BIGINT) session_id,
        CAST(count(*) AS BIGINT) n_events,
        min(ts) session_start, max(ts) session_end,
-       round(sum(value), 4) sum_value
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
+         sum_value
 FROM s GROUP BY 1, 2""",
-        "events_range_click": """
-SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
-FROM events l
-JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
-  ON l.user_id = r.user_id
- AND r.ts > l.ts - INTERVAL 60 MINUTE
- AND r.ts <= l.ts""",
-        "events_range_click_broadcast": """
-SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
-FROM events l
-JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
-  ON l.user_id = r.user_id
- AND r.ts > l.ts - INTERVAL 60 MINUTE
- AND r.ts <= l.ts""",
+        "events_range_click": range_click_sql,
+        "events_range_click_broadcast": range_click_sql,
         "events_top3_by_value": """
 SELECT event_id, user_id, value FROM (
   SELECT event_id, user_id, value,
@@ -2194,7 +2238,7 @@ SELECT t AS term, CAST(count(*) AS BIGINT) cnt FROM (
 GROUP BY t ORDER BY cnt DESC, t LIMIT 50""",
         "orders_customer_rollup": """
 SELECT n_name, CAST(count(*) AS BIGINT) n_orders,
-       round(sum(o_totalprice), 4) revenue
+       CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -2502,7 +2546,7 @@ SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
        round(unnest(v), 6) AS value FROM a""",
         "events_hopping_30min": """
 SELECT w AS window_start, CAST(count(*) AS BIGINT) n_events,
-       round(sum(value), 4) sum_value
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 sum_value
 FROM (SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000
                             - j * 600000000) AS w, value
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
