@@ -64,9 +64,33 @@ def float_total_order(v: np.ndarray) -> np.ndarray:
     DuckDB; -0.0 < +0.0)."""
     f = v.astype(np.float64)
     f = np.where(np.isnan(f), np.float64("nan"), f)  # normalize NaN sign
+    # collapse -0.0 onto +0.0 (IEEE: -0.0 + 0.0 == +0.0): SQL treats
+    # the zeros as PEERS, but their raw bit patterns differ and would
+    # split a rank peer-run / flip a topk tiebreak by sign
+    f = f + 0.0
     bits = f.view(np.uint64)
     neg = (bits >> np.uint64(63)) == 1
     return np.where(neg, ~bits, bits | np.uint64(1 << 63))
+
+
+def tiebreak_codes(tb_col) -> np.ndarray:
+    """ASCENDING order key for a tiebreak column of ANY orderable
+    dtype: ints pass through, floats take the IEEE total-order bits
+    (no int64 truncation that collapses 0.2 and 0.9 to one key),
+    datetime64/timedelta64 view as int64, and everything else —
+    strings, time32/time64 (which decode to datetime.time OBJECTS,
+    so .view(int64) would raise), decimals — ranks via sorted-unique
+    codes. Shared by topk_per_group and every window op."""
+    if isinstance(tb_col, pa.ChunkedArray):
+        tb_col = tb_col.combine_chunks()
+    if pa.types.is_integer(tb_col.type):
+        return tb_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    if pa.types.is_floating(tb_col.type):
+        return float_total_order(tb_col.to_numpy(zero_copy_only=False))
+    raw = tb_col.to_numpy(zero_copy_only=False)
+    if raw.dtype.kind in "mM":
+        return raw.view(np.int64)
+    return np.unique(np.asarray(raw, object), return_inverse=True)[1]
 
 
 def desc_key(v: np.ndarray) -> np.ndarray:
@@ -344,22 +368,7 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
         else:
             g = g_col.to_numpy(zero_copy_only=False).astype(np.int64)
         v = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
-        tb_col = t[tiebreak_col].combine_chunks()
-        if pa.types.is_integer(tb_col.type):
-            tb = tb_col.to_numpy(zero_copy_only=False).astype(np.int64)
-        elif pa.types.is_floating(tb_col.type):
-            # int64 truncation of a float tiebreak would collapse
-            # distinct values (0.2 and 0.9 both -> 0) and break the
-            # determinism the tiebreak exists for
-            tb = float_total_order(
-                tb_col.to_numpy(zero_copy_only=False))
-        elif pa.types.is_temporal(tb_col.type):
-            tb = tb_col.to_numpy(zero_copy_only=False).view(np.int64)
-        else:
-            # sorted-unique codes rank identically to the raw values
-            # for any remaining orderable dtype (strings et al.)
-            tb = np.unique(np.asarray(tb_col.to_pylist(), object),
-                           return_inverse=True)[1]
+        tb = tiebreak_codes(t[tiebreak_col])
         vkey = desc_key(v) if descending else v
         order = np.lexsort((tb, vkey, g))
         gs = g[order]

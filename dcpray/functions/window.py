@@ -67,9 +67,7 @@ def _session_bounds(group: pa.Table, key_col: str, ts_col: str,
     )
     gap_thr = _gap_threshold(group.schema.field(ts_col).type, gap_s)
     if tiebreak_col is not None:
-        tb = group[tiebreak_col].combine_chunks().to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
+        tb = tiebreak_codes(group[tiebreak_col])
         order = np.lexsort((tb, ts, k))
     else:
         order = np.lexsort((ts, k))
@@ -206,6 +204,7 @@ def hopping_window(ds, ts_col: str = "ts", size_s: float = 1800,
 # beside the other coarse-operator primitives; re-exported here because
 # every descending window op uses it
 from dcpray.functions.agg import desc_key as _desc_key  # noqa: E402
+from dcpray.functions.agg import tiebreak_codes  # noqa: E402
 
 
 def _guard_output_names(ds, out_names, op: str) -> None:
@@ -266,8 +265,7 @@ def rank_in_group(ds, group_col: str, order_col: str,
                         "rank_in_group")
         g = _group_codes(group[group_col])
         v = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
-        tb = group[tiebreak_col].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        tb = tiebreak_codes(group[tiebreak_col])
         vkey = _desc_key(v) if descending else v
         order = np.lexsort((tb, vkey, g))
         gs = g[order]
@@ -406,8 +404,7 @@ def rolling_agg(ds, group_col: str, order_col: str, value_col: str,
             group[group_col].combine_chunks()).indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         o = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
-        tb = group[tiebreak_col].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        tb = tiebreak_codes(group[tiebreak_col])
         v = group[value_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64)
         order = np.lexsort((tb, o, g))
@@ -614,8 +611,7 @@ def lag_lead(ds, group_col: str, order_col: str, value_col: str,
             group[group_col].combine_chunks()).indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         o = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
-        tb = group[tiebreak_col].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        tb = tiebreak_codes(group[tiebreak_col])
         order = np.lexsort((tb, o, g))
         gs = g[order]
         n = len(gs)
@@ -670,8 +666,7 @@ def ntile_in_group(ds, group_col: str, order_col: str, tiebreak_col: str,
             group[group_col].combine_chunks()).indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         v = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
-        tb = group[tiebreak_col].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        tb = tiebreak_codes(group[tiebreak_col])
         if descending:
             v = _desc_key(v)
         order = np.lexsort((tb, v, g))
@@ -721,8 +716,7 @@ def forward_fill(ds, group_col: str, order_col: str, value_col: str,
             group[group_col].combine_chunks()).indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         o = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
-        tb = group[tiebreak_col].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        tb = tiebreak_codes(group[tiebreak_col])
         order = np.lexsort((tb, o, g))
         gs = g[order]
         n = len(gs)

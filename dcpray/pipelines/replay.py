@@ -203,6 +203,14 @@ def replay(
     if max_files is not None:
         infos = infos[:max_files]
     if not infos:
+        if early_splits:
+            # nothing to replay: cancel the speculative bootstrap split
+            # tasks or a polling tail re-reads and pins the whole
+            # snapshot on EVERY empty poll until the first real delta
+            import ray
+
+            for fut in early_splits:
+                ray.cancel(fut, force=True)
         return RunResult(run_id="", committed=False, manifest=prev,
                          metrics={"events_in": 0, "note": "no new WAL files"})
 

@@ -85,6 +85,7 @@ def _file_collections(wal_dir: str) -> tuple[set[str], bool]:
     has_null = False
     dirty = False
     live = set()
+    todo: list[tuple[str, object]] = []
     for p in paths:
         try:
             st = os.stat(p)
@@ -94,15 +95,43 @@ def _file_collections(wal_dir: str) -> tuple[set[str], bool]:
         e = cache.get(p)
         if not (e and e["size"] == st.st_size
                 and e["mtime_ns"] == st.st_mtime_ns):
-            t = pq.read_table(p, columns=["collection"])
-            vals = pc.unique(t["collection"]).to_pylist()
-            e = {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
-                 "collections": sorted(v for v in vals if v is not None),
-                 "has_null": any(v is None for v in vals)}
-            cache[p] = e
-            dirty = True
+            todo.append((p, st))
+            continue
         out.update(e["collections"])
         has_null = has_null or e["has_null"]
+
+    def _read_one(p: str) -> dict | None:
+        try:
+            t = pq.read_table(p, columns=["collection"])
+        except FileNotFoundError:
+            return None  # deleted between stat and read — skip like scan_wal
+        vals = pc.unique(t["collection"]).to_pylist()
+        return {"collections": sorted(v for v in vals if v is not None),
+                "has_null": any(v is None for v in vals)}
+
+    if todo:
+        # cold misses fan out like scan_wal's footer scan — a serial
+        # driver loop over thousands of new segments would take minutes
+        # where a distributed read takes seconds (r5 review)
+        import ray
+
+        if len(todo) >= 256 and ray.is_initialized():
+            task = ray.remote(num_cpus=0.5)(_read_one)
+            results = ray.get([task.remote(p) for p, _ in todo])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                results = list(ex.map(_read_one, (p for p, _ in todo)))
+        for (p, st), r in zip(todo, results):
+            if r is None:
+                live.discard(p)
+                continue
+            e = {"size": st.st_size, "mtime_ns": st.st_mtime_ns, **r}
+            cache[p] = e
+            dirty = True
+            out.update(e["collections"])
+            has_null = has_null or e["has_null"]
     if dirty or len(cache) != len(live):
         cache = {p: e for p, e in cache.items() if p in live}
         import uuid

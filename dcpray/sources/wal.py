@@ -79,14 +79,31 @@ def _scan_footer(path: str) -> WalFileInfo:
             vb_lo, vb_hi = -1, -2  # differ -> multi-vb marker below
         if sq_lo is None or sq_hi is None:
             sq_lo, sq_hi = 0, (1 << 62)
+            # the unprunable sentinel must NEVER feed a committed
+            # watermark or floor: vb=-1 keeps this file out of
+            # file_watermarks (vb>=0 only) and floors (path-exact
+            # residual tracking) — a valid vb here would pin that vb's
+            # watermark at 2^62 and silently discard every future
+            # segment for it
+            vb_lo, vb_hi = -1, -2
     if vb_lo != vb_hi:
         # multi-vb file: no file-level pruning possible, mark vb=-1
         vb_lo = -1
     return WalFileInfo(path, int(vb_lo), int(sq_lo), int(sq_hi), md.num_rows, f.schema_arrow)
 
 
-def _scan_chunk(paths: list[str]) -> list[WalFileInfo]:
-    return [_scan_footer(p) for p in paths]
+def _scan_footer_opt(path: str) -> WalFileInfo | None:
+    """None when the segment vanished between stat and the footer read
+    (external retention — the same supported race the stat loop
+    tolerates)."""
+    try:
+        return _scan_footer(path)
+    except FileNotFoundError:
+        return None
+
+
+def _scan_chunk(paths: list[str]) -> list:
+    return [_scan_footer_opt(p) for p in paths]
 
 
 CACHE_ROOT = os.environ.get("DCPRAY_WALCACHE_DIR", "/tmp/dcpray_walcache")
@@ -183,7 +200,10 @@ def scan_wal(wal_dir: str) -> list[WalFileInfo]:
             fresh = [info for part in ray.get(refs) for info in part]
         else:
             with ThreadPoolExecutor(max_workers=32) as ex:
-                fresh = list(ex.map(_scan_footer, todo))
+                fresh = list(ex.map(_scan_footer_opt, todo))
+        fresh = [i for i in fresh if i is not None]
+        vanished |= set(todo) - {i.path for i in fresh}
+        paths = [p for p in paths if p not in vanished]
         for i in fresh:
             infos[i.path] = i
             cache[i.path] = _info_to_entry(i, stats[i.path])

@@ -395,7 +395,13 @@ class CasManifestStore:
         data = self.kv.get(names[-1])
         return Manifest.from_json(data.decode()) if data is not None else None
 
-    def commit(self, manifest: Manifest) -> str:
+    def commit(self, manifest: Manifest, *,
+               orphan_lease: float | None = None) -> str:
+        # orphan_lease is accepted-and-ignored: a conditional PUT has no
+        # link→CURRENT publish gap, so no orphan window exists (replay
+        # forwards the kwarg whenever ReplayConfig.commit_orphan_lease_s
+        # is set — rejecting it would fail the run at the last step)
+        del orphan_lease
         name = f"manifest-{manifest.seq:06d}.json"
         if not self.kv.put_if_absent(name, manifest.to_json().encode()):
             raise ConcurrentCommitError(

@@ -212,3 +212,66 @@ def test_reject_predicates_fire_independently(tmp_path):
     assert by_vb[0] == "null conv_id"      # only-null-conv defect
     assert by_vb[1] == "invalid turn_idx"  # only-negative-turn defect
     assert by_vb[2] == "unknown op"
+
+
+def test_all_null_seqno_never_poisons_watermarks(tmp_path):
+    """Second-order r5 fix: a valid-vb segment whose SEQNO column is
+    all-null must not feed its 2^62 unprunable sentinel into the
+    committed watermark/floor for that vb — it is marked multi-vb
+    (path-exact tracking) so file_watermarks skips it."""
+    import shutil
+
+    fx = ensure_fixture("sf0.001")
+    wal = str(tmp_path / "wal")
+    shutil.copytree(os.path.join(fx, "wal"), wal)
+    some_vb_dir = sorted(glob.glob(os.path.join(wal, "*")))[0]
+    ref_file = sorted(glob.glob(os.path.join(some_vb_dir, "*.parquet")))[0]
+    t = pq.read_table(ref_file).slice(0, 3)
+    t = t.set_column(t.schema.get_field_index("seqno"), "seqno",
+                     pa.nulls(t.num_rows, t.schema.field("seqno").type))
+    pq.write_table(t, os.path.join(some_vb_dir, "part-nullseq.parquet"),
+                   write_statistics=False)
+    infos = walmod.scan_wal(wal)
+    bad = [i for i in infos if i.path.endswith("part-nullseq.parquet")]
+    assert bad and bad[0].vb == -1  # never a real vb with the sentinel
+    wm = walmod.file_watermarks(infos)
+    assert all(v < (1 << 62) for v in wm.values())
+
+
+def test_cas_store_accepts_orphan_lease_config(tmp_path):
+    """Second-order r5 fix: ReplayConfig.commit_orphan_lease_s with a
+    CasManifestStore lake must not TypeError at the commit — the CAS
+    path has no orphan window and ignores the knob."""
+    from dcpray.state.checkpoint import CasManifestStore
+
+    fx = ensure_fixture("sf0.001")
+    d = str(tmp_path / "lake")
+    lake = Lake(d, store=CasManifestStore(d))
+    res = replay(lake, f"{fx}/wal", base_snapshot_dir=f"{fx}/base",
+                 config=ReplayConfig(num_buckets=8,
+                                     commit_orphan_lease_s=5.0))
+    assert res.committed
+
+
+def test_rank_float_tiebreak_and_zero_peers():
+    """Second-order r5 fix: rank_in_group's tiebreak shares topk's
+    dtype coercion (float 0.2 vs 0.9 decides deterministically), and
+    -0.0 / +0.0 order values are PEERS under DESC like SQL."""
+    import ray.data as rd
+
+    from dcpray.functions.window import rank_in_group
+
+    t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "o": pa.array([5.0, 5.0]),
+                  "tb": pa.array([0.9, 0.2])})
+    out = (rank_in_group(rd.from_arrow(t), "k", "o", "tb", out_col="rn")
+           .to_pandas())
+    assert out.loc[out["tb"] == 0.2, "rn"].iloc[0] == 1
+
+    t2 = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                   "o": pa.array([0.0, -0.0, 1.0]),
+                   "tb": pa.array([0, 1, 2], pa.int64())})
+    out2 = (rank_in_group(rd.from_arrow(t2), "k", "o", "tb",
+                          descending=True, out_col="rn", ranks=("rank",))
+            .to_pandas().sort_values("tb").reset_index(drop=True))
+    assert list(out2["rank"]) == [2, 2, 1]  # zeros are peers, 1.0 first
