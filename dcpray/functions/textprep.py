@@ -364,15 +364,21 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     counts = doc_term_counts(ds, text_col, id_col)
     df_ds = coarse_groupby(counts, ["term"], [("term", "count", "df")],
                            partitions=partitions)
-    # N = EXACT distinct docs among the counts rows. A per-batch
-    # distinct-sum undercounts only if a doc's rows never split across
-    # blocks — but Ray splits large explode outputs dynamically, so at
-    # scale a straddling doc was double-counted, silently shifting
-    # every idf (r5 review). One coarse exchange over (doc) rows gives
-    # the exact count regardless of block layout.
-    n_docs = coarse_groupby(
-        counts, [id_col], [(id_col, "count", "_c")],
-        partitions=partitions).count()
+    # N = EXACT count of docs with >= 1 token, computed over the INPUT
+    # (one row per document, so per-batch partial counts are exact
+    # under ANY block layout — the old per-batch distinct-sum over the
+    # EXPLODED rows double-counted docs straddling a dynamic block
+    # split, silently shifting every idf; r5 review). ">= 1 token" ⟺
+    # ">= 1 [a-z0-9] char" for this tokenizer, so one regex count per
+    # row replaces a whole extra exchange.
+    def n_docs_partial(t: pa.Table) -> pa.Table:
+        has = pc.greater(pc.fill_null(pc.count_substring_regex(
+            pc.utf8_lower(t[text_col]), "[a-z0-9]"), 0), 0)
+        n = pc.sum(pc.cast(has, pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    n_docs = int(ds.map_batches(
+        n_docs_partial, batch_format="pyarrow").sum("n") or 0)
 
     joined = hash_join(counts, df_ds, on="term", how="inner",
                        partitions=partitions)
