@@ -1787,6 +1787,46 @@ def _q_embedding_kmeans(sf_dir: str):
 
 
 
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style per-document repetition stats in WORD mode (the
+    fixture's documents are single-line, space-separated tokens; the
+    operator is separator-generic — sep="\\n" gives the line flavor).
+    Fractions are float64 divisions of exact integer counts, identical
+    to the oracle's CAST(... AS DOUBLE) arithmetic."""
+    import pyarrow as pa
+
+    from dcpray.functions.textstats import repetition_stats
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    return ds.map_batches(
+        lambda t: repetition_stats(t, sep=" "), batch_format="pyarrow")
+
+
+def _q_embeddings_knn3(sf_dir: str):
+    """Exact top-3 cosine kNN self-join over the embeddings table —
+    the similarity-graph primitive. Rank order is on the ROUNDED
+    (4dp, half away from zero) cosine with neighbor-id ties ascending,
+    exactly reproducible in SQL (full-precision floats differ in the
+    last ulp between engines and would flip near-tie ranks)."""
+    from dcpray.functions.ann import knn_self_join
+
+    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                    columns=["vec_id", "embedding"], override_num_blocks=8)
+    return knn_self_join(ds, k=3)
+
+
+def _q_events_value_percentile(sf_dir: str):
+    """Corpus-wide exact PERCENT_RANK over event values (quality-score
+    calibration shape): distinct-value CDF merged once on the driver,
+    broadcast, attached per batch — no global sort, no all-to-all."""
+    from dcpray.functions.window import percent_rank_global
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "value"], override_num_blocks=16)
+    return percent_rank_global(ds, "value")
+
+
 def entry() -> Any:
     """Flagship pipeline: full CDC replay of the sf0.001 transcript WAL
     into a fresh lake; returns the final transcripts table."""
@@ -1844,6 +1884,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "multimodal_decode_bmp": _q_multimodal_decode_bmp,
         "multimodal_decode_wav": _q_multimodal_decode_wav,
+        # --- round-5 wave (also never driver-verified yet) ---
+        "docs_repetition": _q_docs_repetition,
+        "embeddings_knn3": _q_embeddings_knn3,
+        "events_value_percentile": _q_events_value_percentile,
         # --- three-rounds-green rotation (driver-verified r2-r4) ---
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
@@ -2552,5 +2596,35 @@ FROM (SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
       WHERE ts IS NOT NULL)
 GROUP BY w""",
+        "docs_repetition": """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM documents
+), g AS (
+  SELECT doc_id, seg, count(*) AS c, length(seg) AS len
+  FROM l GROUP BY doc_id, seg
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
+       CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_seg_frac,
+       CASE WHEN sum(c * len) = 0 THEN NULL
+            ELSE CAST(sum((c - 1) * len) AS DOUBLE)
+                 / CAST(sum(c * len) AS DOUBLE) END AS dup_char_frac
+FROM g GROUP BY doc_id""",
+        "embeddings_knn3": """
+SELECT vec_id, nbr_id, rank, cosine FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         round(CAST(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine,
+         row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(CAST(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) DESC,
+             b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= 3""",
+        "events_value_percentile": """
+SELECT event_id, value,
+       percent_rank() OVER (ORDER BY value) AS percent_rank
+FROM events""",
     }
 

@@ -82,6 +82,9 @@ SECONDARY = [
     "events_rank_family",
     "cdc_changefeed_persisted",
     "lineitem_orders_full_outer",
+    "docs_repetition",
+    "embeddings_knn3",
+    "events_value_percentile",
 ]
 
 

@@ -34,6 +34,7 @@ from dcpray.functions.ann import (
     build_ivf_index,
     ivf_query,
     ivf_topk,
+    knn_self_join,
     topk_cosine,
 )
 from dcpray.functions.decontam import (
@@ -88,12 +89,14 @@ from dcpray.functions.textstats import (
     fingerprint_md5,
     lang_id_batch,
     quality_score_batch,
+    repetition_stats,
     text_stats,
     token_count,
     token_count_bpe,
 )
 from dcpray.functions.window import (
     forward_fill,
+    percent_rank_global,
     hopping_window,
     lag_lead,
     ntile_in_group,
@@ -108,7 +111,7 @@ __all__ = [
     "add_coarse_pk", "approx_distinct_count", "coarse_groupby",
     "distinct_count",
     "exact_quantiles", "histogram", "melt", "pivot", "quantiles_per_group", "rollup", "topk_per_group",
-    "build_ivf_index", "ivf_query", "ivf_topk", "topk_cosine",
+    "build_ivf_index", "ivf_query", "ivf_topk", "knn_self_join", "topk_cosine",
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",
@@ -124,8 +127,8 @@ __all__ = [
     "tfidf_top_terms", "top_terms", "assemble_groups", "pack_sequences",
     "kmeans_assign", "kmeans_fit",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
-    "lang_id_batch", "quality_score_batch", "text_stats",
+    "lang_id_batch", "quality_score_batch", "repetition_stats", "text_stats",
     "token_count", "token_count_bpe",
-    "forward_fill", "hopping_window", "lag_lead", "ntile_in_group", "rank_in_group", "rolling_agg", "rolling_agg_range", "session_stats", "sessionize",
+    "forward_fill", "hopping_window", "percent_rank_global", "lag_lead", "ntile_in_group", "rank_in_group", "rolling_agg", "rolling_agg_range", "session_stats", "sessionize",
     "remove_repeated_paragraphs",
 ]

@@ -514,3 +514,108 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     return cand.groupby("query_id").map_groups(
         lambda g: _global_topk(g, k), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- kNN self-join
+
+
+def _round_half_away(x: np.ndarray, dp: int) -> np.ndarray:
+    """DuckDB round()-compatible rounding (half AWAY FROM ZERO) for
+    signed values — cosines can be negative, so the non-negative
+    floor(x+0.5) form the dedup pairs use would pull -0.00005 to 0."""
+    s = 10.0 ** dp
+    return np.where(x >= 0, np.floor(x * s + 0.5), np.ceil(x * s - 0.5)) / s
+
+
+class _KnnSelfScorer:
+    """Actor-pool stage for the exact kNN self-join: the normalized
+    corpus matrix (sorted by id ASCENDING) is broadcast once via
+    ``ray.put``; each batch is one ``batch × corpus`` float64 matmul.
+    Ranking is on the ROUNDED cosine (ties → neighbor id ascending) so
+    the order is identical to the SQL oracle's — full-precision floats
+    differ between engines in the last ulp and would flip near-tie
+    ranks."""
+
+    def __init__(self, corpus_ref, id_col: str, emb_col: str, k: int,
+                 round_dp: int):
+        import ray
+
+        self.ids, self.xn = ray.get(corpus_ref)
+        self.id_col, self.emb_col = id_col, emb_col
+        self.k, self.dp = k, round_dp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        emb = _stack(batch[self.emb_col])
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        if (nrm == 0).any():
+            raise ValueError("knn_self_join: zero-norm embedding "
+                             "(cosine undefined)")
+        cos = (emb / nrm) @ self.xn.T
+        cos4 = _round_half_away(cos, self.dp)
+        cos4[ids[:, None] == self.ids[None, :]] = -np.inf  # mask self
+        k = min(self.k, cos4.shape[1])
+        # stable argsort of the NEGATED rounded cosine: equal cosines
+        # keep column order, and columns are ascending by neighbor id
+        order = np.argsort(-cos4, axis=1, kind="stable")[:, :k]
+        nbr = self.ids[order]
+        c = np.take_along_axis(cos4, order, axis=1)
+        keep = np.isfinite(c.ravel())  # drop the masked self column(s)
+        n = len(ids)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, k)[keep]),
+            "nbr_id": pa.array(nbr.ravel()[keep]),
+            "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64),
+                                     n)[keep]),
+            "cosine": pa.array(c.ravel()[keep]),
+        })
+
+
+def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
+                  emb_col: str = "embedding", round_dp: int = 4,
+                  concurrency: int = 4):
+    """Exact k-nearest-neighbor SELF-join over an embedding column:
+    for every row, its ``k`` most-cosine-similar OTHER rows as
+    ``(id, nbr_id, rank, cosine)`` — the similarity-graph primitive
+    (near-dup clustering seeds, retrieval eval, diversity sampling).
+
+    DRIVER-BOUNDED like ``embedding_exact_pairs``: the corpus matrix is
+    materialized once on the driver and broadcast (``ray.put``), every
+    batch then scores in one numpy matmul — O(n·N) compute distributed
+    per batch, which IS the exact-kNN lower bound. ~10⁷ × 64-dim
+    (≈5 GB broadcast) is the practical ceiling; above it, route through
+    ``build_ivf_index``/``ivf_topk`` (probe-bounded approximate path)
+    or ``embedding_dup_pairs`` (hyperplane LSH) instead.
+
+    ``cosine`` is rounded to ``round_dp`` (half away from zero, DuckDB
+    ``round()``-compatible) and ties rank by neighbor id ascending, so
+    a SQL oracle over ``list_cosine_similarity(CAST(a AS DOUBLE[]),
+    CAST(b AS DOUBLE[]))`` checks the result value-for-value."""
+    import ray
+
+    ids_parts, emb_parts = [], []
+    for bt in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        ids_parts.append(bt[id_col].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        emb_parts.append(_stack(bt[emb_col]))
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    if len(ids) == 0:
+        return ds  # empty in, empty out (schema set by caller's read)
+    x = np.concatenate(emb_parts)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    if (nrm == 0).any():
+        raise ValueError("knn_self_join: zero-norm embedding in corpus")
+    xn = x / nrm
+    srt = np.argsort(ids, kind="stable")  # columns ascending by id
+    ref = ray.put((ids[srt], xn[srt]))
+    return ds.map_batches(
+        _KnnSelfScorer, fn_constructor_args=(ref, id_col, emb_col, k,
+                                             round_dp),
+        batch_format="pyarrow", batch_size=8192,
+        # autoscaling (1, n) pool: a FIXED pool of n pre-started actors
+        # can absorb every CPU of a small session and starve the
+        # upstream exchange into a scheduling deadlock (seen at 4 CPUs)
+        concurrency=(1, concurrency),
+    )

@@ -327,3 +327,67 @@ def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fingerprint_md5": pa.array(digests, pa.string()),
         }
     )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep: str = "\n") -> pa.Table:
+    """Per-document repetition signals — the Gopher-style quality rules
+    (Rae et al. 2021, appendix A1) that gate web documents on internal
+    duplication. Among the ``sep``-delimited segments of each document
+    (lines for ``sep="\\n"``, words for ``sep=" "``):
+
+    - ``n_segments``      — total segment count,
+    - ``dup_seg_frac``    — fraction of segments that repeat an
+      identical earlier segment (occurrences beyond the first),
+    - ``dup_char_frac``   — fraction of segment characters inside those
+      repeats (NULL when the document has zero segment characters).
+
+    A document is one row, so its stats are complete within its batch —
+    ZERO exchange; one vectorized pass per batch (Arrow split +
+    dictionary codes + numpy lexsort/bincount, no Python per row).
+    Divisions are float64 over exact integer counts, bit-identical to
+    the SQL oracle's CAST(... AS DOUBLE) arithmetic. Null text yields
+    null stats (SQL: the lines CTE drops the doc; the oracle re-attaches
+    it with a LEFT JOIN)."""
+    text = batch[text_col]
+    null_mask = pc.is_null(text)
+    toks = pc.split_pattern(pc.fill_null(text, ""), sep)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    par = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lens = pc.cast(pc.utf8_length(flat), pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    # distinct-segment identity WITHIN the batch: dictionary codes
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_rows = batch.num_rows
+    n = np.bincount(par, minlength=n_rows)  # >= 1 (split("") == [""])
+    tot_chars = np.bincount(par, weights=lens, minlength=n_rows)
+    order = np.lexsort((codes, par))
+    ps, cs = par[order], codes[order]
+    first = np.r_[True, (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])] \
+        if len(ps) else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.r_[starts, len(ps)])  # occurrences per (doc, seg)
+    gpar = ps[starts]
+    glen = lens[order][starts]
+    dup = np.bincount(gpar, weights=(counts - 1).astype(np.float64),
+                      minlength=n_rows)
+    dup_chars = np.bincount(gpar, weights=(counts - 1) * glen,
+                            minlength=n_rows)
+    frac = dup / np.maximum(n, 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cfrac = dup_chars / tot_chars
+    nulls_f = pa.nulls(n_rows, pa.float64())
+    return pa.table({
+        id_col: batch[id_col],
+        "n_segments": pc.if_else(null_mask, pa.nulls(n_rows, pa.int64()),
+                                 pa.array(n.astype(np.int64))),
+        "dup_seg_frac": pc.if_else(null_mask, nulls_f, pa.array(frac)),
+        "dup_char_frac": pc.if_else(
+            pc.or_(null_mask, pa.array(tot_chars == 0)), nulls_f,
+            pa.array(np.where(tot_chars == 0, 0.0, cfrac))),
+    })

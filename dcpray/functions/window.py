@@ -743,3 +743,74 @@ def forward_fill(ds, group_col: str, order_col: str, value_col: str,
                            batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(assign, batch_format="pyarrow"))
+
+
+def percent_rank_global(ds, order_col: str, out_col: str = "percent_rank",
+                        max_distinct: int = 5_000_000):
+    """Exact ``PERCENT_RANK() OVER (ORDER BY order_col)`` across the
+    WHOLE dataset — corpus-wide percentile normalization (quality-score
+    calibration, outlier gating) without a global sort.
+
+    Scale shape: no all-to-all. Pass 1 collapses each batch to its
+    distinct values + counts (one Arrow groupby per batch) and the
+    driver merges those partials into the value CDF — O(distinct)
+    driver bytes, guarded by ``max_distinct`` with a loud error (use
+    ``exact_quantiles``/``histogram`` for unbounded-cardinality
+    columns). Pass 2 broadcasts the CDF (``ray.put``) and attaches
+    ``count_less / (n - 1)`` per row with one searchsorted per batch —
+    float64 division of exact integers, bit-identical to the SQL
+    engine's arithmetic. Nulls and NaN in ``order_col`` raise (filter
+    first); ``n == 1`` yields 0.0 like SQL."""
+    import ray
+
+    from dcpray.functions.agg import require_nonnull
+
+    _guard_output_names(ds, [out_col], "percent_rank_global")
+
+    def partial(t: pa.Table) -> pa.Table:
+        require_nonnull(t, (order_col,), "percent_rank_global")
+        g = pa.TableGroupBy(t.select([order_col]), [order_col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([order_col, "_n"])
+
+    parts = []
+    for bt in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        parts.append(bt)
+    if not parts or sum(p.num_rows for p in parts) == 0:
+        # empty input: pass through (nothing to rank), schema unchanged
+        return ds
+    merged = pa.TableGroupBy(pa.concat_tables(parts), [order_col]) \
+        .aggregate([("_n", "sum")])
+    if merged.num_rows > max_distinct:
+        raise ValueError(
+            f"percent_rank_global: {merged.num_rows} distinct values "
+            f"exceed max_distinct={max_distinct} — this operator's CDF "
+            "is distinct-bounded by design; quantize first or use "
+            "exact_quantiles/histogram")
+    vals = merged[order_col].to_numpy(zero_copy_only=False)
+    cnts = merged["_n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if vals.dtype.kind == "f":
+        if np.isnan(vals).any():
+            raise ValueError("percent_rank_global: NaN in order column")
+        vals = vals + 0.0  # -0.0 and +0.0 are SQL peers
+    srt = np.argsort(vals, kind="stable")
+    vals, cnts = vals[srt], cnts[srt]
+    count_less = np.cumsum(cnts) - cnts
+    n = int(cnts.sum())
+    ref = ray.put((vals, count_less))
+
+    def assign(t: pa.Table, _ref=ref, _n=n) -> pa.Table:
+        require_nonnull(t, (order_col,), "percent_rank_global")
+        v, cl = ray.get(_ref)
+        x = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if x.dtype.kind == "f":
+            x = x + 0.0
+        idx = np.searchsorted(v, x)
+        if _n <= 1:
+            pr = np.zeros(len(x), np.float64)
+        else:
+            pr = cl[idx].astype(np.float64) / np.float64(_n - 1)
+        return t.append_column(out_col, pa.array(pr))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

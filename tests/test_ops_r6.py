@@ -1,0 +1,185 @@
+"""Round-5 second-wave operator tests: per-document repetition stats
+(Gopher-style quality rules), exact kNN self-join, and global exact
+percent_rank."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dcpray.functions.ann import knn_self_join
+from dcpray.functions.textstats import repetition_stats
+from dcpray.functions.window import percent_rank_global
+
+
+# ------------------------------------------------- repetition_stats
+
+
+def test_repetition_stats_hand_checked():
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b a b c",      # 5 segs, 2 repeats ("a","b"), 2/5 chars
+            "xx yy zz",       # no repeats
+            "",               # one empty segment, zero chars
+            None,             # null text -> null stats
+            "aa aa aa",       # 3 segs, 2 repeats, 4/6 chars
+        ],
+    })
+    out = repetition_stats(t, sep=" ")
+    assert out.column_names == ["doc_id", "n_segments", "dup_seg_frac",
+                                "dup_char_frac"]
+    n = out["n_segments"].to_pylist()
+    f = out["dup_seg_frac"].to_pylist()
+    c = out["dup_char_frac"].to_pylist()
+    assert n == [5, 3, 1, None, 3]
+    assert f == [0.4, 0.0, 0.0, None, pytest.approx(2 / 3)]
+    assert c[0] == pytest.approx(0.4)
+    assert c[1] == 0.0
+    assert c[2] is None  # zero segment chars -> NULL, like the oracle
+    assert c[3] is None
+    assert c[4] == pytest.approx(4 / 6)
+
+
+def test_repetition_stats_line_mode_and_unicode():
+    # line flavor (sep="\n"); lengths are CHARS not bytes (müß = 3)
+    t = pa.table({"doc_id": [1], "text": ["müß\nok\nmüß"]})
+    out = repetition_stats(t, sep="\n")
+    assert out["n_segments"].to_pylist() == [3]
+    assert out["dup_seg_frac"].to_pylist() == [pytest.approx(1 / 3)]
+    assert out["dup_char_frac"].to_pylist() == [pytest.approx(3 / 8)]
+
+
+def test_repetition_stats_oracle_parity():
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    words = np.array(["the", "cat", "sat", "on", "mat", "x", "yy"])
+    texts = [" ".join(rng.choice(words, rng.integers(1, 12)))
+             for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts)})
+    out = repetition_stats(t, sep=" ").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    ora = con.execute("""
+WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS seg
+           FROM documents),
+g AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS len
+      FROM l GROUP BY doc_id, seg)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
+       CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_seg_frac,
+       CASE WHEN sum(c * len) = 0 THEN NULL
+            ELSE CAST(sum((c - 1) * len) AS DOUBLE)
+                 / CAST(sum(c * len) AS DOUBLE) END AS dup_char_frac
+FROM g GROUP BY doc_id ORDER BY doc_id""").df()
+    # bit-exact: both sides divide the same exact integers in float64
+    assert (out["n_segments"] == ora["n_segments"]).all()
+    assert (out["dup_seg_frac"] == ora["dup_seg_frac"]).all()
+    a, b = out["dup_char_frac"], ora["dup_char_frac"]
+    assert ((a == b) | (a.isna() & b.isna())).all()
+
+
+# ---------------------------------------------------- knn_self_join
+
+
+def _brute_knn(ids, x, k, dp=4):
+    """Reference: rounded-cosine desc, neighbor-id asc."""
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = xn @ xn.T
+    s = 10.0 ** dp
+    cos = np.where(cos >= 0, np.floor(cos * s + 0.5),
+                   np.ceil(cos * s - 0.5)) / s
+    rows = []
+    for i in range(len(ids)):
+        cand = [(-cos[i, j], ids[j]) for j in range(len(ids)) if j != i]
+        cand.sort()
+        for r, (negc, nid) in enumerate(cand[:k], 1):
+            rows.append((ids[i], nid, r, -negc))
+    return sorted(rows)
+
+
+def test_knn_self_join_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    n, dim = 120, 16
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant exact duplicates so cosine ties exercise the id tiebreak
+    x[7] = x[3]
+    x[55] = x[3]
+    ids = rng.permutation(n).astype(np.int64)  # unsorted ids
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(5)
+    out = knn_self_join(ds, k=4).to_pandas()
+    got = sorted(map(tuple, out[["vec_id", "nbr_id", "rank",
+                                 "cosine"]].itertuples(index=False)))
+    want = _brute_knn(ids, x.astype(np.float64), 4)
+    assert len(got) == n * 4
+    assert got == [pytest.approx(w) for w in want]
+
+
+def test_knn_self_join_k_exceeds_corpus():
+    x = np.eye(3, dtype=np.float32)
+    t = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    out = knn_self_join(rd.from_arrow(t), k=10).to_pandas()
+    # each row gets its 2 OTHER rows, never itself
+    assert len(out) == 6
+    assert (out["rank"] <= 2).all()
+    assert (out["vec_id"] != out["nbr_id"]).all()
+
+
+def test_knn_self_join_zero_norm_raises():
+    t = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 0.0]],
+                                        pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="zero-norm"):
+        knn_self_join(rd.from_arrow(t), k=1)
+
+
+# ----------------------------------------------- percent_rank_global
+
+
+def test_percent_rank_global_matches_sql():
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    v = np.round(rng.uniform(0, 50, 5000), 2)
+    v[::97] = v[0]  # heavy ties
+    t = pa.table({"id": pa.array(range(5000), pa.int64()),
+                  "value": pa.array(v)})
+    out = percent_rank_global(rd.from_arrow(t).repartition(7), "value") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ora = con.execute("""SELECT id, percent_rank() OVER (ORDER BY value)
+                         AS percent_rank FROM t ORDER BY id""").df()
+    assert (out["percent_rank"] == ora["percent_rank"]).all()  # bit-exact
+
+
+def test_percent_rank_global_edge_cases():
+    one = pa.table({"id": [1], "value": [3.5]})
+    out = percent_rank_global(rd.from_arrow(one), "value").to_pandas()
+    assert out["percent_rank"].tolist() == [0.0]  # n == 1 -> 0, like SQL
+
+    # -0.0 and +0.0 are SQL peers
+    z = pa.table({"id": [1, 2, 3], "value": [-0.0, 0.0, 1.0]})
+    out = percent_rank_global(rd.from_arrow(z), "value").to_pandas()
+    assert out["percent_rank"].tolist() == [0.0, 0.0, 1.0]
+
+    with pytest.raises(Exception, match="percent_rank_global"):
+        bad = pa.table({"id": [1, 2], "value": pa.array([1.0, None])})
+        percent_rank_global(rd.from_arrow(bad), "value").materialize()
+
+    with pytest.raises(ValueError, match="already exist"):
+        t = pa.table({"id": [1, 2], "percent_rank": [0.0, 0.0],
+                      "value": [1.0, 2.0]})
+        percent_rank_global(rd.from_arrow(t), "value")
+
+    with pytest.raises(ValueError, match="max_distinct"):
+        t = pa.table({"id": range(100),
+                      "value": [float(i) for i in range(100)]})
+        percent_rank_global(rd.from_arrow(t), "value", max_distinct=10)
