@@ -1816,6 +1816,34 @@ def _q_embeddings_knn3(sf_dir: str):
     return knn_self_join(ds, k=3)
 
 
+def _q_docs_ngram_repetition(sf_dir: str):
+    """Gopher duplicate-2-gram stats per document (the n>=2 half of the
+    repetition rules; duplicate-fraction form is TIE-FREE so the SQL
+    oracle reproduces it exactly — no 'most common n-gram' tiebreak)."""
+    from dcpray.functions.textstats import ngram_repetition_stats
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    return ds.map_batches(
+        lambda t: ngram_repetition_stats(t, n=2, sep=" "),
+        batch_format="pyarrow")
+
+
+def _q_docs_quality_percentile(sf_dir: str):
+    """Operator COMPOSITION: quality scoring (actor-memoized scorer)
+    feeding corpus-wide exact percentile normalization — the
+    quality-gate shape of a training-data pipeline ('keep the top X%')
+    as one streaming Dataset, no global sort, no materialization."""
+    from dcpray.functions.textstats import quality_score_batch
+    from dcpray.functions.window import percent_rank_global
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    scored = ds.map_batches(quality_score_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "quality_score"])
+    return percent_rank_global(scored, "quality_score")
+
+
 def _q_events_value_percentile(sf_dir: str):
     """Corpus-wide exact PERCENT_RANK over event values (quality-score
     calibration shape): distinct-value CDF merged once on the driver,
@@ -1888,6 +1916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "embeddings_knn3": _q_embeddings_knn3,
         "events_value_percentile": _q_events_value_percentile,
+        "docs_quality_percentile": _q_docs_quality_percentile,
+        "docs_ngram_repetition": _q_docs_ngram_repetition,
         # --- three-rounds-green rotation (driver-verified r2-r4) ---
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
@@ -1968,6 +1998,27 @@ def oracle_sql() -> dict[str, str]:
     # bound ONCE and reused under several keys (equivalent operators
     # share one oracle; editing a lone copy would silently
     # desynchronize the siblings — same pattern as cdc_change_feed_sql)
+    quality_sql = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+') words,
+         length(regexp_extract_all(text, '[A-Za-z]')) n_alpha,
+         length(text) n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, len(words) n,
+         len(list_filter(words, w -> w IN ('the','and','of','a','to','in','is',
+             'it','for','on','with','as','was','at','by','an','be','this','that'))) n_stop,
+         len(list_distinct(words)) n_uniq, n_alpha, n_chars
+  FROM w
+)
+SELECT doc_id,
+  round(CASE WHEN n > 0 THEN n_stop / CAST(n AS DOUBLE) ELSE 0 END, 6) stopword_ratio,
+  round(0.3 * (CASE WHEN n_chars BETWEEN 50 AND 4000 THEN 1.0 ELSE 0.3 END)
+      + 0.2 * least((CASE WHEN n > 0 THEN n_stop / CAST(n AS DOUBLE) ELSE 0 END) * 4, 1.0)
+      + 0.25 * (n_alpha / CAST(greatest(1, n_chars) AS DOUBLE))
+      + 0.25 * (CASE WHEN n > 0 THEN n_uniq / CAST(n AS DOUBLE) ELSE 0 END), 6) quality_score
+FROM s"""
     ann_bruteforce_sql = """
 WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
 SELECT query_id, vec_id FROM (
@@ -2130,27 +2181,12 @@ SELECT doc_id,
        WHEN s_de > s_en THEN 'de'
        ELSE 'en' END lang_pred
 FROM s""",
-        "quality_score": """
-WITH w AS (
-  SELECT doc_id,
-         regexp_extract_all(lower(text), '[a-z]+') words,
-         length(regexp_extract_all(text, '[A-Za-z]')) n_alpha,
-         length(text) n_chars
-  FROM documents
-), s AS (
-  SELECT doc_id, len(words) n,
-         len(list_filter(words, w -> w IN ('the','and','of','a','to','in','is',
-             'it','for','on','with','as','was','at','by','an','be','this','that'))) n_stop,
-         len(list_distinct(words)) n_uniq, n_alpha, n_chars
-  FROM w
-)
-SELECT doc_id,
-  round(CASE WHEN n > 0 THEN n_stop / CAST(n AS DOUBLE) ELSE 0 END, 6) stopword_ratio,
-  round(0.3 * (CASE WHEN n_chars BETWEEN 50 AND 4000 THEN 1.0 ELSE 0.3 END)
-      + 0.2 * least((CASE WHEN n > 0 THEN n_stop / CAST(n AS DOUBLE) ELSE 0 END) * 4, 1.0)
-      + 0.25 * (n_alpha / CAST(greatest(1, n_chars) AS DOUBLE))
-      + 0.25 * (CASE WHEN n > 0 THEN n_uniq / CAST(n AS DOUBLE) ELSE 0 END), 6) quality_score
-FROM s""",
+        "quality_score": quality_sql,
+        "docs_quality_percentile": f"""
+WITH q AS ({quality_sql})
+SELECT doc_id, quality_score,
+       percent_rank() OVER (ORDER BY quality_score) AS percent_rank
+FROM q""",
         "text_jaccard_exact": """
 WITH w0 AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') w
@@ -2626,5 +2662,25 @@ SELECT vec_id, nbr_id, rank, cosine FROM (
 SELECT event_id, value,
        percent_rank() OVER (ORDER BY value) AS percent_rank
 FROM events""",
+        "docs_ngram_repetition": """
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM l WHERE len(toks) > 1),
+g AS (SELECT doc_id, w1, w2, count(*) AS c,
+             length(w1) + length(w2) AS bl
+      FROM b GROUP BY doc_id, w1, w2),
+d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+             CAST(sum(c - 1) AS DOUBLE)
+                 / CAST(sum(c) AS DOUBLE) AS dup_ngram_frac,
+             CASE WHEN sum(c * bl) = 0 THEN NULL
+                  ELSE CAST(sum((c - 1) * bl) AS DOUBLE)
+                       / CAST(sum(c * bl) AS DOUBLE) END AS dup_ngram_char_frac
+      FROM g GROUP BY doc_id)
+SELECT doc.doc_id,
+       CASE WHEN doc.text IS NULL THEN NULL
+            ELSE coalesce(d.n_ngrams, 0) END AS n_ngrams,
+       d.dup_ngram_frac, d.dup_ngram_char_frac
+FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id""",
     }
 

@@ -85,6 +85,8 @@ SECONDARY = [
     "docs_repetition",
     "embeddings_knn3",
     "events_value_percentile",
+    "docs_quality_percentile",
+    "docs_ngram_repetition",
 ]
 
 

@@ -89,6 +89,7 @@ from dcpray.functions.textstats import (
     fingerprint_md5,
     lang_id_batch,
     quality_score_batch,
+    ngram_repetition_stats,
     repetition_stats,
     text_stats,
     token_count,
@@ -127,7 +128,7 @@ __all__ = [
     "tfidf_top_terms", "top_terms", "assemble_groups", "pack_sequences",
     "kmeans_assign", "kmeans_fit",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",
-    "lang_id_batch", "quality_score_batch", "repetition_stats", "text_stats",
+    "lang_id_batch", "ngram_repetition_stats", "quality_score_batch", "repetition_stats", "text_stats",
     "token_count", "token_count_bpe",
     "forward_fill", "hopping_window", "percent_rank_global", "lag_lead", "ntile_in_group", "rank_in_group", "rolling_agg", "rolling_agg_range", "session_stats", "sessionize",
     "remove_repeated_paragraphs",

@@ -528,13 +528,13 @@ def _round_half_away(x: np.ndarray, dp: int) -> np.ndarray:
 
 
 class _KnnSelfScorer:
-    """Actor-pool stage for the exact kNN self-join: the normalized
-    corpus matrix (sorted by id ASCENDING) is broadcast once via
-    ``ray.put``; each batch is one ``batch × corpus`` float64 matmul.
-    Ranking is on the ROUNDED cosine (ties → neighbor id ascending) so
-    the order is identical to the SQL oracle's — full-precision floats
-    differ between engines in the last ulp and would flip near-tie
-    ranks."""
+    """Per-worker-memoized kernel for the exact kNN self-join: the
+    normalized corpus matrix (sorted by id ASCENDING) is broadcast once
+    via ``ray.put``; each batch is one ``batch × corpus`` float64
+    matmul. Ranking is on the ROUNDED cosine (ties → neighbor id
+    ascending) so the order is identical to the SQL oracle's —
+    full-precision floats differ between engines in the last ulp and
+    would flip near-tie ranks."""
 
     def __init__(self, corpus_ref, id_col: str, emb_col: str, k: int,
                  round_dp: int):
@@ -570,6 +570,19 @@ class _KnnSelfScorer:
                                      n)[keep]),
             "cosine": pa.array(c.ravel()[keep]),
         })
+
+
+def _knn_self_batches(batch: pa.Table, corpus_ref, id_col: str,
+                      emb_col: str, k: int, round_dp: int) -> pa.Table:
+    """TASK-pool form of ``_KnnSelfScorer`` (same rationale as
+    ``_score_batches``: no actor spin-up, per-worker memoized corpus)."""
+    from dcpray.rayutil import worker_memo
+
+    sc = worker_memo(("knn_self", corpus_ref.hex(), id_col, emb_col, k,
+                      round_dp),
+                     lambda: _KnnSelfScorer(corpus_ref, id_col, emb_col,
+                                            k, round_dp))
+    return sc(batch)
 
 
 def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
@@ -610,12 +623,13 @@ def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
     xn = x / nrm
     srt = np.argsort(ids, kind="stable")  # columns ascending by id
     ref = ray.put((ids[srt], xn[srt]))
+    # task pool, not an actor pool: the kernel is stateless beyond the
+    # memoized broadcast read, tasks have no pool spin-up latency, and
+    # a fixed pool can starve the upstream exchange into a scheduling
+    # deadlock on small CPU counts (seen at 4 CPUs). ``concurrency``
+    # kept for API compat, like topk_cosine.
+    del concurrency
     return ds.map_batches(
-        _KnnSelfScorer, fn_constructor_args=(ref, id_col, emb_col, k,
-                                             round_dp),
-        batch_format="pyarrow", batch_size=8192,
-        # autoscaling (1, n) pool: a FIXED pool of n pre-started actors
-        # can absorb every CPU of a small session and starve the
-        # upstream exchange into a scheduling deadlock (seen at 4 CPUs)
-        concurrency=(1, concurrency),
+        _knn_self_batches, fn_args=(ref, id_col, emb_col, k, round_dp),
+        batch_format="pyarrow", batch_size=2048,
     )

@@ -391,3 +391,92 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
             pc.or_(null_mask, pa.array(tot_chars == 0)), nulls_f,
             pa.array(np.where(tot_chars == 0, 0.0, cfrac))),
     })
+
+
+def ngram_repetition_stats(batch: pa.Table, n: int = 2,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           sep: str = " ") -> pa.Table:
+    """Per-document duplicate word-n-gram signals — the second half of
+    the Gopher repetition rules (``repetition_stats`` covers n=1):
+    among each document's consecutive n-token windows,
+
+    - ``n_ngrams``          — window count (0 when the doc has < n tokens),
+    - ``dup_ngram_frac``    — fraction of windows repeating an earlier
+      identical window (NULL when ``n_ngrams`` is 0),
+    - ``dup_ngram_char_frac`` — fraction of window characters (sum of
+      token lengths) inside those repeats (NULL when zero chars).
+
+    Duplicate-fraction form, not top-n-gram form, because it is
+    TIE-FREE: "most common n-gram" needs a tiebreak rule the SQL oracle
+    would have to reproduce; duplicate fractions are pure sums. n-gram
+    identity is EXACT (iterated pair-unique over dictionary codes —
+    no hashing, so no collision can corrupt a count). Zero exchange,
+    one vectorized pass per batch; null text yields null stats."""
+    if n < 2:
+        raise ValueError("ngram_repetition_stats: need n >= 2 "
+                         "(use repetition_stats for n=1)")
+    text = batch[text_col]
+    null_mask = pc.is_null(text)
+    toks = pc.split_pattern(pc.fill_null(text, ""), sep)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    par = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lens = pc.cast(pc.utf8_length(flat), pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_rows = batch.num_rows
+    m = len(par)
+    if m >= n:
+        # windows starting at i covering [i, i+n): valid iff the whole
+        # window sits in one document
+        valid = par[: m - n + 1] == par[n - 1:]
+        wpar = par[: m - n + 1][valid]
+        # exact window identity: fold successive token codes with a
+        # pair-unique per step (ids stay < #distinct pairs, never hash)
+        wid = codes[: m - n + 1][valid]
+        for j in range(1, n):
+            nxt = codes[j: m - n + 1 + j][valid]
+            pair = wid * (nxt.max() + 1 if len(nxt) else 1) + nxt
+            _, wid = np.unique(pair, return_inverse=True)
+        csum = np.r_[0, np.cumsum(lens)]
+        wlen = (csum[n:] - csum[:-n])[valid]  # sum of the n token lens
+    else:
+        wpar = np.empty(0, np.int64)
+        wid = np.empty(0, np.int64)
+        wlen = np.empty(0, np.int64)
+    cnt = np.bincount(wpar, minlength=n_rows)
+    tot_chars = np.bincount(wpar, weights=wlen.astype(np.float64),
+                            minlength=n_rows)
+    order = np.lexsort((wid, wpar))
+    ps, ws = wpar[order], wid[order]
+    first = np.r_[True, (ps[1:] != ps[:-1]) | (ws[1:] != ws[:-1])] \
+        if len(ps) else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    occ = np.diff(np.r_[starts, len(ps)])
+    gpar = ps[starts]
+    glen = wlen[order][starts].astype(np.float64)
+    dup = np.bincount(gpar, weights=(occ - 1).astype(np.float64),
+                      minlength=n_rows)
+    dup_chars = np.bincount(gpar, weights=(occ - 1) * glen,
+                            minlength=n_rows)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = np.where(cnt > 0, dup / np.maximum(cnt, 1), np.nan)
+        cfrac = np.where(tot_chars > 0, dup_chars / np.maximum(tot_chars, 1),
+                         np.nan)
+    nulls_f = pa.nulls(n_rows, pa.float64())
+    no_ngram = pa.array(cnt == 0)
+    no_chars = pa.array(tot_chars == 0)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_ngrams": pc.if_else(null_mask, pa.nulls(n_rows, pa.int64()),
+                               pa.array(cnt.astype(np.int64))),
+        "dup_ngram_frac": pc.if_else(
+            pc.or_(null_mask, no_ngram), nulls_f,
+            pa.array(np.nan_to_num(frac, nan=0.0))),
+        "dup_ngram_char_frac": pc.if_else(
+            pc.or_(null_mask, no_chars), nulls_f,
+            pa.array(np.nan_to_num(cfrac, nan=0.0))),
+    })

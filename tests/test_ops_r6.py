@@ -183,3 +183,34 @@ def test_percent_rank_global_edge_cases():
         t = pa.table({"id": range(100),
                       "value": [float(i) for i in range(100)]})
         percent_rank_global(rd.from_arrow(t), "value", max_distinct=10)
+
+
+# --------------------------------------------- ngram_repetition_stats
+
+
+def test_ngram_repetition_hand_checked():
+    from dcpray.functions.textstats import ngram_repetition_stats
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b a b a", "x y z", "q", None]})
+    out = ngram_repetition_stats(t, n=2)
+    assert out["n_ngrams"].to_pylist() == [4, 2, 0, None]
+    assert out["dup_ngram_frac"].to_pylist() == [0.5, 0.0, None, None]
+    assert out["dup_ngram_char_frac"].to_pylist() == [0.5, 0.0, None, None]
+    out3 = ngram_repetition_stats(t, n=3)
+    assert out3["n_ngrams"].to_pylist() == [3, 1, 0, None]
+    assert out3["dup_ngram_frac"].to_pylist() == [
+        pytest.approx(1 / 3), 0.0, None, None]
+    with pytest.raises(ValueError, match="n >= 2"):
+        ngram_repetition_stats(t, n=1)
+
+
+def test_ngram_repetition_no_cross_document_windows():
+    from dcpray.functions.textstats import ngram_repetition_stats
+
+    # doc 1 ends with "z", doc 2 starts with "z": the window (z, z)
+    # must NOT exist — windows never straddle a document boundary
+    t = pa.table({"doc_id": [1, 2], "text": ["y z", "z w"]})
+    out = ngram_repetition_stats(t, n=2)
+    assert out["n_ngrams"].to_pylist() == [1, 1]
+    assert out["dup_ngram_frac"].to_pylist() == [0.0, 0.0]
