@@ -544,7 +544,16 @@ class _KnnSelfScorer:
         self.id_col, self.emb_col = id_col, emb_col
         self.k, self.dp = k, round_dp
 
+    OUT_SCHEMA = pa.schema([("_id", pa.int64()), ("nbr_id", pa.int64()),
+                            ("rank", pa.int64()), ("cosine", pa.float64())])
+
+    def _empty(self) -> pa.Table:
+        t = self.OUT_SCHEMA.empty_table()
+        return t.rename_columns([self.id_col] + t.column_names[1:])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # dynamic splits emit empty blocks;
+            return self._empty()  # _stack's (0, 0) would break the matmul
         ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         emb = _stack(batch[self.emb_col])
@@ -615,7 +624,13 @@ def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
         emb_parts.append(_stack(bt[emb_col]))
     ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
     if len(ids) == 0:
-        return ds  # empty in, empty out (schema set by caller's read)
+        # SCHEMA-PINNED empty output (not the input schema — downstream
+        # selects nbr_id/rank/cosine and must not crash on empty input)
+        import ray.data
+
+        t = _KnnSelfScorer.OUT_SCHEMA.empty_table()
+        return ray.data.from_arrow(
+            t.rename_columns([id_col] + t.column_names[1:]))
     x = np.concatenate(emb_parts)
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     if (nrm == 0).any():

@@ -778,8 +778,15 @@ def percent_rank_global(ds, order_col: str, out_col: str = "percent_rank",
             batch_size=65536, batch_format="pyarrow"):
         parts.append(bt)
     if not parts or sum(p.num_rows for p in parts) == 0:
-        # empty input: pass through (nothing to rank), schema unchanged
-        return ds
+        # SCHEMA-PINNED empty output: a map_batches whose UDF never ran
+        # leaves ds.schema() None, so build the (input + out_col) empty
+        # table directly (the join.py empty-side convention)
+        import ray.data
+
+        rs = ds.schema()
+        out_schema = pa.schema(list(zip(rs.names, rs.types))
+                               + [(out_col, pa.float64())])
+        return ray.data.from_arrow(out_schema.empty_table())
     merged = pa.TableGroupBy(pa.concat_tables(parts), [order_col]) \
         .aggregate([("_n", "sum")])
     if merged.num_rows > max_distinct:

@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 
 def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
                  *, num_buckets: int = 16, dedup_threshold: float = 0.7,
-                 min_quality: float = 0.3, cluster: str = "auto",
+                 min_quality: float = 0.3, max_dup_frac: float = 0.5,
+                 cluster: str = "auto",
                  benchmark_texts: list[str] | None = None) -> dict:
     """Returns per-stage row counts. Stages:
 
@@ -35,7 +36,9 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
     2. Lake → documents: one text doc per conversation turn.
     3. Exact dedup (content hash, keep min key).
     4. MinHash near-dup pairs → drop non-representatives.
-    5. Quality + language filter (vectorized scorers).
+    5. Quality + language + repetition filter (vectorized scorers;
+       the Gopher repetition rule drops docs whose duplicate-word
+       fraction exceeds ``max_dup_frac``).
     5b. Benchmark decontamination (optional): drop docs sharing any
         word-8-gram with ``benchmark_texts`` — the eval set must not
         leak into the training corpus.
@@ -45,7 +48,11 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
     from dcpray import Lake, ReplayConfig, replay
     from dcpray.functions.dedup import exact_dedup, minhash_dedup
     from dcpray.functions.sample import hash_split
-    from dcpray.functions.textstats import lang_id_batch, quality_score_batch
+    from dcpray.functions.textstats import (
+        lang_id_batch,
+        quality_score_batch,
+        repetition_stats,
+    )
 
     counts: dict = {}
 
@@ -94,14 +101,22 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
     def refine(t: pa.Table) -> pa.Table:
         q = quality_score_batch(t)
         lang = lang_id_batch(t)
+        rep = repetition_stats(t, sep=" ")
         keep = pc.and_(
-            pc.greater_equal(q["quality_score"],
-                             pa.scalar(min_quality, pa.float64())),
-            pc.is_in(lang["lang_pred"],
-                     value_set=pa.array(["en", "de", "fr", "es"])),
+            pc.and_(
+                pc.greater_equal(q["quality_score"],
+                                 pa.scalar(min_quality, pa.float64())),
+                pc.is_in(lang["lang_pred"],
+                         value_set=pa.array(["en", "de", "fr", "es"])),
+            ),
+            # Gopher repetition gate (null dup fraction = empty doc:
+            # fails the gate, like its quality score would)
+            pc.less_equal(pc.fill_null(rep["dup_seg_frac"], 1.0),
+                          pa.scalar(max_dup_frac, pa.float64())),
         )
         return t.append_column("quality_score", q["quality_score"]) \
                 .append_column("lang_pred", lang["lang_pred"]) \
+                .append_column("dup_seg_frac", rep["dup_seg_frac"]) \
                 .filter(keep)
 
     docs = docs.map_batches(refine, batch_format="pyarrow")

@@ -214,3 +214,22 @@ def test_ngram_repetition_no_cross_document_windows():
     out = ngram_repetition_stats(t, n=2)
     assert out["n_ngrams"].to_pylist() == [1, 1]
     assert out["dup_ngram_frac"].to_pylist() == [0.0, 0.0]
+
+
+def test_empty_inputs_keep_output_schema():
+    """Empty in -> empty out with the OPERATOR'S schema (not the
+    input's) so downstream column selection never crashes."""
+    from dcpray.functions.ann import knn_self_join
+    from dcpray.functions.window import percent_rank_global
+
+    et = pa.table({"vec_id": pa.array([], pa.int64()),
+                   "embedding": pa.array([], pa.list_(pa.float32()))})
+    out = knn_self_join(rd.from_arrow(et), k=3)
+    assert out.schema().names == ["vec_id", "nbr_id", "rank", "cosine"]
+    assert out.count() == 0
+
+    ev = pa.table({"id": pa.array([], pa.int64()),
+                   "value": pa.array([], pa.float64())})
+    out = percent_rank_global(rd.from_arrow(ev), "value")
+    assert out.schema().names == ["id", "value", "percent_rank"]
+    assert out.count() == 0
