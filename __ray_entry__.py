@@ -1816,6 +1816,36 @@ def _q_embeddings_knn3(sf_dir: str):
     return knn_self_join(ds, k=3)
 
 
+def _q_events_top_users(sf_dir: str):
+    """EXACT global heavy hitters: top-20 users by event count —
+    coarse_groupby partial counts + topk_global (per-batch combiner
+    bounds the exchange to k rows per batch; ties break by user_id)."""
+    from dcpray.functions.agg import coarse_groupby, topk_global
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["user_id"], override_num_blocks=16)
+    counts = coarse_groupby(ds, keys=["user_id"],
+                            aggs=[("user_id", "count", "n_events")],
+                            partitions=16)
+    out = topk_global(counts, "n_events", k=20,
+                      tiebreak_col="user_id").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def _q_events_top_users_approx(sf_dir: str):
+    """Misra–Gries sketch sibling of events_top_users: ZERO-exchange
+    heavy hitters with a bounded undercount (capacity 256 per summary —
+    real truncation at this scale). Rows-only by nature (counts are
+    lower bounds); the exact sibling above is the oracle-checked one,
+    same lattice as HLL ↔ distinct_count."""
+    from dcpray.functions.agg import approx_topk
+
+    ds = read_clean(os.path.join(sf_dir, "events.parquet"),
+                    columns=["user_id"], override_num_blocks=16)
+    return approx_topk(ds, "user_id", k=20, capacity=256)
+
+
 def _q_docs_ngram_repetition(sf_dir: str):
     """Gopher duplicate-2-gram stats per document (the n>=2 half of the
     repetition rules; duplicate-fraction form is TIE-FREE so the SQL
@@ -1918,6 +1948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentile": _q_events_value_percentile,
         "docs_quality_percentile": _q_docs_quality_percentile,
         "docs_ngram_repetition": _q_docs_ngram_repetition,
+        "events_top_users": _q_events_top_users,
+        "events_top_users_approx": _q_events_top_users_approx,
         # --- three-rounds-green rotation (driver-verified r2-r4) ---
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
@@ -2682,5 +2714,10 @@ SELECT doc.doc_id,
             ELSE coalesce(d.n_ngrams, 0) END AS n_ngrams,
        d.dup_ngram_frac, d.dup_ngram_char_frac
 FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id""",
+        "events_top_users": """
+SELECT user_id, n_events FROM (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id)
+ORDER BY n_events DESC, user_id LIMIT 20""",
     }
 

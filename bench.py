@@ -87,6 +87,8 @@ SECONDARY = [
     "events_value_percentile",
     "docs_quality_percentile",
     "docs_ngram_repetition",
+    "events_top_users",
+    "events_top_users_approx",
 ]
 
 

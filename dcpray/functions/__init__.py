@@ -8,6 +8,7 @@ Arrow batches — no driver-side loops, no per-row Python in hot paths.
 
 from dcpray.functions.agg import (
     approx_distinct_count,
+    approx_topk,
     add_coarse_pk,
     coarse_groupby,
     corr_per_group,
@@ -22,6 +23,7 @@ from dcpray.functions.agg import (
     pivot,
     quantiles_per_group,
     rollup,
+    topk_global,
     topk_per_group,
 )
 from dcpray.functions.setops import (
@@ -109,9 +111,9 @@ from dcpray.functions.window import (
 )
 
 __all__ = [
-    "add_coarse_pk", "approx_distinct_count", "coarse_groupby",
+    "add_coarse_pk", "approx_distinct_count", "approx_topk", "coarse_groupby",
     "distinct_count",
-    "exact_quantiles", "histogram", "melt", "pivot", "quantiles_per_group", "rollup", "topk_per_group",
+    "exact_quantiles", "histogram", "melt", "pivot", "quantiles_per_group", "rollup", "topk_global", "topk_per_group",
     "build_ivf_index", "ivf_query", "ivf_topk", "knn_self_join", "topk_cosine",
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",

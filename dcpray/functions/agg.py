@@ -1173,3 +1173,98 @@ def pivot(ds, key_col: str, name_col: str, value_col: str,
             [key_col] + list(names))
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def approx_topk(ds, value_col: str, k: int = 10, capacity: int = 4096):
+    """Approximate global top-k heavy hitters in ONE streaming pass
+    with ZERO exchange — the Misra–Gries summary (mergeable-summaries
+    form, Agarwal et al. 2012): each batch collapses to its exact value
+    counts and truncates to an MG summary of ``capacity`` counters
+    (subtract the (capacity+1)-th largest count, drop non-positive);
+    summaries merge once on the driver by summed counts + one more MG
+    truncation. num_blocks × capacity rows ever move — no shuffle at
+    all, unlike the exact path (``coarse_groupby`` + top-k), which pays
+    one all-to-all on the value hash. This is the sketch sibling of the
+    exact heavy-hitter path, the way ``approx_distinct_count`` (HLL)
+    siblings ``distinct_count``.
+
+    Guarantee: every returned ``count`` is a LOWER bound of the true
+    count, undercounting by at most the returned ``err`` (the summed
+    truncation decrements; also the max true count of any value NOT
+    returned). With ``capacity`` ≥ the distinct-value count nothing
+    truncates, ``err`` is 0 and counts are exact. Ties in the final
+    top-k break by value ascending (deterministic in exact mode).
+
+    Returns a pyarrow Table (value_col, count, err), top-k by
+    (count desc, value asc). Null values are not counted (SQL
+    count(value) semantics)."""
+    if k <= 0 or capacity <= 0:
+        raise ValueError("approx_topk: k and capacity must be positive")
+
+    def _truncate(vals: pa.Array, cnts: np.ndarray):
+        """MG truncation to ``capacity`` counters: subtract the
+        (capacity+1)-th largest count from every counter, drop the
+        non-positive. Returns (vals, cnts, threshold)."""
+        if len(cnts) <= capacity:
+            return vals, cnts, 0
+        thr = int(np.partition(cnts, len(cnts) - capacity - 1)
+                  [len(cnts) - capacity - 1])
+        dec = cnts - thr
+        keep = dec > 0
+        return vals.filter(pa.array(keep)), dec[keep], thr
+
+    def summarize(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select([value_col]).drop_null(),
+                            [value_col]).aggregate([([], "count_all")])
+        vals = g.column(0).combine_chunks()
+        cnts = g.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts, thr = _truncate(vals, cnts)
+        # one SENTINEL row (null value) carries this summary's
+        # truncation decrement — driver batches may coalesce many
+        # summaries, so the bound must ride in-band, not per-batch
+        sent = pa.table({value_col: pa.nulls(1, vals.type),
+                         "_cnt": pa.array([thr], pa.int64())})
+        body = pa.table({value_col: vals,
+                         "_cnt": pa.array(cnts, pa.int64())})
+        return pa.concat_tables([body, sent])
+
+    parts = [bt for bt in ds.map_batches(
+        summarize, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow")]
+    if not parts:
+        return pa.table({value_col: pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64()),
+                         "err": pa.array([], pa.int64())})
+    allp = pa.concat_tables(parts, promote_options="default")
+    null_mask = pc.is_null(allp[value_col])
+    err = int(pc.sum(allp.filter(null_mask)["_cnt"]).as_py() or 0)
+    merged = pa.TableGroupBy(allp.filter(pc.invert(null_mask)),
+                             [value_col]).aggregate([("_cnt", "sum")])
+    vals = merged.column(0).combine_chunks()
+    cnts = merged.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, cnts, thr2 = _truncate(vals, cnts)
+    err += int(thr2)
+    fin = pa.table({value_col: vals, "count": pa.array(cnts, pa.int64())})
+    fin = fin.sort_by([("count", "descending"),
+                       (value_col, "ascending")]).slice(0, k)
+    return fin.append_column(
+        "err", pa.array(np.full(fin.num_rows, err, np.int64)))
+
+
+def topk_global(ds, order_col: str, k: int, tiebreak_col: str,
+                descending: bool = True):
+    """EXACT global top-k rows by ``order_col`` — ``topk_per_group``
+    with a constant group key: each batch's local combiner bounds the
+    exchange to k rows per batch, the single merge partition finishes.
+    The exact sibling of ``approx_topk`` (which trades the exchange
+    for a bounded undercount)."""
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(
+            np.zeros(t.num_rows, np.int8)))
+
+    out = topk_per_group(ds.map_batches(add_g, batch_format="pyarrow"),
+                         "_g", order_col, k, tiebreak_col,
+                         descending=descending, partitions=1)
+    return out.map_batches(lambda t: t.drop_columns(["_g"]),
+                           batch_format="pyarrow")

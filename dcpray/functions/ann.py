@@ -554,6 +554,10 @@ class _KnnSelfScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:  # dynamic splits emit empty blocks;
             return self._empty()  # _stack's (0, 0) would break the matmul
+        from dcpray.functions.agg import require_nonnull
+
+        require_nonnull(batch, (self.id_col, self.emb_col),
+                        "knn_self_join")
         ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         emb = _stack(batch[self.emb_col])
@@ -616,9 +620,14 @@ def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
     CAST(b AS DOUBLE[]))`` checks the result value-for-value."""
     import ray
 
+    from dcpray.functions.agg import require_nonnull
+
     ids_parts, emb_parts = [], []
     for bt in ds.select_columns([id_col, emb_col]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
+        # loud: a null id would decode through float64 (corrupting ids
+        # >= 2^53) and a null embedding would mis-stack the matrix
+        require_nonnull(bt, (id_col, emb_col), "knn_self_join")
         ids_parts.append(bt[id_col].to_numpy(zero_copy_only=False)
                          .astype(np.int64))
         emb_parts.append(_stack(bt[emb_col]))

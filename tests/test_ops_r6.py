@@ -233,3 +233,80 @@ def test_empty_inputs_keep_output_schema():
     out = percent_rank_global(rd.from_arrow(ev), "value")
     assert out.schema().names == ["id", "value", "percent_rank"]
     assert out.count() == 0
+
+
+# ------------------------------------------- approx_topk / topk_global
+
+
+def test_approx_topk_exact_mode_matches_sql():
+    import duckdb
+
+    from dcpray.functions.agg import approx_topk
+
+    rng = np.random.default_rng(9)
+    v = rng.zipf(1.5, 4000) % 50  # heavy skew, 50 distinct
+    t = pa.table({"v": pa.array(v.astype(np.int64))})
+    out = approx_topk(rd.from_arrow(t).repartition(6), "v", k=10,
+                      capacity=1000).to_pandas()
+    assert (out["err"] == 0).all()  # capacity >= distinct: exact
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ora = con.execute("""SELECT v, CAST(count(*) AS BIGINT) AS count
+                         FROM t GROUP BY v
+                         ORDER BY count DESC, v LIMIT 10""").df()
+    assert out["v"].tolist() == ora["v"].tolist()
+    assert out["count"].tolist() == ora["count"].tolist()
+
+
+def test_approx_topk_truncated_bounds_hold():
+    from dcpray.functions.agg import approx_topk
+
+    rng = np.random.default_rng(13)
+    v = rng.zipf(1.3, 8000) % 500
+    t = pa.table({"v": pa.array(v.astype(np.int64))})
+    out = approx_topk(rd.from_arrow(t).repartition(8), "v", k=15,
+                      capacity=32).to_pandas()
+    true = {int(k): int(c) for k, c in
+            zip(*np.unique(v, return_counts=True))}
+    err = int(out["err"].iloc[0])
+    assert err > 0  # capacity 32 << 500 distinct: truncation happened
+    for _, row in out.iterrows():
+        tc = true[int(row["v"])]
+        assert row["count"] <= tc <= row["count"] + err  # MG bound
+    # any value NOT returned has true count <= err + min returned count
+    returned = set(int(x) for x in out["v"])
+    kth = int(out["count"].min())
+    for val, tc in true.items():
+        if val not in returned:
+            assert tc <= err + kth
+
+
+def test_approx_topk_nulls_and_empty():
+    from dcpray.functions.agg import approx_topk
+
+    t = pa.table({"v": pa.array(["a", None, "a", "b", None])})
+    out = approx_topk(rd.from_arrow(t), "v", k=5, capacity=10).to_pandas()
+    assert out["v"].tolist() == ["a", "b"]  # nulls never counted
+    assert out["count"].tolist() == [2, 1]
+    with pytest.raises(ValueError, match="positive"):
+        approx_topk(rd.from_arrow(t), "v", k=0)
+
+
+def test_topk_global_matches_sql():
+    import duckdb
+
+    from dcpray.functions.agg import topk_global
+
+    rng = np.random.default_rng(21)
+    t = pa.table({"id": pa.array(range(3000), pa.int64()),
+                  "score": pa.array(rng.integers(0, 40, 3000),
+                                    pa.int64())})
+    out = topk_global(rd.from_arrow(t).repartition(7), "score", k=25,
+                      tiebreak_col="id").to_pandas().sort_values(
+        ["score", "id"], ascending=[False, True]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ora = con.execute("""SELECT id, score FROM t
+                         ORDER BY score DESC, id LIMIT 25""").df()
+    assert out["id"].tolist() == ora["id"].tolist()
+    assert out["score"].tolist() == ora["score"].tolist()
