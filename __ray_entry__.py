@@ -2670,13 +2670,16 @@ WITH l AS (
 ), g AS (
   SELECT doc_id, seg, count(*) AS c, length(seg) AS len
   FROM l GROUP BY doc_id, seg
+), d AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
+         CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_seg_frac,
+         CASE WHEN sum(c * len) = 0 THEN NULL
+              ELSE CAST(sum((c - 1) * len) AS DOUBLE)
+                   / CAST(sum(c * len) AS DOUBLE) END AS dup_char_frac
+  FROM g GROUP BY doc_id
 )
-SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
-       CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_seg_frac,
-       CASE WHEN sum(c * len) = 0 THEN NULL
-            ELSE CAST(sum((c - 1) * len) AS DOUBLE)
-                 / CAST(sum(c * len) AS DOUBLE) END AS dup_char_frac
-FROM g GROUP BY doc_id""",
+SELECT doc.doc_id, d.n_segments, d.dup_seg_frac, d.dup_char_frac
+FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id""",
         "embeddings_knn3": """
 SELECT vec_id, nbr_id, rank, cosine FROM (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,

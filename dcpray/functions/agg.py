@@ -1200,6 +1200,10 @@ def approx_topk(ds, value_col: str, k: int = 10, capacity: int = 4096):
     count(value) semantics)."""
     if k <= 0 or capacity <= 0:
         raise ValueError("approx_topk: k and capacity must be positive")
+    if value_col in ("count", "err", "_cnt"):
+        # the output dict would silently swallow the value column
+        raise ValueError("approx_topk: value_col may not be named "
+                         "'count', 'err' or '_cnt' — rename it upstream")
 
     def _truncate(vals: pa.Array, cnts: np.ndarray):
         """MG truncation to ``capacity`` counters: subtract the
@@ -1232,7 +1236,10 @@ def approx_topk(ds, value_col: str, k: int = 10, capacity: int = 4096):
         summarize, batch_format="pyarrow").iter_batches(
             batch_size=65536, batch_format="pyarrow")]
     if not parts:
-        return pa.table({value_col: pa.array([], pa.string()),
+        rs = ds.schema()
+        vt = (dict(zip(rs.names, rs.types)).get(value_col, pa.string())
+              if rs is not None else pa.string())
+        return pa.table({value_col: pa.array([], vt),
                          "count": pa.array([], pa.int64()),
                          "err": pa.array([], pa.int64())})
     allp = pa.concat_tables(parts, promote_options="default")
@@ -1258,6 +1265,10 @@ def topk_global(ds, order_col: str, k: int, tiebreak_col: str,
     exchange to k rows per batch, the single merge partition finishes.
     The exact sibling of ``approx_topk`` (which trades the exchange
     for a bounded undercount)."""
+    rs = ds.schema()
+    if rs is not None and "_g" in rs.names:
+        raise ValueError("topk_global: input already has a '_g' column "
+                         "(internal constant-group key) — rename it")
 
     def add_g(t: pa.Table) -> pa.Table:
         return t.append_column("_g", pa.array(

@@ -567,7 +567,13 @@ class _KnnSelfScorer:
                              "(cosine undefined)")
         cos = (emb / nrm) @ self.xn.T
         cos4 = _round_half_away(cos, self.dp)
-        cos4[ids[:, None] == self.ids[None, :]] = -np.inf  # mask self
+        # mask self: corpus ids are SORTED, so each row's own column is
+        # one searchsorted probe — no n×N equality matrix
+        pos = np.searchsorted(self.ids, ids)
+        inb = pos < len(self.ids)
+        hit = inb.copy()
+        hit[inb] = self.ids[pos[inb]] == ids[inb]
+        cos4[np.flatnonzero(hit), pos[hit]] = -np.inf
         k = min(self.k, cos4.shape[1])
         # stable argsort of the NEGATED rounded cosine: equal cosines
         # keep column order, and columns are ascending by neighbor id
@@ -600,7 +606,7 @@ def _knn_self_batches(batch: pa.Table, corpus_ref, id_col: str,
 
 def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
                   emb_col: str = "embedding", round_dp: int = 4,
-                  concurrency: int = 4):
+                  concurrency: int = 4, batch_size: int = 2048):
     """Exact k-nearest-neighbor SELF-join over an embedding column:
     for every row, its ``k`` most-cosine-similar OTHER rows as
     ``(id, nbr_id, rank, cosine)`` — the similarity-graph primitive
@@ -609,10 +615,13 @@ def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
     DRIVER-BOUNDED like ``embedding_exact_pairs``: the corpus matrix is
     materialized once on the driver and broadcast (``ray.put``), every
     batch then scores in one numpy matmul — O(n·N) compute distributed
-    per batch, which IS the exact-kNN lower bound. ~10⁷ × 64-dim
-    (≈5 GB broadcast) is the practical ceiling; above it, route through
-    ``build_ivf_index``/``ivf_topk`` (probe-bounded approximate path)
-    or ``embedding_dup_pairs`` (hyperplane LSH) instead.
+    per batch, which IS the exact-kNN lower bound. The broadcast bounds
+    the corpus (~10⁷ × 64-dim ≈ 5 GB); per-task memory is
+    ``batch_size × N × 8`` bytes for the cosine matrix, so shrink
+    ``batch_size`` as the corpus grows (2048 × 10⁶ rows ≈ 16 GB is
+    past a worker heap — a million-row corpus wants ~256). Above that,
+    route through ``build_ivf_index``/``ivf_topk`` (probe-bounded
+    approximate path) or ``embedding_dup_pairs`` (hyperplane LSH).
 
     ``cosine`` is rounded to ``round_dp`` (half away from zero, DuckDB
     ``round()``-compatible) and ties rank by neighbor id ascending, so
@@ -655,5 +664,5 @@ def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
     del concurrency
     return ds.map_batches(
         _knn_self_batches, fn_args=(ref, id_col, emb_col, k, round_dp),
-        batch_format="pyarrow", batch_size=2048,
+        batch_format="pyarrow", batch_size=batch_size,
     )

@@ -212,7 +212,10 @@ def _guard_output_names(ds, out_names, op: str) -> None:
     output column colliding with an input one silently yields two
     same-named columns and name-based access picks an arbitrary one —
     every window op raises upfront instead (ADVICE r4)."""
-    clash = sorted(set(out_names) & set(ds.schema().names))
+    rs = ds.schema()
+    if rs is None:  # empty derived dataset — names unknowable; the
+        return      # per-batch append surfaces any clash downstream
+    clash = sorted(set(out_names) & set(rs.names))
     if clash:
         raise ValueError(
             f"{op}: output column(s) {clash} already exist in the "
@@ -760,7 +763,13 @@ def percent_rank_global(ds, order_col: str, out_col: str = "percent_rank",
     ``count_less / (n - 1)`` per row with one searchsorted per batch —
     float64 division of exact integers, bit-identical to the SQL
     engine's arithmetic. Nulls and NaN in ``order_col`` raise (filter
-    first); ``n == 1`` yields 0.0 like SQL."""
+    first); ``n == 1`` yields 0.0 like SQL.
+
+    The input is re-executed between the two passes (the same re-read
+    design as tfidf_top_terms), so the upstream pipeline must be
+    DETERMINISTIC: a value pass 2 sees that pass 1 did not raises
+    loudly instead of silently taking a neighbor's rank —
+    ``materialize()`` a nondeterministic input first."""
     import ray
 
     from dcpray.functions.agg import require_nonnull
@@ -778,17 +787,26 @@ def percent_rank_global(ds, order_col: str, out_col: str = "percent_rank",
             batch_size=65536, batch_format="pyarrow"):
         parts.append(bt)
     if not parts or sum(p.num_rows for p in parts) == 0:
-        # SCHEMA-PINNED empty output: a map_batches whose UDF never ran
-        # leaves ds.schema() None, so build the (input + out_col) empty
-        # table directly (the join.py empty-side convention)
-        import ray.data
-
         rs = ds.schema()
-        out_schema = pa.schema(list(zip(rs.names, rs.types))
-                               + [(out_col, pa.float64())])
-        return ray.data.from_arrow(out_schema.empty_table())
-    merged = pa.TableGroupBy(pa.concat_tables(parts), [order_col]) \
-        .aggregate([("_n", "sum")])
+        if rs is not None:
+            # SCHEMA-PINNED empty output: a map_batches whose UDF never
+            # ran leaves the mapped dataset's schema None, so build the
+            # (input + out_col) empty table directly (the join.py
+            # empty-side convention)
+            import ray.data
+
+            out_schema = pa.schema(list(zip(rs.names, rs.types))
+                                   + [(out_col, pa.float64())])
+            return ray.data.from_arrow(out_schema.empty_table())
+        # input schema itself unknowable (empty AND derived): fall
+        # through with an empty CDF — empty/unknown in, empty/unknown
+        # out, and any row a nondeterministic re-execution conjures up
+        # hits the unseen-value guard in assign
+        merged = pa.table({order_col: pa.array([], pa.float64()),
+                           "_n_sum": pa.array([], pa.int64())})
+    else:
+        merged = pa.TableGroupBy(pa.concat_tables(parts), [order_col]) \
+            .aggregate([("_n", "sum")])
     if merged.num_rows > max_distinct:
         raise ValueError(
             f"percent_rank_global: {merged.num_rows} distinct values "
@@ -814,6 +832,17 @@ def percent_rank_global(ds, order_col: str, out_col: str = "percent_rank",
         if x.dtype.kind == "f":
             x = x + 0.0
         idx = np.searchsorted(v, x)
+        # loud determinism guard: a value pass 1 never saw would take a
+        # NEIGHBOR'S count_less silently (or index past the CDF)
+        oob = idx >= len(v)
+        bad = oob.copy()
+        inb = ~oob
+        bad[inb] = v[idx[inb]] != x[inb]
+        if bad.any():
+            raise ValueError(
+                "percent_rank_global: pass 2 saw a value pass 1 did "
+                "not — the upstream pipeline is nondeterministic "
+                "across re-executions; materialize() it first")
         if _n <= 1:
             pr = np.zeros(len(x), np.float64)
         else:

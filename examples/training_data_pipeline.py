@@ -109,8 +109,10 @@ def run_pipeline(wal_dir: str, base_dir: str | None, out_dir: str,
                 pc.is_in(lang["lang_pred"],
                          value_set=pa.array(["en", "de", "fr", "es"])),
             ),
-            # Gopher repetition gate (null dup fraction = empty doc:
-            # fails the gate, like its quality score would)
+            # Gopher repetition gate (dup_seg_frac is null only for
+            # NULL text — fill to 1.0 so null-text docs fail the gate;
+            # empty-string docs get 0.0 here and are left to the
+            # quality gate)
             pc.less_equal(pc.fill_null(rep["dup_seg_frac"], 1.0),
                           pa.scalar(max_dup_frac, pa.float64())),
         )

@@ -310,3 +310,67 @@ def test_topk_global_matches_sql():
                          ORDER BY score DESC, id LIMIT 25""").df()
     assert out["id"].tolist() == ora["id"].tolist()
     assert out["score"].tolist() == ora["score"].tolist()
+
+
+# ------------------------------------------- code-review regressions
+
+
+def test_percent_rank_global_empty_derived_input():
+    """Empty input THROUGH map_batches: schema is unknowable (None) —
+    must not crash (review finding: AttributeError on rs.names)."""
+    et = pa.table({"id": pa.array([], pa.int64()),
+                   "value": pa.array([], pa.float64())})
+    ds = rd.from_arrow(et).map_batches(lambda t: t,
+                                       batch_format="pyarrow")
+    out = percent_rank_global(ds, "value")
+    assert out.count() == 0
+
+
+def test_approx_topk_reserved_value_col_raises():
+    from dcpray.functions.agg import approx_topk
+
+    t = pa.table({"count": pa.array([1, 1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="may not be named"):
+        approx_topk(rd.from_arrow(t), "count", k=2)
+
+
+def test_approx_topk_empty_keeps_value_type():
+    from dcpray.functions.agg import approx_topk
+
+    t = pa.table({"v": pa.array([], pa.int64())})
+    out = approx_topk(rd.from_arrow(t), "v", k=3)
+    assert out.schema.field("v").type == pa.int64()
+    assert out.num_rows == 0
+
+
+def test_topk_global_reserved_g_raises():
+    from dcpray.functions.agg import topk_global
+
+    t = pa.table({"_g": pa.array([1], pa.int64()),
+                  "s": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="_g"):
+        topk_global(rd.from_arrow(t), "s", k=1, tiebreak_col="_g")
+
+
+def test_percent_rank_global_nondeterministic_input_raises():
+    """A value in pass 2 that pass 1 never saw must raise, not take a
+    neighbor's rank (review finding: silent wrong percent_rank)."""
+    # cross-process execution counter via the filesystem: the pipeline
+    # re-executes for (1) the schema probe, (2) the CDF pass, (3) the
+    # assign pass — emit an UNSEEN value only on the final execution
+    import os as _os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+
+    def mutate2(t: pa.Table) -> pa.Table:
+        n = len(_os.listdir(d))
+        open(_os.path.join(d, f"run{n}_{_os.getpid()}"), "w").close()
+        if n >= 2:
+            return pa.table({"value": pa.array([99.0, 2.0])})
+        return pa.table({"value": pa.array([1.0, 2.0])})
+
+    ds = rd.from_arrow(pa.table({"value": [0.0]})).map_batches(
+        mutate2, batch_format="pyarrow")
+    with pytest.raises(Exception, match="nondeterministic"):
+        percent_rank_global(ds, "value").materialize()
