@@ -1816,6 +1816,18 @@ def _q_embeddings_knn3(sf_dir: str):
     return knn_self_join(ds, k=3)
 
 
+def _q_docs_encode_tokens(sf_dir: str):
+    """Corpus-vocab token encoding (vocab_size=64 so OOV is exercised):
+    one row per (doc, position) with the term and its 1-based vocab
+    rank id (0 = OOV). Vocabulary ranking and tokenizer are shared
+    verbatim with docs_top_terms' oracle."""
+    from dcpray.functions.textprep import encode_tokens
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    return encode_tokens(ds, vocab_size=64)
+
+
 def _q_events_top_users(sf_dir: str):
     """EXACT global heavy hitters: top-20 users by event count —
     coarse_groupby partial counts + topk_global (per-batch combiner
@@ -1950,6 +1962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_repetition": _q_docs_ngram_repetition,
         "events_top_users": _q_events_top_users,
         "events_top_users_approx": _q_events_top_users_approx,
+        "docs_encode_tokens": _q_docs_encode_tokens,
         # --- three-rounds-green rotation (driver-verified r2-r4) ---
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
@@ -2722,5 +2735,21 @@ SELECT user_id, n_events FROM (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY user_id)
 ORDER BY n_events DESC, user_id LIMIT 20""",
+        "docs_encode_tokens": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(
+             regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+  FROM documents
+), vocab AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) AS INTEGER)
+         AS id
+  FROM (SELECT term, count(*) AS c FROM toks GROUP BY term)
+  QUALIFY id <= 64
+)
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.term,
+       coalesce(v.id, 0) AS token_id
+FROM toks t LEFT JOIN vocab v USING (term)""",
     }
 

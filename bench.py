@@ -89,6 +89,7 @@ SECONDARY = [
     "docs_ngram_repetition",
     "events_top_users",
     "events_top_users_approx",
+    "docs_encode_tokens",
 ]
 
 

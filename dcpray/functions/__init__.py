@@ -79,6 +79,7 @@ from dcpray.functions.textprep import (
     chunk_text,
     extract_json_field,
     doc_term_counts,
+    encode_tokens,
     normalize_text,
     scrub_pii,
     tfidf_top_terms,
@@ -126,7 +127,7 @@ __all__ = [
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
     "hash_join_skew", "range_join", "range_join_broadcast",
     "hash_sample", "hash_split", "stratified_sample",
-    "chunk_text", "doc_term_counts", "extract_json_field", "normalize_text", "scrub_pii",
+    "chunk_text", "doc_term_counts", "encode_tokens", "extract_json_field", "normalize_text", "scrub_pii",
     "tfidf_top_terms", "top_terms", "assemble_groups", "pack_sequences",
     "kmeans_assign", "kmeans_fit",
     "LangId", "QualityScorer", "fingerprint", "fingerprint_md5",

@@ -604,3 +604,70 @@ def extract_json_field(ds, col: str, key: str, out_col: str | None = None,
         return t.append_column(out_col, v)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _encode_batch(t: pa.Table, vocab_ref, text_col: str,
+                  id_col: str) -> pa.Table:
+    """Per-batch token encoding kernel: split → filter empties →
+    vectorized vocab lookup (pandas Index.get_indexer — one hash probe
+    pass, no Python per token) → 1-based in-document positions."""
+    import pandas as pd
+    import ray
+
+    from dcpray.rayutil import worker_memo
+
+    idx = worker_memo(("encode_vocab", vocab_ref.hex()),
+                      lambda: pd.Index(ray.get(vocab_ref)))
+    toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                  pattern=_TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat, par = flat.filter(keep), par.filter(keep)
+    parn = par.to_numpy(zero_copy_only=False).astype(np.int64)
+    # token id = 1 + vocab rank; OOV -> 0 (the conventional <unk> slot)
+    got = idx.get_indexer(flat.to_numpy(zero_copy_only=False))
+    ids = np.where(got < 0, 0, got + 1).astype(np.int32)
+    # 1-based position among the doc's (non-empty) tokens — identical
+    # to the oracle's generate_subscripts over regexp_extract_all
+    first = np.r_[True, parn[1:] != parn[:-1]] if len(parn) \
+        else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.r_[starts, len(parn)])
+    pos = np.arange(len(parn)) - np.repeat(starts, sizes) + 1
+    return pa.table({
+        id_col: t[id_col].take(par),
+        "pos": pa.array(pos, pa.int64()),
+        "term": flat,
+        "token_id": pa.array(ids, pa.int32()),
+    })
+
+
+def encode_tokens(ds, vocab_size: int = 10000, text_col: str = "text",
+                  id_col: str = "doc_id", partitions: int = 64):
+    """Corpus-vocabulary token encoding — the canonical final step of a
+    text training pipeline: build the top-``vocab_size`` vocabulary
+    (``top_terms``: count desc, term asc), assign ids 1..V in rank
+    order (0 = OOV/<unk>), and encode every document's token sequence
+    against it. Output is EXPLODED — one row per (doc, position):
+    ``(id_col, pos, term, token_id)`` — so a SQL oracle compares it
+    value-for-value (list columns would also be the wrong exchange
+    granularity for downstream id-level ops like pack_sequences).
+
+    Scale shape: the vocabulary candidates reach the driver bounded by
+    partitions × vocab_size (top_terms' contract); the id table
+    broadcasts ONCE (``ray.put`` of the rank-ordered term array, ~V
+    strings); encoding itself is zero-exchange — each batch splits,
+    probes the shared pandas Index, and positions its own tokens.
+    Tokenization is shared verbatim with top_terms/tfidf (lowercase,
+    split ``[^a-z0-9]+``, drop empties)."""
+    import ray
+
+    vocab = top_terms(ds, text_col=text_col, k=vocab_size,
+                      partitions=partitions)
+    terms = vocab["term"].to_numpy(zero_copy_only=False)
+    ref = ray.put(terms)
+    return ds.map_batches(_encode_batch, fn_args=(ref, text_col, id_col),
+                          batch_format="pyarrow")

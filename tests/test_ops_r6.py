@@ -374,3 +374,37 @@ def test_percent_rank_global_nondeterministic_input_raises():
         mutate2, batch_format="pyarrow")
     with pytest.raises(Exception, match="nondeterministic"):
         percent_rank_global(ds, "value").materialize()
+
+
+# ------------------------------------------------------ encode_tokens
+
+
+def test_encode_tokens_hand_checked():
+    from dcpray.functions.textprep import encode_tokens
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["THE cat, the-hat!", "zzz unseen THE", ""]})
+    # corpus counts: the=3, cat=1, hat=1, unseen=1, zzz=1
+    # vocab_size=2 -> ids: the=1, cat=2 (cnt desc, term asc)
+    out = encode_tokens(rd.from_arrow(t), vocab_size=2).to_pandas() \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert out[out.doc_id == 1]["term"].tolist() == [
+        "the", "cat", "the", "hat"]
+    assert out[out.doc_id == 1]["pos"].tolist() == [1, 2, 3, 4]
+    assert out[out.doc_id == 1]["token_id"].tolist() == [1, 2, 1, 0]
+    assert out[out.doc_id == 2]["token_id"].tolist() == [0, 0, 1]
+    assert (out.doc_id != 3).all()  # empty doc yields no rows
+    assert out["token_id"].dtype == np.int32
+
+
+def test_encode_tokens_positions_skip_split_empties():
+    from dcpray.functions.textprep import encode_tokens
+
+    # leading/trailing separators produce empty split tokens that must
+    # NOT consume positions (oracle's regexp_extract_all never emits
+    # empties)
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": ["  a  b  "]})
+    out = encode_tokens(rd.from_arrow(t), vocab_size=10).to_pandas()
+    assert out["pos"].tolist() == [1, 2]
+    assert out["term"].tolist() == ["a", "b"]
