@@ -1190,10 +1190,12 @@ def approx_topk(ds, value_col: str, k: int = 10, capacity: int = 4096):
 
     Guarantee: every returned ``count`` is a LOWER bound of the true
     count, undercounting by at most the returned ``err`` (the summed
-    truncation decrements; also the max true count of any value NOT
-    returned). With ``capacity`` ≥ the distinct-value count nothing
-    truncates, ``err`` is 0 and counts are exact. Ties in the final
-    top-k break by value ascending (deterministic in exact mode).
+    truncation decrements). A value NOT returned has true count at
+    most ``err`` + the smallest returned count (it may have survived
+    truncation but ranked below k). With ``capacity`` ≥ the
+    distinct-value count nothing truncates, ``err`` is 0 and counts
+    are exact. Ties in the final top-k break by value ascending
+    (deterministic in exact mode).
 
     Returns a pyarrow Table (value_col, count, err), top-k by
     (count desc, value asc). Null values are not counted (SQL
@@ -1265,12 +1267,14 @@ def topk_global(ds, order_col: str, k: int, tiebreak_col: str,
     exchange to k rows per batch, the single merge partition finishes.
     The exact sibling of ``approx_topk`` (which trades the exchange
     for a bounded undercount)."""
-    rs = ds.schema()
-    if rs is not None and "_g" in rs.names:
-        raise ValueError("topk_global: input already has a '_g' column "
-                         "(internal constant-group key) — rename it")
 
     def add_g(t: pa.Table) -> pa.Table:
+        # in-batch name check (a driver-side ds.schema() probe would
+        # EXECUTE the upstream pipeline once just for the guard)
+        if "_g" in t.column_names:
+            raise ValueError("topk_global: input already has a '_g' "
+                             "column (internal constant-group key) — "
+                             "rename it")
         return t.append_column("_g", pa.array(
             np.zeros(t.num_rows, np.int8)))
 

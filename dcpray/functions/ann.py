@@ -567,13 +567,18 @@ class _KnnSelfScorer:
                              "(cosine undefined)")
         cos = (emb / nrm) @ self.xn.T
         cos4 = _round_half_away(cos, self.dp)
-        # mask self: corpus ids are SORTED, so each row's own column is
-        # one searchsorted probe — no n×N equality matrix
-        pos = np.searchsorted(self.ids, ids)
-        inb = pos < len(self.ids)
-        hit = inb.copy()
-        hit[inb] = self.ids[pos[inb]] == ids[inb]
-        cos4[np.flatnonzero(hit), pos[hit]] = -np.inf
+        # mask self: corpus ids are SORTED, so each row's own columns
+        # are one left/right searchsorted pair — no n×N equality
+        # matrix, and a DUPLICATED id masks its WHOLE run (the SQL
+        # semantics: a.id <> b.id excludes every same-id pair)
+        lo = np.searchsorted(self.ids, ids, side="left")
+        hi = np.searchsorted(self.ids, ids, side="right")
+        lens = hi - lo
+        rows = np.repeat(np.arange(len(ids)), lens)
+        cols = lo.repeat(lens) + (np.arange(lens.sum())
+                                  - np.repeat(np.cumsum(lens) - lens,
+                                              lens))
+        cos4[rows, cols] = -np.inf
         k = min(self.k, cos4.shape[1])
         # stable argsort of the NEGATED rounded cosine: equal cosines
         # keep column order, and columns are ascending by neighbor id

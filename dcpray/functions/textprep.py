@@ -662,7 +662,13 @@ def encode_tokens(ds, vocab_size: int = 10000, text_col: str = "text",
     strings); encoding itself is zero-exchange — each batch splits,
     probes the shared pandas Index, and positions its own tokens.
     Tokenization is shared verbatim with top_terms/tfidf (lowercase,
-    split ``[^a-z0-9]+``, drop empties)."""
+    split ``[^a-z0-9]+``, drop empties).
+
+    The input is re-executed between the vocab pass and the encode
+    pass (the same re-read design as tfidf_top_terms), so the upstream
+    pipeline must be DETERMINISTIC — ``materialize()`` a sampled /
+    limited / otherwise nondeterministic input first, or its terms
+    will rank against a vocabulary built from different text."""
     import ray
 
     vocab = top_terms(ds, text_col=text_col, k=vocab_size,

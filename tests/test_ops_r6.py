@@ -348,8 +348,27 @@ def test_topk_global_reserved_g_raises():
 
     t = pa.table({"_g": pa.array([1], pa.int64()),
                   "s": pa.array([1], pa.int64())})
-    with pytest.raises(ValueError, match="_g"):
-        topk_global(rd.from_arrow(t), "s", k=1, tiebreak_col="_g")
+    # raised IN-BATCH (a driver-side schema probe would execute the
+    # upstream pipeline once just for the guard), so it surfaces as a
+    # wrapped Ray task error at execution time
+    with pytest.raises(Exception, match="_g"):
+        topk_global(rd.from_arrow(t), "s", k=1,
+                    tiebreak_col="_g").materialize()
+
+
+def test_knn_self_join_duplicate_ids_never_self_pair():
+    """Duplicated vec_ids must mask their WHOLE sorted run (SQL
+    a.id <> b.id excludes every same-id pair) — a leftmost-only
+    searchsorted probe returned (5, 5, 1.0) self-pairs."""
+    x = np.array([[1, 0], [1, 0], [0.6, 0.8], [0, 1]], np.float32)
+    t = pa.table({"vec_id": pa.array([5, 5, 2, 9], pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    out = knn_self_join(rd.from_arrow(t), k=3).to_pandas()
+    assert (out["vec_id"] != out["nbr_id"]).all()
+    # both id-5 rows still rank the OTHER vectors
+    five = out[out.vec_id == 5]
+    assert set(five["nbr_id"]) == {2, 9}
 
 
 def test_percent_rank_global_nondeterministic_input_raises():
