@@ -72,3 +72,46 @@ def test_percent_rank_cdf_math_matches_duckdb(vals):
     exp = con.execute("""SELECT percent_rank() OVER (ORDER BY v) AS pr
                          FROM t ORDER BY i""").df()["pr"].to_numpy()
     assert (pr == exp).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["", "a", "bb", "müß", "x"]),
+                         min_size=1, max_size=10).map(" ".join),
+                min_size=1, max_size=15))
+def test_ngram_repetition_matches_sql_oracle(texts):
+    import pandas as pd
+
+    from dcpray.functions.textstats import ngram_repetition_stats
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = ngram_repetition_stats(t, n=2, sep=" ").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    ora = con.execute("""
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM l WHERE len(toks) > 1),
+g AS (SELECT doc_id, w1, w2, count(*) AS c,
+             length(w1) + length(w2) AS bl
+      FROM b GROUP BY doc_id, w1, w2),
+d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+             CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                 AS dup_ngram_frac,
+             CASE WHEN sum(c * bl) = 0 THEN NULL
+                  ELSE CAST(sum((c - 1) * bl) AS DOUBLE)
+                       / CAST(sum(c * bl) AS DOUBLE) END
+                 AS dup_ngram_char_frac
+      FROM g GROUP BY doc_id)
+SELECT doc.doc_id, coalesce(d.n_ngrams, 0) AS n_ngrams,
+       d.dup_ngram_frac, d.dup_ngram_char_frac
+FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+ORDER BY doc.doc_id""").df()
+    assert (out["n_ngrams"].to_numpy()
+            == ora["n_ngrams"].to_numpy()).all()
+    for col in ("dup_ngram_frac", "dup_ngram_char_frac"):
+        a = out[col].to_numpy(dtype=float, na_value=np.nan)
+        b = ora[col].to_numpy(dtype=float, na_value=np.nan)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
