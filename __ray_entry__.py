@@ -1816,6 +1816,18 @@ def _q_embeddings_knn3(sf_dir: str):
     return knn_self_join(ds, k=3)
 
 
+def _q_embeddings_knn3_ivf_full(sf_dir: str):
+    """IVF-bucketed kNN self-join at FULL probe (nprobe == nlist):
+    row-identical to the brute path and to the same SQL oracle — the
+    scale route's correctness anchor (sub-probe recall is unit-tested,
+    rows-only by nature, mirroring ann_ivf_topk ↔ ann_ivf_full_probe)."""
+    from dcpray.functions.ann import knn_self_join_ivf
+
+    ds = read_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                    columns=["vec_id", "embedding"], override_num_blocks=8)
+    return knn_self_join_ivf(ds, k=3, nlist=8, nprobe=8)
+
+
 def _q_docs_encode_tokens(sf_dir: str):
     """Corpus-vocab token encoding (vocab_size=64 so OOV is exercised):
     one row per (doc, position) with the term and its 1-based vocab
@@ -1963,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": _q_events_top_users,
         "events_top_users_approx": _q_events_top_users_approx,
         "docs_encode_tokens": _q_docs_encode_tokens,
+        "embeddings_knn3_ivf_full": _q_embeddings_knn3_ivf_full,
         # --- three-rounds-green rotation (driver-verified r2-r4) ---
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
@@ -2064,6 +2077,19 @@ SELECT doc_id,
       + 0.25 * (n_alpha / CAST(greatest(1, n_chars) AS DOUBLE))
       + 0.25 * (CASE WHEN n > 0 THEN n_uniq / CAST(n AS DOUBLE) ELSE 0 END), 6) quality_score
 FROM s"""
+    knn3_sql = """
+SELECT vec_id, nbr_id, rank, cosine FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         round(CAST(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine,
+         row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(CAST(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) DESC,
+             b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= 3"""
     ann_bruteforce_sql = """
 WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 5)
 SELECT query_id, vec_id FROM (
@@ -2693,19 +2719,11 @@ WITH l AS (
 )
 SELECT doc.doc_id, d.n_segments, d.dup_seg_frac, d.dup_char_frac
 FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id""",
-        "embeddings_knn3": """
-SELECT vec_id, nbr_id, rank, cosine FROM (
-  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-         round(CAST(list_cosine_similarity(
-             CAST(a.embedding AS DOUBLE[]),
-             CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine,
-         row_number() OVER (PARTITION BY a.vec_id
-             ORDER BY round(CAST(list_cosine_similarity(
-                 CAST(a.embedding AS DOUBLE[]),
-                 CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) DESC,
-             b.vec_id) AS rank
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-) WHERE rank <= 3""",
+        "embeddings_knn3": knn3_sql,
+        # the IVF self-join at FULL probe must equal the brute path —
+        # ONE oracle string bound for both (the cdc_change_feed /
+        # quality_sql sharing convention)
+        "embeddings_knn3_ivf_full": knn3_sql,
         "events_value_percentile": """
 SELECT event_id, value,
        percent_rank() OVER (ORDER BY value) AS percent_rank

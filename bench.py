@@ -90,6 +90,7 @@ SECONDARY = [
     "events_top_users",
     "events_top_users_approx",
     "docs_encode_tokens",
+    "embeddings_knn3_ivf_full",
 ]
 
 

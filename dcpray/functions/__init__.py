@@ -37,6 +37,7 @@ from dcpray.functions.ann import (
     ivf_query,
     ivf_topk,
     knn_self_join,
+    knn_self_join_ivf,
     topk_cosine,
 )
 from dcpray.functions.decontam import (
@@ -115,7 +116,7 @@ __all__ = [
     "add_coarse_pk", "approx_distinct_count", "approx_topk", "coarse_groupby",
     "distinct_count",
     "exact_quantiles", "histogram", "melt", "pivot", "quantiles_per_group", "rollup", "topk_global", "topk_per_group",
-    "build_ivf_index", "ivf_query", "ivf_topk", "knn_self_join", "topk_cosine",
+    "build_ivf_index", "ivf_query", "ivf_topk", "knn_self_join", "knn_self_join_ivf", "topk_cosine",
     "cluster_pairs", "cluster_pairs_distributed", "embedding_dup_pairs",
     "embedding_exact_pairs", "exact_dedup", "minhash_dedup",
     "minhash_dup_pairs", "ngram_jaccard_exact_pairs", "simhash_dup_pairs",

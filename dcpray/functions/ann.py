@@ -671,3 +671,156 @@ def knn_self_join(ds, k: int = 3, id_col: str = "vec_id",
         _knn_self_batches, fn_args=(ref, id_col, emb_col, k, round_dp),
         batch_format="pyarrow", batch_size=batch_size,
     )
+
+
+def _knn_ivf_fanout(batch: pa.Table, cents_ref, nprobe: int,
+                    id_col: str, emb_col: str) -> pa.Table:
+    """One output row per (input row, probed list): the row's NORMALIZED
+    embedding rides along; ``is_member`` marks its primary (top-1)
+    list — the list whose group will index it."""
+    import ray
+
+    from dcpray.functions.agg import require_nonnull
+    from dcpray.rayutil import worker_memo
+
+    if batch.num_rows == 0:
+        return pa.table({"ivf_list": pa.array([], pa.int32()),
+                         id_col: pa.array([], pa.int64()),
+                         emb_col: pa.array([], pa.list_(pa.float64())),
+                         "is_member": pa.array([], pa.bool_())})
+    require_nonnull(batch, (id_col, emb_col), "knn_self_join_ivf")
+    cents = worker_memo(("knn_ivf_cents", cents_ref.hex()),
+                        lambda: ray.get(cents_ref))
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = _stack(batch[emb_col])
+    nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+    if (nrm == 0).any():
+        raise ValueError("knn_self_join_ivf: zero-norm embedding")
+    xn = emb / nrm
+    sim = xn @ cents.T
+    probes = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
+    n, d = xn.shape
+    flat = np.repeat(np.arange(n), nprobe)
+    lists = probes.ravel().astype(np.int32)
+    member = np.zeros(n * nprobe, bool)
+    member[::nprobe] = True  # column 0 of argsort = primary list
+    rep = xn[flat].ravel()
+    emb_out = pa.ListArray.from_arrays(
+        pa.array(np.arange(n * nprobe + 1) * d, pa.int32()),
+        pa.array(rep, pa.float64()))
+    return pa.table({"ivf_list": pa.array(lists),
+                     id_col: pa.array(ids[flat]),
+                     emb_col: emb_out,
+                     "is_member": pa.array(member)})
+
+
+def _knn_ivf_list_topk(group: pa.Table, k: int, round_dp: int,
+                       id_col: str, emb_col: str) -> pa.Table:
+    """Per-list kernel: every prober in the group scores against the
+    group's MEMBER rows (one matmul), local top-k with the brute
+    path's exact ordering (rounded cosine desc, neighbor id asc)."""
+    mem_mask = group["is_member"].to_numpy(zero_copy_only=False)
+    ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = _stack(group[emb_col])  # already normalized at fan-out
+    mids, mx = ids[mem_mask], x[mem_mask]
+    if len(mids) == 0 or len(ids) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "nbr_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    srt = np.argsort(mids, kind="stable")
+    mids, mx = mids[srt], mx[srt]
+    cos4 = _round_half_away(x @ mx.T, round_dp)
+    lo = np.searchsorted(mids, ids, side="left")
+    hi = np.searchsorted(mids, ids, side="right")
+    lens = hi - lo
+    rows = np.repeat(np.arange(len(ids)), lens)
+    cols = lo.repeat(lens) + (np.arange(lens.sum())
+                              - np.repeat(np.cumsum(lens) - lens, lens))
+    cos4[rows, cols] = -np.inf  # mask self (whole duplicate-id run)
+    kk = min(k, cos4.shape[1])
+    order = np.argsort(-cos4, axis=1, kind="stable")[:, :kk]
+    nbr = mids[order]
+    c = np.take_along_axis(cos4, order, axis=1)
+    keep = np.isfinite(c.ravel())
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, kk)[keep]),
+        "nbr_id": pa.array(nbr.ravel()[keep]),
+        "cosine": pa.array(c.ravel()[keep]),
+    })
+
+
+def _knn_merge_partition(t: pa.Table, k: int, id_col: str) -> pa.Table:
+    """Final per-partition merge: each vector's ≤ nprobe×k candidates →
+    global top-k with a rank column (cosine desc, neighbor id asc)."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    nbr = t["nbr_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cos = t["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nbr, -cos, ids))
+    gs = ids[order]
+    first = np.r_[True, gs[1:] != gs[:-1]] if len(gs) else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.r_[starts, len(gs)])
+    rank = np.arange(len(gs)) - np.repeat(starts, sizes)
+    rk = (rank[rank < k] + 1).astype(np.int64)
+    return pa.table({
+        id_col: pa.array(gs[rank < k]),
+        "nbr_id": pa.array(nbr[order][rank < k]),
+        "rank": pa.array(rk),
+        "cosine": pa.array(cos[order][rank < k]),
+    })
+
+
+def knn_self_join_ivf(ds, k: int = 3, nlist: int = 32, nprobe: int = 8,
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      round_dp: int = 4, sample_size: int = 10_000,
+                      partitions: int = 64):
+    """The SCALE path for the kNN similarity graph: IVF-bucketed
+    self-join — no corpus broadcast, no driver materialization.
+    Approximate for ``nprobe < nlist``; EXACT (row-identical to
+    ``knn_self_join``) when ``nprobe == nlist``.
+
+    Scale shape: centroids train on a deterministic hashed-id sample
+    (driver-side, O(sample×dim)) and broadcast once; each row fans out
+    to its ``nprobe`` nearest lists (the one all-to-all, nprobe× the
+    corpus bytes); each list group runs ONE probers × members matmul
+    and keeps k candidates per prober; a coarse-partition merge on the
+    vector id reduces ≤ nprobe×k candidates per vector to the global
+    top-k. Per-task memory is one list's members × probers — bounded
+    by list population, never the corpus. Same ordering contract as
+    the brute path (4dp half-away-from-zero rounded cosine, neighbor
+    id ties ascending), so the same SQL oracle verifies full-probe
+    runs."""
+    import ray
+    import ray.data
+
+    from dcpray.functions.agg import add_coarse_pk
+
+    sds = ds.select_columns([id_col, emb_col])
+    if (id_col, emb_col) != ("vec_id", "embedding"):
+        # _training_sample keys on the canonical names
+        sds = sds.map_batches(
+            lambda t: t.rename_columns(["vec_id", "embedding"]),
+            batch_format="pyarrow")
+    try:
+        sample = _training_sample(sds, sample_size)
+    except ValueError:
+        # EMPTY corpus: schema-pinned empty output, like knn_self_join
+        t = _KnnSelfScorer.OUT_SCHEMA.empty_table()
+        return ray.data.from_arrow(
+            t.rename_columns([id_col] + t.column_names[1:]))
+    cents = train_centroids(sample, nlist)
+    nprobe = min(nprobe, len(cents))
+    cents_ref = ray.put(cents)
+    fanned = ds.map_batches(
+        _knn_ivf_fanout, fn_args=(cents_ref, nprobe, id_col, emb_col),
+        batch_format="pyarrow", batch_size=8192)
+    cand = fanned.groupby("ivf_list").map_groups(
+        lambda g: _knn_ivf_list_topk(g.drop_columns(["ivf_list"]), k,
+                                     round_dp, id_col, emb_col),
+        batch_format="pyarrow")
+    keyed = cand.map_batches(
+        lambda t: add_coarse_pk(t, id_col, partitions),
+        batch_format="pyarrow")
+    return keyed.groupby("_pk").map_groups(
+        lambda g: _knn_merge_partition(g.drop_columns(["_pk"]), k, id_col),
+        batch_format="pyarrow")

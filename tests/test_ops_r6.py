@@ -427,3 +427,58 @@ def test_encode_tokens_positions_skip_split_empties():
     out = encode_tokens(rd.from_arrow(t), vocab_size=10).to_pandas()
     assert out["pos"].tolist() == [1, 2]
     assert out["term"].tolist() == ["a", "b"]
+
+
+# ------------------------------------------------- knn_self_join_ivf
+
+
+def test_knn_ivf_full_probe_equals_brute():
+    """nprobe == nlist: the IVF self-join must be ROW-IDENTICAL to the
+    brute path (every pair scored exactly once, same rounded-cosine /
+    id-tie ordering) — the scale route's correctness anchor."""
+    from dcpray.functions.ann import knn_self_join_ivf
+
+    rng = np.random.default_rng(31)
+    n, dim = 200, 12
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    x[11] = x[2]  # exact duplicate exercises the id tiebreak
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    brute = knn_self_join(ds, k=4).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+    full = knn_self_join_ivf(ds, k=4, nlist=6, nprobe=6).to_pandas() \
+        .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    assert brute.equals(full[brute.columns])
+
+
+def test_knn_ivf_subprobe_recall_reasonable():
+    from dcpray.functions.ann import knn_self_join_ivf
+
+    rng = np.random.default_rng(33)
+    n, dim = 400, 16
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    brute = knn_self_join(ds, k=5).to_pandas()
+    sub = knn_self_join_ivf(ds, k=5, nlist=8, nprobe=3).to_pandas()
+    # every vector still gets answers, no self-pairs, recall is sane
+    assert (sub["vec_id"] != sub["nbr_id"]).all()
+    assert sub.groupby("vec_id").size().min() >= 1
+    hits = sub.merge(brute, on=["vec_id", "nbr_id"], how="inner")
+    assert len(hits) / len(brute) > 0.5  # random data, 3/8 probes
+
+
+def test_knn_ivf_empty_corpus_pinned_schema():
+    from dcpray.functions.ann import knn_self_join_ivf
+
+    et = pa.table({"vec_id": pa.array([], pa.int64()),
+                   "embedding": pa.array([], pa.list_(pa.float32()))})
+    out = knn_self_join_ivf(rd.from_arrow(et), k=3)
+    assert out.schema().names == ["vec_id", "nbr_id", "rank", "cosine"]
+    assert out.count() == 0
