@@ -789,7 +789,9 @@ def knn_self_join_ivf(ds, k: int = 3, nlist: int = 32, nprobe: int = 8,
     by list population, never the corpus. Same ordering contract as
     the brute path (4dp half-away-from-zero rounded cosine, neighbor
     id ties ascending), so the same SQL oracle verifies full-probe
-    runs."""
+    runs. Assumes ``id_col`` is unique (it is the merge key: a
+    duplicated id's candidate sets would merge into one top-k, where
+    the brute path emits one top-k per row)."""
     import ray
     import ray.data
 
