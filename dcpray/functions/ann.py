@@ -527,6 +527,45 @@ def _round_half_away(x: np.ndarray, dp: int) -> np.ndarray:
     return np.where(x >= 0, np.floor(x * s + 0.5), np.ceil(x * s - 0.5)) / s
 
 
+def _topk_vs_members(ids, x, mids, mx, k, dp, chunk_rows=4096):
+    """SHARED kernel of the brute scorer and the IVF per-list kernel —
+    one implementation so the two paths' row-identical contract cannot
+    silently desynchronize. Top-k of each prober row (``ids``/``x``,
+    normalized) against the member matrix (``mids`` sorted ascending /
+    ``mx``): ROUNDED-cosine descending, neighbor-id ties ascending,
+    self masked by WHOLE duplicate-id runs. Prober rows are processed
+    in ``chunk_rows`` slices so task memory is chunk × members — never
+    probers × members (at full probe, probers ≈ the corpus).
+    Returns (id, nbr, rank, cosine) flat arrays."""
+    oi, on, orr, oc = [], [], [], []
+    for s0 in range(0, len(ids), chunk_rows):
+        idi = ids[s0:s0 + chunk_rows]
+        cos4 = _round_half_away(x[s0:s0 + chunk_rows] @ mx.T, dp)
+        lo = np.searchsorted(mids, idi, side="left")
+        hi = np.searchsorted(mids, idi, side="right")
+        lens = hi - lo
+        rows = np.repeat(np.arange(len(idi)), lens)
+        cols = lo.repeat(lens) + (np.arange(lens.sum())
+                                  - np.repeat(np.cumsum(lens) - lens,
+                                              lens))
+        cos4[rows, cols] = -np.inf
+        kk = min(k, cos4.shape[1])
+        # stable argsort of the NEGATED rounded cosine: equal cosines
+        # keep column order, and columns are ascending by neighbor id
+        order = np.argsort(-cos4, axis=1, kind="stable")[:, :kk]
+        c = np.take_along_axis(cos4, order, axis=1)
+        keep = np.isfinite(c.ravel())  # drop masked self column(s)
+        oi.append(np.repeat(idi, kk)[keep])
+        on.append(mids[order].ravel()[keep])
+        orr.append(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                           len(idi))[keep])
+        oc.append(c.ravel()[keep])
+    cat = (lambda ps, dt: np.concatenate(ps) if ps
+           else np.empty(0, dt))
+    return (cat(oi, np.int64), cat(on, np.int64), cat(orr, np.int64),
+            cat(oc, np.float64))
+
+
 class _KnnSelfScorer:
     """Per-worker-memoized kernel for the exact kNN self-join: the
     normalized corpus matrix (sorted by id ASCENDING) is broadcast once
@@ -565,34 +604,13 @@ class _KnnSelfScorer:
         if (nrm == 0).any():
             raise ValueError("knn_self_join: zero-norm embedding "
                              "(cosine undefined)")
-        cos = (emb / nrm) @ self.xn.T
-        cos4 = _round_half_away(cos, self.dp)
-        # mask self: corpus ids are SORTED, so each row's own columns
-        # are one left/right searchsorted pair — no n×N equality
-        # matrix, and a DUPLICATED id masks its WHOLE run (the SQL
-        # semantics: a.id <> b.id excludes every same-id pair)
-        lo = np.searchsorted(self.ids, ids, side="left")
-        hi = np.searchsorted(self.ids, ids, side="right")
-        lens = hi - lo
-        rows = np.repeat(np.arange(len(ids)), lens)
-        cols = lo.repeat(lens) + (np.arange(lens.sum())
-                                  - np.repeat(np.cumsum(lens) - lens,
-                                              lens))
-        cos4[rows, cols] = -np.inf
-        k = min(self.k, cos4.shape[1])
-        # stable argsort of the NEGATED rounded cosine: equal cosines
-        # keep column order, and columns are ascending by neighbor id
-        order = np.argsort(-cos4, axis=1, kind="stable")[:, :k]
-        nbr = self.ids[order]
-        c = np.take_along_axis(cos4, order, axis=1)
-        keep = np.isfinite(c.ravel())  # drop the masked self column(s)
-        n = len(ids)
+        i, nb, rk, c = _topk_vs_members(ids, emb / nrm, self.ids,
+                                        self.xn, self.k, self.dp)
         return pa.table({
-            self.id_col: pa.array(np.repeat(ids, k)[keep]),
-            "nbr_id": pa.array(nbr.ravel()[keep]),
-            "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64),
-                                     n)[keep]),
-            "cosine": pa.array(c.ravel()[keep]),
+            self.id_col: pa.array(i),
+            "nbr_id": pa.array(nb),
+            "rank": pa.array(rk),
+            "cosine": pa.array(c),
         })
 
 
@@ -686,7 +704,7 @@ def _knn_ivf_fanout(batch: pa.Table, cents_ref, nprobe: int,
     if batch.num_rows == 0:
         return pa.table({"ivf_list": pa.array([], pa.int32()),
                          id_col: pa.array([], pa.int64()),
-                         emb_col: pa.array([], pa.list_(pa.float64())),
+                         emb_col: pa.array([], pa.large_list(pa.float64())),
                          "is_member": pa.array([], pa.bool_())})
     require_nonnull(batch, (id_col, emb_col), "knn_self_join_ivf")
     cents = worker_memo(("knn_ivf_cents", cents_ref.hex()),
@@ -705,8 +723,10 @@ def _knn_ivf_fanout(batch: pa.Table, cents_ref, nprobe: int,
     member = np.zeros(n * nprobe, bool)
     member[::nprobe] = True  # column 0 of argsort = primary list
     rep = xn[flat].ravel()
-    emb_out = pa.ListArray.from_arrays(
-        pa.array(np.arange(n * nprobe + 1) * d, pa.int32()),
+    # int64 offsets: int32 caps one batch's flat values at 2^31 —
+    # batch_size × nprobe × dim crosses that with modern dims
+    emb_out = pa.LargeListArray.from_arrays(
+        pa.array(np.arange(n * nprobe + 1) * d, pa.int64()),
         pa.array(rep, pa.float64()))
     return pa.table({"ivf_list": pa.array(lists),
                      id_col: pa.array(ids[flat]),
@@ -729,23 +749,14 @@ def _knn_ivf_list_topk(group: pa.Table, k: int, round_dp: int,
                          "cosine": pa.array([], pa.float64())})
     srt = np.argsort(mids, kind="stable")
     mids, mx = mids[srt], mx[srt]
-    cos4 = _round_half_away(x @ mx.T, round_dp)
-    lo = np.searchsorted(mids, ids, side="left")
-    hi = np.searchsorted(mids, ids, side="right")
-    lens = hi - lo
-    rows = np.repeat(np.arange(len(ids)), lens)
-    cols = lo.repeat(lens) + (np.arange(lens.sum())
-                              - np.repeat(np.cumsum(lens) - lens, lens))
-    cos4[rows, cols] = -np.inf  # mask self (whole duplicate-id run)
-    kk = min(k, cos4.shape[1])
-    order = np.argsort(-cos4, axis=1, kind="stable")[:, :kk]
-    nbr = mids[order]
-    c = np.take_along_axis(cos4, order, axis=1)
-    keep = np.isfinite(c.ravel())
+    # shared kernel, CHUNKED over prober rows: at full probe the
+    # probers of one list approach the whole corpus, and an unchunked
+    # probers × members matmul would scale task memory with the corpus
+    i, nb, _rk, c = _topk_vs_members(ids, x, mids, mx, k, round_dp)
     return pa.table({
-        id_col: pa.array(np.repeat(ids, kk)[keep]),
-        "nbr_id": pa.array(nbr.ravel()[keep]),
-        "cosine": pa.array(c.ravel()[keep]),
+        id_col: pa.array(i),
+        "nbr_id": pa.array(nb),
+        "cosine": pa.array(c),
     })
 
 
@@ -805,7 +816,9 @@ def knn_self_join_ivf(ds, k: int = 3, nlist: int = 32, nprobe: int = 8,
             batch_format="pyarrow")
     try:
         sample = _training_sample(sds, sample_size)
-    except ValueError:
+    except ValueError as e:
+        if "EMPTY corpus" not in str(e):
+            raise  # data-integrity errors (nulls, ragged dims) stay LOUD
         # EMPTY corpus: schema-pinned empty output, like knn_self_join
         t = _KnnSelfScorer.OUT_SCHEMA.empty_table()
         return ray.data.from_arrow(
@@ -823,6 +836,13 @@ def knn_self_join_ivf(ds, k: int = 3, nlist: int = 32, nprobe: int = 8,
     keyed = cand.map_batches(
         lambda t: add_coarse_pk(t, id_col, partitions),
         batch_format="pyarrow")
-    return keyed.groupby("_pk").map_groups(
+    out = keyed.groupby("_pk").map_groups(
         lambda g: _knn_merge_partition(g.drop_columns(["_pk"]), k, id_col),
         batch_format="pyarrow")
+    # schema pin for DEGENERATE corpora (e.g. one vector, whose only
+    # candidate is self-masked): every group returns empty and the
+    # final dataset would have no schema at all — union with a typed
+    # empty table keeps the operator contract
+    pin = _KnnSelfScorer.OUT_SCHEMA.empty_table()
+    pin = pin.rename_columns([id_col] + pin.column_names[1:])
+    return ray.data.from_arrow(pin).union(out)

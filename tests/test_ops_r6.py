@@ -482,3 +482,23 @@ def test_knn_ivf_empty_corpus_pinned_schema():
     out = knn_self_join_ivf(rd.from_arrow(et), k=3)
     assert out.schema().names == ["vec_id", "nbr_id", "rank", "cosine"]
     assert out.count() == 0
+
+
+def test_knn_ivf_degenerate_and_loud_errors():
+    """Review regressions: (a) a single-vector corpus (only candidate
+    is self-masked) keeps the pinned output schema; (b) data-integrity
+    errors are NOT swallowed into an empty result."""
+    from dcpray.functions.ann import knn_self_join_ivf
+
+    one = pa.table({"vec_id": pa.array([7], pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0]],
+                                          pa.list_(pa.float32()))})
+    out = knn_self_join_ivf(rd.from_arrow(one), k=3)
+    assert out.schema().names == ["vec_id", "nbr_id", "rank", "cosine"]
+    assert out.count() == 0
+
+    ragged = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                       "embedding": pa.array([[1.0, 0.0], [1.0]],
+                                             pa.list_(pa.float32()))})
+    with pytest.raises(Exception, match="ragged"):
+        knn_self_join_ivf(rd.from_arrow(ragged), k=1).materialize()
