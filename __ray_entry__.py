@@ -1840,6 +1840,18 @@ def _q_docs_encode_tokens(sf_dir: str):
     return encode_tokens(ds, vocab_size=64)
 
 
+def _q_sample_docs_rate(sf_dir: str):
+    """Arbitrary-rate deterministic Bernoulli sample (rate 0.3):
+    keep when md5-lower64(text) < floor(0.3 · 2^64) — the identical
+    integer threshold appears in the SQL oracle, so the selected SET
+    matches exactly (hash_sample's mod form only does 1-in-k rates)."""
+    from dcpray.functions.sample import bernoulli_sample
+
+    ds = read_clean(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"], override_num_blocks=16)
+    return bernoulli_sample(ds, rate=0.3)
+
+
 def _q_events_top_users(sf_dir: str):
     """EXACT global heavy hitters: top-20 users by event count —
     coarse_groupby partial counts + topk_global (per-batch combiner
@@ -1976,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_approx": _q_events_top_users_approx,
         "docs_encode_tokens": _q_docs_encode_tokens,
         "embeddings_knn3_ivf_full": _q_embeddings_knn3_ivf_full,
+        "sample_docs_rate": _q_sample_docs_rate,
         # --- three-rounds-green rotation (driver-verified r2-r4) ---
         "cdc_replay_full": _q_cdc_replay_full,
         "cdc_resume_equivalence": _q_cdc_resume,
@@ -2753,6 +2766,12 @@ SELECT user_id, n_events FROM (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY user_id)
 ORDER BY n_events DESC, user_id LIMIT 20""",
+        # threshold = floor(0.3 * 2^64), the exact integer the engine
+        # compares against (dcpray.functions.sample.bernoulli_sample)
+        "sample_docs_rate": """
+SELECT doc_id, text FROM documents
+WHERE text IS NOT NULL
+  AND md5_number_lower(text) < CAST('5534023222112865280' AS UBIGINT)""",
         "docs_encode_tokens": """
 WITH toks AS (
   SELECT doc_id,

@@ -91,6 +91,7 @@ SECONDARY = [
     "events_top_users_approx",
     "docs_encode_tokens",
     "embeddings_knn3_ivf_full",
+    "sample_docs_rate",
 ]
 
 

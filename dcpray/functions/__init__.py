@@ -73,7 +73,12 @@ from dcpray.functions.join import (
     range_join_broadcast,
 )
 from dcpray.functions.kmeans import kmeans_assign, kmeans_fit
-from dcpray.functions.sample import hash_sample, hash_split, stratified_sample
+from dcpray.functions.sample import (
+    bernoulli_sample,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
 from dcpray.functions.textprep import (
     assemble_groups,
     pack_sequences,
@@ -127,7 +132,7 @@ __all__ = [
     "intersect_distinct", "except_distinct", "union_distinct",
     "asof_join", "asof_join_broadcast", "broadcast_join", "hash_join",
     "hash_join_skew", "range_join", "range_join_broadcast",
-    "hash_sample", "hash_split", "stratified_sample",
+    "bernoulli_sample", "hash_sample", "hash_split", "stratified_sample",
     "chunk_text", "doc_term_counts", "encode_tokens", "extract_json_field", "normalize_text", "scrub_pii",
     "tfidf_top_terms", "top_terms", "assemble_groups", "pack_sequences",
     "kmeans_assign", "kmeans_fit",

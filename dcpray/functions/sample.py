@@ -89,6 +89,30 @@ def hash_sample(ds, col: str = "text", mod: int = 10, keep: int = 0,
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+def bernoulli_sample(ds, rate: float, col: str = "text",
+                     salt: str = "", hash: str = "md5"):
+    """Deterministic rate-``p`` Bernoulli sample: keep rows where
+    ``hash64(col, salt) < floor(rate * 2^64)`` — the arbitrary-rate
+    sibling of ``hash_sample`` (which only does 1-in-mod rates). Same
+    content + same salt ⇒ same sample on any engine at any
+    partitioning; the SQL oracle is ``md5_number_lower(col || salt) <
+    <threshold>`` with the identical integer threshold. Null rows are
+    dropped (their hash is undefined, like hash_sample). Zero
+    exchange, embarrassingly parallel."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("bernoulli_sample: rate must be in [0, 1]")
+    hasher = _HASHERS[hash]
+    threshold = np.uint64(min(int(rate * 2.0 ** 64), 2 ** 64 - 1))
+
+    def flt(t: pa.Table) -> pa.Table:
+        c = t[col]
+        valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
+        h = hasher(c, salt)
+        return t.filter(pa.array(valid & (h < threshold)))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def hash_split(ds, col: str = "text", weights: tuple = (8, 1, 1),
                salt: str = "", split_col: str = "split",
                names: tuple = ("train", "val", "test"), hash: str = "md5"):

@@ -502,3 +502,26 @@ def test_knn_ivf_degenerate_and_loud_errors():
                                              pa.list_(pa.float32()))})
     with pytest.raises(Exception, match="ragged"):
         knn_self_join_ivf(rd.from_arrow(ragged), k=1).materialize()
+
+
+# ----------------------------------------------------- bernoulli_sample
+
+
+def test_bernoulli_sample_threshold_semantics():
+    from dcpray.functions.sample import bernoulli_sample
+    from dcpray.functions.sample import md5_lower64
+
+    t = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                  "text": pa.array([f"doc {i}" for i in range(300)]
+                                   + [None] * 100)})
+    out = bernoulli_sample(rd.from_arrow(t).repartition(4),
+                           rate=0.25).to_pandas()
+    thr = np.uint64(int(0.25 * 2.0 ** 64))
+    h = md5_lower64(pa.array([f"doc {i}" for i in range(300)]))
+    assert len(out) == int((h < thr).sum())  # exact selected set
+    assert out["text"].notna().all()  # nulls dropped
+    # rate 0 keeps nothing, rate 1 keeps every non-null row
+    assert bernoulli_sample(rd.from_arrow(t), rate=0.0).count() == 0
+    assert bernoulli_sample(rd.from_arrow(t), rate=1.0).count() == 300
+    with pytest.raises(ValueError, match="rate"):
+        bernoulli_sample(rd.from_arrow(t), rate=1.5)
